@@ -1,0 +1,117 @@
+"""Pattern AST ("Component tree" analogue).
+
+The reference parses PCRE into a polymorphic Component tree
+(reference: src/parser/Component*.h) which then drives Glushkov NFA
+construction. We use a small immutable dataclass AST over byte classes.
+
+Anchors are modelled with two *virtual symbols* appended to the byte
+alphabet — BOS (before-data) and EOS (after-data) — instead of the
+reference's anchored-start / acceptEod special vertices
+(reference: src/nfagraph/ng_holder.h start/startDs/accept/acceptEod).
+The scan conceptually processes  BOS · b0 … b(n-1) · EOS ; a position whose
+class contains only BOS can only ever fire at offset 0, and EOS positions
+become end-of-data accepts. This keeps the whole pipeline a plain automaton
+over a 258-symbol alphabet, which maps directly onto TPU table kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from .charclass import CharReach
+
+# Virtual symbol indices in the 258-symbol alphabet.
+SYM_BOS = 256
+SYM_EOS = 257
+NUM_SYMBOLS = 258
+
+
+@dataclasses.dataclass(frozen=True)
+class Node:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Pos(Node):
+    """A Glushkov position: consumes one symbol from the extended alphabet.
+
+    cr      : byte class (may be empty for pure-virtual positions)
+    bos/eos : whether the position also matches the virtual BOS/EOS symbol
+    adjust  : report-offset adjustment if this position ends a match
+              (reference analogue: Report::offsetAdjust, src/util/report.h)
+    """
+
+    cr: CharReach
+    bos: bool = False
+    eos: bool = False
+    adjust: int = 0
+
+    def symbol_count(self) -> int:
+        return self.cr.count() + int(self.bos) + int(self.eos)
+
+
+@dataclasses.dataclass(frozen=True)
+class Seq(Node):
+    children: Tuple[Node, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class Alt(Node):
+    children: Tuple[Node, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class Rep(Node):
+    child: Node
+    lo: int
+    hi: Optional[int]  # None = unbounded
+
+
+@dataclasses.dataclass(frozen=True)
+class Empty(Node):
+    pass
+
+
+# Raw anchor kinds produced by the parser; resolved to Pos nodes by
+# normalize() before Glushkov construction.
+A_BOS = "bos"          # \A, or ^ without MULTILINE
+A_MLINE_BOS = "mbos"   # ^ with MULTILINE
+A_EOS_NL = "eos_nl"    # $, \Z (end of data, or before a final \n)
+A_MLINE_EOS = "meos"   # $ with MULTILINE (before any \n, or end of data)
+A_EOS = "eos"          # \z (end of data only)
+A_WORDB = "wordb"      # \b (not yet supported at compile; parser accepts)
+A_NWORDB = "nwordb"    # \B
+
+
+@dataclasses.dataclass(frozen=True)
+class Anchor(Node):
+    kind: str
+
+
+def seq(*children: Node) -> Node:
+    flat = []
+    for c in children:
+        if isinstance(c, Seq):
+            flat.extend(c.children)
+        elif isinstance(c, Empty):
+            continue
+        else:
+            flat.append(c)
+    if not flat:
+        return Empty()
+    if len(flat) == 1:
+        return flat[0]
+    return Seq(tuple(flat))
+
+
+def alt(*children: Node) -> Node:
+    flat = []
+    for c in children:
+        if isinstance(c, Alt):
+            flat.extend(c.children)
+        else:
+            flat.append(c)
+    if len(flat) == 1:
+        return flat[0]
+    return Alt(tuple(flat))

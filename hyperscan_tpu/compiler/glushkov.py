@@ -1,0 +1,653 @@
+"""Glushkov NFA construction with assertion resolution.
+
+Reference analogues:
+- Glushkov build: src/parser/buildstate.cpp + src/compiler/compiler.cpp:602
+  (``buildGraph``: notePositions/buildFollowSet/buildEdges)
+- assertion resolution by edge filtering + vertex cloning:
+  src/nfagraph/ng_asserts.cpp
+- anchored/floating starts (start vs startDs) and acceptEod:
+  src/nfagraph/ng_holder.h
+- report offset adjustments: src/util/report.h (Report::offsetAdjust)
+
+Model
+-----
+A position NFA over the byte alphabet. Vertices:
+
+- ``S0``   : anchored start — "consumed BOS"; context exists only at offset 0
+- ``SD``   : floating start — self-loop on every byte (unanchored prefix)
+- positions: each consumes one byte of its class
+- ``ACC``  : immediate accept (report at current offset + adjust)
+- ``ACCEOD``: end-of-data accept (report at data length + adjust)
+
+Zero-width assertions (^ $ \\A \\Z \\z \\b \\B) participate in the Glushkov
+first/last/follow computation as pseudo-positions and are then eliminated
+right-to-left. Each assertion kind is a union of rectangles
+``(PREV, NEXT)`` constraining the symbols on either side of the zero-width
+gap, where PREV ⊆ bytes ∪ {BOS} and NEXT ⊆ bytes ∪ {EOS}. Elimination
+produces edges carrying (prev-filter, next-filter) pairs; filters are
+materialized at the end by splitting positions into class atoms — the
+systematic version of the reference's assert vertex cloning.
+
+Next-side constraints on accepts are realized by synthesizing a trailing
+position that consumes the constrained byte and reports with adjust −1
+(e.g. ``foo\\b`` matches in "foo," by consuming ',' and reporting to=3),
+exactly the reference's offset-adjusted report scheme.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, FrozenSet, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..errors import CompileError
+from .ast import (
+    A_BOS,
+    A_EOS,
+    A_EOS_NL,
+    A_MLINE_BOS,
+    A_MLINE_EOS,
+    A_NWORDB,
+    A_WORDB,
+    Alt,
+    Anchor,
+    Empty,
+    Node,
+    Pos,
+    Rep,
+    Seq,
+)
+from .charclass import NEWLINE, WORD, CharReach
+
+MAX_POSITIONS = 50000  # grey-style resource limit on expanded positions
+
+# Special vertex ids
+S0 = -1  # anchored start
+SD = -2  # floating start
+ACC = -3  # immediate accept
+ACCEOD = -4  # end-of-data accept
+
+_ANY = CharReach.all()
+_NONE = CharReach.none()
+_W = WORD
+_NW = ~WORD
+_NL = NEWLINE
+
+
+@dataclasses.dataclass
+class NFAGraph:
+    """Final, assertion-free position NFA for one expression."""
+
+    reach: np.ndarray  # [P, 256] bool: consumed byte class per position
+    anchored_first: Set[int]  # reachable as the first byte at offset 0 only
+    float_first: Set[int]  # reachable as a first byte at any offset
+    follow: List[Set[int]]
+    accept: Dict[int, FrozenSet[int]]  # pos -> set of report adjusts
+    accept_eod: Dict[int, FrozenSet[int]]  # pos -> adjusts (to = len+adj)
+    # empty-match accepts: (anchored, eod, adjust)
+    #  (True,  False, a): empty match at offset 0, to = a
+    #  (False, False, a): empty match at every offset e, to = e + a
+    #  (True,  True,  a): empty input only, to = a
+    #  (False, True,  a): empty match at EOD, to = len + a
+    start_accepts: Set[Tuple[bool, bool, int]] = dataclasses.field(default_factory=set)
+
+    @property
+    def num_positions(self) -> int:
+        return len(self.follow)
+
+    def is_vacuous(self) -> bool:
+        return bool(self.start_accepts)
+
+
+# --------------------------------------------------------------------------
+# Bounded-repeat expansion into Star/Plus/Opt primitives
+# (the reference expands {n,m} similarly: src/parser/ComponentRepeat.cpp)
+# --------------------------------------------------------------------------
+
+
+def _count_positions(node: Node) -> int:
+    if isinstance(node, (Pos, Anchor)):
+        return 1
+    if isinstance(node, (Seq, Alt)):
+        return sum(_count_positions(c) for c in node.children)
+    if isinstance(node, Rep):
+        per = _count_positions(node.child)
+        hi = node.hi if node.hi is not None else max(node.lo, 1)
+        return per * max(hi, 1)
+    return 0
+
+
+def _expand(node: Node) -> Node:
+    if _count_positions(node) > MAX_POSITIONS:
+        raise CompileError(
+            f"pattern too large after repeat expansion (limit {MAX_POSITIONS})"
+        )
+    return _expand_rec(node)
+
+
+def _expand_rec(node: Node) -> Node:
+    if isinstance(node, (Pos, Anchor, Empty)):
+        return node
+    if isinstance(node, Seq):
+        return Seq(tuple(_expand_rec(c) for c in node.children))
+    if isinstance(node, Alt):
+        return Alt(tuple(_expand_rec(c) for c in node.children))
+    assert isinstance(node, Rep)
+    child = _expand_rec(node.child)
+    lo, hi = node.lo, node.hi
+    if hi is None:
+        if lo == 0:
+            return Rep(child, 0, None)  # Star
+        if lo == 1:
+            return Rep(child, 1, None)  # Plus
+        return Seq(tuple([child] * (lo - 1)) + (Rep(child, 1, None),))
+    if lo == 0 and hi == 0:
+        return Empty()
+    if lo == 0 and hi == 1:
+        return Rep(child, 0, 1)  # Opt
+    parts: List[Node] = [child] * lo + [Rep(child, 0, 1)] * (hi - lo)
+    if len(parts) == 1:
+        return parts[0]
+    return Seq(tuple(parts))
+
+
+# --------------------------------------------------------------------------
+# first/last/follow
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Info:
+    nullable: bool
+    first: FrozenSet[int]
+    last: FrozenSet[int]
+
+
+class _Builder:
+    def __init__(self) -> None:
+        self.leaves: List[Node] = []
+        self.follow: List[Set[int]] = []
+
+    def new_pos(self, leaf: Node) -> int:
+        pid = len(self.leaves)
+        if pid >= MAX_POSITIONS:
+            raise CompileError(f"pattern exceeds {MAX_POSITIONS} positions")
+        self.leaves.append(leaf)
+        self.follow.append(set())
+        return pid
+
+    def link(self, lasts, firsts) -> None:
+        for u in lasts:
+            self.follow[u].update(firsts)
+
+    def build(self, node: Node) -> _Info:
+        if isinstance(node, Empty):
+            return _Info(True, frozenset(), frozenset())
+        if isinstance(node, (Pos, Anchor)):
+            pid = self.new_pos(node)
+            s = frozenset([pid])
+            return _Info(False, s, s)
+        if isinstance(node, Seq):
+            nullable = True
+            first: FrozenSet[int] = frozenset()
+            last: FrozenSet[int] = frozenset()
+            for child in node.children:
+                ci = self.build(child)
+                self.link(last, ci.first)
+                if nullable:
+                    first = first | ci.first
+                last = (last | ci.last) if ci.nullable else ci.last
+                nullable = nullable and ci.nullable
+            return _Info(nullable, first, last)
+        if isinstance(node, Alt):
+            nullable = False
+            first = frozenset()
+            last = frozenset()
+            for child in node.children:
+                ci = self.build(child)
+                nullable = nullable or ci.nullable
+                first = first | ci.first
+                last = last | ci.last
+            return _Info(nullable, first, last)
+        assert isinstance(node, Rep)
+        ci = self.build(node.child)
+        if node.lo == 0 and node.hi == 1:  # Opt
+            return _Info(True, ci.first, ci.last)
+        self.link(ci.last, ci.first)  # Star / Plus loopback
+        return _Info(node.lo == 0 or ci.nullable, ci.first, ci.last)
+
+
+# --------------------------------------------------------------------------
+# Assertion rectangles
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _PF:
+    """Prev-symbol filter: byte set + whether BOS (offset 0) is allowed."""
+
+    cr: CharReach
+    bos: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class _NF:
+    """Next-symbol filter: byte set + whether EOS (end of data) is allowed."""
+
+    cr: CharReach
+    eos: bool
+
+
+_PF_ANY = _PF(_ANY, True)
+_NF_ANY = _NF(_ANY, True)
+
+
+def _pf_and(a: Optional[_PF], b: _PF) -> _PF:
+    if a is None:
+        return b
+    return _PF(a.cr & b.cr, a.bos and b.bos)
+
+
+def _nf_and(a: Optional[_NF], b: _NF) -> _NF:
+    if a is None:
+        return b
+    return _NF(a.cr & b.cr, a.eos and b.eos)
+
+
+def _pf_trivial(f: Optional[_PF]) -> bool:
+    return f is None or (f.bos and f.cr.count() == 256)
+
+
+def _nf_trivial(f: Optional[_NF]) -> bool:
+    return f is None or (f.eos and f.cr.count() == 256)
+
+
+# rectangles per assertion kind; `nl_eod` marks the \Z/"$ before final
+# newline" rectangle whose byte branch must land on an EOD accept.
+def _assert_rects(kind: str):
+    if kind == A_BOS:
+        return [(_PF(_NONE, True), _NF_ANY, False)]
+    if kind == A_MLINE_BOS:
+        return [(_PF(_NL, True), _NF_ANY, False)]
+    if kind == A_EOS:
+        return [(_PF_ANY, _NF(_NONE, True), False)]
+    if kind == A_EOS_NL:  # $, \Z
+        return [
+            (_PF_ANY, _NF(_NONE, True), False),
+            (_PF_ANY, _NF(_NL, False), True),  # before a FINAL newline
+        ]
+    if kind == A_MLINE_EOS:
+        return [(_PF_ANY, _NF(_NL, True), False)]
+    if kind == A_WORDB:
+        return [
+            (_PF(_W, False), _NF(_NW, True), False),
+            (_PF(_NW, True), _NF(_W, False), False),
+        ]
+    if kind == A_NWORDB:
+        return [
+            (_PF(_W, False), _NF(_W, False), False),
+            (_PF(_NW, True), _NF(_NW, True), False),
+        ]
+    raise CompileError(f"unsupported assertion kind {kind!r}")
+
+
+# Edge: (u, v, prev_filter, next_filter, adjust)
+_Edge = Tuple[int, int, Optional[_PF], Optional[_NF], int]
+
+
+class _Resolver:
+    """Eliminates assertion pseudo-positions from the edge set."""
+
+    def __init__(self, builder: _Builder):
+        self.b = builder
+        self.synth_prev: Dict[bytes, int] = {}  # class key -> position id
+        self.synth_acc: Dict[Tuple[bytes, bool, int], int] = {}
+        self._nl_clones: Dict[Tuple, int] = {}
+        self.extra_edges: List[_Edge] = []
+
+    def _new_real(self, cr: CharReach) -> int:
+        pid = self.b.new_pos(Pos(cr))
+        return pid
+
+    def prev_variants(self, u: int, pf: Optional[_PF]):
+        """Decompose a prev-filter for a given predecessor into concrete
+        (source, residual prev-filter) pairs, synthesizing ".*[cr]" hop
+        positions where the floating start needs a constrained last byte."""
+        if _pf_trivial(pf):
+            if u == SD:
+                return [(SD, None)]
+            return [(u, None)]
+        assert pf is not None
+        out = []
+        if u == S0:
+            if pf.bos:
+                out.append((S0, None))
+        elif u == SD:
+            if pf.bos:
+                out.append((S0, None))
+            if pf.cr:
+                k = pf.cr.key()
+                if k not in self.synth_prev:
+                    w = self._new_real(pf.cr)
+                    self.synth_prev[k] = w
+                    self.extra_edges.append((SD, w, None, None, 0))
+                    self.extra_edges.append((S0, w, None, None, 0))
+                out.append((self.synth_prev[k], None))
+        else:
+            # real position or assertion: carry the filter
+            if pf.cr or pf.bos:
+                out.append((u, pf))
+        return out
+
+    def accept_edges(self, u: int, upf: Optional[_PF], nf: Optional[_NF],
+                     adjust: int, eod_only: bool, nl_eod: bool) -> List[_Edge]:
+        """Route an accept with a next-side constraint, synthesizing a
+        trailing consuming position when the constraint names bytes."""
+        out: List[_Edge] = []
+        if _nf_trivial(nf) and not nl_eod:
+            out.append((u, ACCEOD if eod_only else ACC, upf, None, adjust))
+            return out
+        nf = nf if nf is not None else _NF_ANY
+        if nf.eos and not nl_eod:
+            # accept exactly at end-of-data
+            out.append((u, ACCEOD, upf, None, adjust))
+        if nf.cr and not eod_only:
+            # consume one constrained byte, report one byte earlier
+            eod_flag = nl_eod
+            k = (nf.cr.key(), eod_flag, adjust - 1)
+            if k not in self.synth_acc:
+                w = self._new_real(nf.cr)
+                self.synth_acc[k] = w
+                self.extra_edges.append(
+                    (w, ACCEOD if eod_flag else ACC, None, None, adjust - 1)
+                )
+            out.append((u, self.synth_acc[k], upf, None, 0))
+        return out
+
+    def _nl_eod_clone(self, v: int, ncr: CharReach, edges: List[_Edge]) -> Optional[int]:
+        """Clone a real successor of a \\Z/"$ before final newline"
+        rectangle: the clone consumes the (final) newline, keeps only v's
+        accepts — converted to EOD accepts so finality is enforced — and
+        drops all other out-edges (nothing may follow the final byte)."""
+        vcls = self.b.leaves[v].cr if isinstance(self.b.leaves[v], Pos) else _NONE
+        eff = vcls & ncr
+        if not eff:
+            return None
+        key = ("nl_eod", v, eff.key())
+        if key in self._nl_clones:
+            return self._nl_clones[key]
+        w = self._new_real(eff)
+        self._nl_clones[key] = w
+        for (su, sv, uf_a, vf_a, adj_a) in edges:
+            if su != v:
+                continue
+            if sv == ACC:
+                if vf_a is None or vf_a.eos:
+                    self.extra_edges.append((w, ACCEOD, uf_a, None, adj_a))
+            elif sv == ACCEOD:
+                self.extra_edges.append((w, ACCEOD, uf_a, None, adj_a))
+        return w
+
+    def eliminate(self, pid: int, edges: List[_Edge], is_assert) -> List[_Edge]:
+        kind = self.b.leaves[pid].kind  # type: ignore[union-attr]
+        rects = _assert_rects(kind)
+        preds = [e for e in edges if e[1] == pid]
+        succs = [e for e in edges if e[0] == pid and e[1] != pid]
+        if any(e[0] == pid and e[1] == pid for e in edges):
+            raise CompileError("self-looping assertion is not supported")
+        out = [e for e in edges if e[0] != pid and e[1] != pid]
+
+        for (pf_rect, nf_rect, nl_eod) in rects:
+            for (u, _p, uf1, vf1, adj1) in preds:
+                # prev side: conjoin the incoming prev-filter with the rect's
+                pf = _pf_and(uf1, pf_rect)
+                if not pf.cr and not pf.bos:
+                    continue
+                for (uu, residual_pf) in self.prev_variants(u, pf):
+                    for (_p2, v, uf2, vf2, adj2) in succs:
+                        # uf2 is a prev-side constraint carried on an edge
+                        # out of the assertion (from earlier eliminations);
+                        # it constrains the same gap, so conjoin.
+                        eff_pf = residual_pf
+                        if uf2 is not None:
+                            eff_pf = _pf_and(eff_pf, uf2) if eff_pf is not None else uf2
+                            if uu in (S0, SD):
+                                # start-side byte constraints were already
+                                # decomposed; a further constraint from uf2
+                                # must be re-decomposed — conservative: only
+                                # allow if trivial
+                                if not _pf_trivial(uf2):
+                                    continue
+                                eff_pf = None
+                        nf = _nf_and(_nf_and(vf1, nf_rect), vf2 or _NF_ANY)
+                        adj = adj1 + adj2
+                        if v == ACC:
+                            out.extend(
+                                self.accept_edges(uu, eff_pf, nf, adj, False, nl_eod)
+                            )
+                        elif v == ACCEOD:
+                            if nf.eos and not nl_eod:
+                                out.append((uu, ACCEOD, eff_pf, None, adj))
+                        else:
+                            if not nf.cr:
+                                continue
+                            if nl_eod:
+                                # "$ before final \n" then a successor that
+                                # consumes exactly that final \n
+                                w = self._nl_eod_clone(v, nf.cr, edges)
+                                if w is not None:
+                                    out.append((uu, w, eff_pf, None, adj))
+                                continue
+                            out.append((uu, v, eff_pf, _NF(nf.cr, nf.eos), adj))
+        return out
+
+
+# --------------------------------------------------------------------------
+# build_nfa
+# --------------------------------------------------------------------------
+
+
+def build_nfa(node: Node) -> NFAGraph:
+    node = _expand(node)
+    b = _Builder()
+    info = b.build(node)
+
+    edges: List[_Edge] = []
+    for f in info.first:
+        edges.append((SD, f, None, None, 0))
+        edges.append((S0, f, None, None, 0))
+    for u in range(len(b.leaves)):
+        for v in b.follow[u]:
+            edges.append((u, v, None, None, 0))
+    for l in info.last:
+        edges.append((l, ACC, None, None, 0))
+
+    start_accepts: Set[Tuple[bool, bool, int]] = set()
+    if info.nullable:
+        start_accepts.add((False, False, 0))  # empty match at every offset
+
+    is_assert = [isinstance(l, Anchor) for l in b.leaves]
+    resolver = _Resolver(b)
+
+    # eliminate rightmost-first: an assertion is ready when none of its
+    # successors is an assertion
+    for _ in range(len(b.leaves) + 8):
+        while len(is_assert) < len(b.leaves):
+            is_assert.append(False)
+        pending = [
+            p
+            for p in range(len(is_assert))
+            if is_assert[p] and any(e[0] == p or e[1] == p for e in edges)
+        ]
+        if not pending:
+            break
+        ready = [
+            p
+            for p in pending
+            if not any(
+                e[0] == p and e[1] >= 0 and e[1] < len(is_assert) and is_assert[e[1]]
+                for e in edges
+            )
+        ]
+        if not ready:
+            raise CompileError("cyclic assertion structure is not supported")
+        edges = resolver.eliminate(ready[0], edges, is_assert)
+        edges.extend(resolver.extra_edges)
+        resolver.extra_edges = []
+    else:
+        raise CompileError("assertion resolution did not converge")
+
+    while len(is_assert) < len(b.leaves):
+        is_assert.append(False)
+
+    # drop any leftover edges touching assertions (unsatisfiable paths)
+    edges = [
+        e
+        for e in edges
+        if not (0 <= e[0] < len(is_assert) and is_assert[e[0]])
+        and not (0 <= e[1] < len(is_assert) and is_assert[e[1]])
+    ]
+
+    # --- start-accept extraction -----------------------------------------
+    kept: List[_Edge] = []
+    for (u, v, uf, vf, adj) in edges:
+        if v in (ACC, ACCEOD) and u in (S0, SD):
+            anchored = u == S0
+            eod = v == ACCEOD
+            start_accepts.add((anchored, eod, adj))
+        else:
+            kept.append((u, v, uf, vf, adj))
+    edges = kept
+
+    # --- materialize filters by atom-splitting ----------------------------
+    leaves = b.leaves
+    classes: List[CharReach] = [
+        l.cr if isinstance(l, Pos) else _NONE for l in leaves
+    ]
+
+    # collect refinement filters per position
+    refine: Dict[int, List[CharReach]] = {}
+    for (u, v, uf, vf, adj) in edges:
+        if u >= 0 and uf is not None:
+            refine.setdefault(u, []).append(uf.cr)
+        if v >= 0 and vf is not None:
+            refine.setdefault(v, []).append(vf.cr)
+
+    pos_atoms: Dict[int, List[CharReach]] = {}
+    for p in range(len(leaves)):
+        if is_assert[p]:
+            continue
+        base = classes[p]
+        atoms = [base] if base else []
+        for f in refine.get(p, []):
+            nxt = []
+            for a in atoms:
+                i1, i2 = a & f, a - f
+                if i1:
+                    nxt.append(i1)
+                if i2:
+                    nxt.append(i2)
+            atoms = nxt
+        pos_atoms[p] = atoms
+
+    new_ids: Dict[Tuple[int, int], int] = {}
+    new_reach: List[CharReach] = []
+    for p, atoms in pos_atoms.items():
+        for i, a in enumerate(atoms):
+            new_ids[(p, i)] = len(new_reach)
+            new_reach.append(a)
+
+    def variants(p: int, filt: Optional[CharReach]):
+        for i, a in enumerate(pos_atoms.get(p, [])):
+            if filt is None or (a & filt).key() == a.key():
+                yield new_ids[(p, i)]
+
+    n_new = len(new_reach)
+    anchored_first: Set[int] = set()
+    float_first: Set[int] = set()
+    follow_new: List[Set[int]] = [set() for _ in range(n_new)]
+    accept: Dict[int, Set[int]] = {}
+    accept_eod: Dict[int, Set[int]] = {}
+
+    for (u, v, uf, vf, adj) in edges:
+        ufilt = uf.cr if uf is not None else None
+        vfilt = vf.cr if vf is not None else None
+        if v in (ACC, ACCEOD):
+            tgt = accept if v == ACC else accept_eod
+            for uid in variants(u, ufilt):
+                tgt.setdefault(uid, set()).add(adj)
+            continue
+        tgts = list(variants(v, vfilt))
+        if not tgts:
+            continue
+        if u == S0:
+            anchored_first.update(tgts)
+        elif u == SD:
+            float_first.update(tgts)
+        else:
+            for uid in variants(u, ufilt):
+                follow_new[uid].update(tgts)
+
+    reach = np.zeros((n_new, 256), dtype=bool)
+    for i, cr in enumerate(new_reach):
+        reach[i] = cr.bits
+
+    g = NFAGraph(
+        reach=reach,
+        anchored_first=anchored_first,
+        float_first=float_first,
+        follow=follow_new,
+        accept={k: frozenset(v) for k, v in accept.items()},
+        accept_eod={k: frozenset(v) for k, v in accept_eod.items()},
+        start_accepts=start_accepts,
+    )
+    return _prune(g)
+
+
+def _prune(g: NFAGraph) -> NFAGraph:
+    """Drop unreachable / non-accepting-reachable positions
+    (reference: src/nfagraph/ng_prune.cpp)."""
+    P = g.num_positions
+    fwd = np.zeros(P, dtype=bool)
+    stack = [p for p in (g.anchored_first | g.float_first) if g.reach[p].any()]
+    for s in stack:
+        fwd[s] = True
+    while stack:
+        u = stack.pop()
+        for v in g.follow[u]:
+            if not fwd[v] and g.reach[v].any():
+                fwd[v] = True
+                stack.append(v)
+    rev: List[Set[int]] = [set() for _ in range(P)]
+    for u in range(P):
+        for v in g.follow[u]:
+            rev[v].add(u)
+    bwd = np.zeros(P, dtype=bool)
+    stack = list(set(g.accept) | set(g.accept_eod))
+    for s in stack:
+        bwd[s] = True
+    while stack:
+        u = stack.pop()
+        for v in rev[u]:
+            if not bwd[v]:
+                bwd[v] = True
+                stack.append(v)
+    keep = fwd & bwd
+    if keep.all():
+        return g
+    remap = -np.ones(P, dtype=np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+
+    def rs(s):
+        return {int(remap[p]) for p in s if keep[p]}
+
+    return NFAGraph(
+        reach=g.reach[keep],
+        anchored_first=rs(g.anchored_first),
+        float_first=rs(g.float_first),
+        follow=[rs(g.follow[p]) for p in range(P) if keep[p]],
+        accept={int(remap[p]): a for p, a in g.accept.items() if keep[p]},
+        accept_eod={int(remap[p]): a for p, a in g.accept_eod.items() if keep[p]},
+        start_accepts=set(g.start_accepts),
+    )

@@ -1,0 +1,592 @@
+r"""PCRE-subset pattern parser.
+
+TPU-native rewrite of the reference's Ragel-generated parser
+(reference: src/parser/Parser.rl:1915 ``parse()``), producing the AST in
+``ast.py``. Coverage targets the constructs Hyperscan itself supports:
+literals, classes (incl. POSIX + escapes), `.`; quantifiers ``* + ? {n,m}``
+with lazy suffix; alternation; (non-)capturing groups; inline flags
+``(?i)(?s)(?m)(?x)`` incl. scoped forms; ``\\Q..\\E``; anchors
+``^ $ \A \Z \z \b \B``. Constructs the reference rejects (backrefs,
+lookaround, \G, recursion) raise CompileError exactly as the reference does
+(reference: src/parser/unsupported.cpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from ..errors import CompileError
+from ..flags import (
+    HS_FLAG_CASELESS,
+    HS_FLAG_DOTALL,
+    HS_FLAG_MULTILINE,
+    HS_FLAG_UCP,
+    HS_FLAG_UTF8,
+)
+from .ast import (
+    A_BOS,
+    A_EOS,
+    A_EOS_NL,
+    A_MLINE_BOS,
+    A_MLINE_EOS,
+    A_NWORDB,
+    A_WORDB,
+    Alt,
+    Anchor,
+    Empty,
+    Node,
+    Pos,
+    Rep,
+    Seq,
+    alt,
+    seq,
+)
+from .charclass import (
+    DIGIT,
+    DOT_ALL,
+    DOT_NO_NL,
+    POSIX_CLASSES,
+    SPACE,
+    WORD,
+    CharReach,
+)
+
+# PCRE \v (vertical ws) and \h (horizontal ws) in 8-bit mode.
+VERT_WS = CharReach.from_bytes(bytes([0x0A, 0x0B, 0x0C, 0x0D, 0x85]))
+HORZ_WS = CharReach.from_bytes(bytes([0x09, 0x20, 0xA0]))
+# \R: any newline sequence — approximated as its single-byte members in
+# byte mode (the \r\n two-byte form is expanded at parse time).
+NL_BYTES = CharReach.from_bytes(bytes([0x0A, 0x0B, 0x0C, 0x0D, 0x85]))
+
+MAX_REPEAT = 32767  # reference caps bounded repeats similarly (grey box)
+
+
+@dataclasses.dataclass
+class _Flags:
+    caseless: bool
+    dotall: bool
+    multiline: bool
+    extended: bool
+    utf8: bool
+    ucp: bool
+
+    def copy(self) -> "_Flags":
+        return dataclasses.replace(self)
+
+
+class _Parser:
+    def __init__(self, pattern: str, flags: int, index: int = -1):
+        # Patterns are byte-oriented; accept str (latin-1 round trip) or bytes.
+        if isinstance(pattern, bytes):
+            self.pat = pattern.decode("latin-1")
+        else:
+            self.pat = pattern
+        self.n = len(self.pat)
+        self.i = 0
+        self.index = index
+        self.group_depth = 0
+        self.flags = _Flags(
+            caseless=bool(flags & HS_FLAG_CASELESS),
+            dotall=bool(flags & HS_FLAG_DOTALL),
+            multiline=bool(flags & HS_FLAG_MULTILINE),
+            extended=False,
+            utf8=bool(flags & HS_FLAG_UTF8),
+            ucp=bool(flags & HS_FLAG_UCP),
+        )
+        if self.flags.utf8:
+            # UTF-8 mode requires multi-byte expansion of classes; gated
+            # until the UTF-8 lowering pass lands.
+            raise CompileError("HS_FLAG_UTF8 not yet supported", index)
+
+    # -- utilities -----------------------------------------------------
+    def error(self, msg: str) -> CompileError:
+        return CompileError(f"{msg} at index {self.i}", self.index)
+
+    def peek(self) -> str:
+        return self.pat[self.i] if self.i < self.n else ""
+
+    def at_end(self) -> bool:
+        return self.i >= self.n
+
+    def take(self) -> str:
+        c = self.pat[self.i]
+        self.i += 1
+        return c
+
+    def expect(self, c: str) -> None:
+        if self.at_end() or self.pat[self.i] != c:
+            raise self.error(f"expected {c!r}")
+        self.i += 1
+
+    def _skip_ws(self) -> None:
+        """In extended mode, whitespace and #-comments are ignored."""
+        if not self.flags.extended:
+            return
+        while self.i < self.n:
+            c = self.pat[self.i]
+            if c in " \t\n\r\f\v":
+                self.i += 1
+            elif c == "#":
+                while self.i < self.n and self.pat[self.i] != "\n":
+                    self.i += 1
+            else:
+                break
+
+    def _lit(self, byte: int) -> Node:
+        cr = CharReach.single(byte)
+        if self.flags.caseless:
+            cr = cr.make_caseless()
+        return Pos(cr)
+
+    def _class_node(self, cr: CharReach) -> Node:
+        if self.flags.caseless:
+            cr = cr.make_caseless()
+        return Pos(cr)
+
+    # -- entry -----------------------------------------------------------
+    def parse(self) -> Node:
+        node = self.parse_alt()
+        if not self.at_end():
+            if self.peek() == ")":
+                raise self.error("unmatched parenthesis")
+            raise self.error("trailing input")
+        return node
+
+    def parse_alt(self) -> Node:
+        branches = [self.parse_seq()]
+        while not self.at_end() and self.peek() == "|":
+            self.take()
+            branches.append(self.parse_seq())
+        return alt(*branches)
+
+    def parse_seq(self) -> Node:
+        items: List[Node] = []
+        while True:
+            self._skip_ws()
+            if self.at_end() or self.peek() in "|)":
+                break
+            item = self.parse_quantified()
+            if item is not None:
+                items.append(item)
+        return seq(*items) if items else Empty()
+
+    def parse_quantified(self) -> Optional[Node]:
+        atom = self.parse_atom()
+        self._skip_ws()
+        if self.at_end():
+            return atom
+        c = self.peek()
+        lo: Optional[int] = None
+        hi: Optional[int] = None
+        if c == "*":
+            self.take()
+            lo, hi = 0, None
+        elif c == "+":
+            self.take()
+            lo, hi = 1, None
+        elif c == "?":
+            self.take()
+            lo, hi = 0, 1
+        elif c == "{":
+            save = self.i
+            bounds = self._try_parse_bounds()
+            if bounds is None:
+                self.i = save
+                return atom
+            lo, hi = bounds
+        else:
+            return atom
+
+        # lazy / possessive suffix
+        self._skip_ws()
+        if not self.at_end():
+            if self.peek() == "?":
+                self.take()  # lazy: identical language, ignore
+            elif self.peek() == "+":
+                # Possessive quantifiers change the matched language under
+                # backtracking semantics; the reference rejects them
+                # (src/parser/unsupported.cpp).
+                raise self.error("possessive quantifiers are not supported")
+
+        if atom is None:
+            raise self.error("quantifier with nothing to repeat")
+        if isinstance(atom, Anchor):
+            raise self.error("quantifier on an assertion is not supported")
+        if hi is not None and lo > hi:
+            raise self.error("bounded repeat min > max")
+        if lo == 1 and hi == 1:
+            return atom
+        return Rep(atom, lo, hi)
+
+    def _try_parse_bounds(self):
+        """Parse {n}, {n,}, {n,m} after consuming nothing; returns None if
+        this brace is a literal (PCRE treats malformed bounds as literal)."""
+        assert self.peek() == "{"
+        self.take()
+        start = self.i
+        while self.i < self.n and self.pat[self.i].isdigit():
+            self.i += 1
+        if self.i == start:
+            return None
+        lo = int(self.pat[start : self.i])
+        hi: Optional[int] = lo
+        if self.peek() == ",":
+            self.take()
+            start2 = self.i
+            while self.i < self.n and self.pat[self.i].isdigit():
+                self.i += 1
+            hi = int(self.pat[start2 : self.i]) if self.i > start2 else None
+        if self.peek() != "}":
+            return None
+        self.take()
+        if lo > MAX_REPEAT or (hi is not None and hi > MAX_REPEAT):
+            raise self.error(f"bounded repeat exceeds limit {MAX_REPEAT}")
+        return lo, hi
+
+    # -- atoms -----------------------------------------------------------
+    def parse_atom(self) -> Optional[Node]:
+        c = self.take()
+        if c == "(":
+            return self.parse_group()
+        if c == "[":
+            return self._class_node(self.parse_class())
+        if c == ".":
+            return Pos(DOT_ALL if self.flags.dotall else DOT_NO_NL)
+        if c == "^":
+            return Anchor(A_MLINE_BOS if self.flags.multiline else A_BOS)
+        if c == "$":
+            return Anchor(A_MLINE_EOS if self.flags.multiline else A_EOS_NL)
+        if c == "\\":
+            return self.parse_escape()
+        if c in "*+?":
+            raise self.error("quantifier with nothing to repeat")
+        if c == "{":
+            # A brace not forming a valid bound is a literal brace.
+            self.i -= 1
+            save = self.i
+            if self._try_parse_bounds() is not None:
+                self.i = save
+                raise self.error("quantifier with nothing to repeat")
+            self.i = save + 1
+            return self._lit(ord("{"))
+        if c == "}":
+            return self._lit(ord("}"))
+        if c == "]":
+            return self._lit(ord("]"))
+        return self._lit(ord(c) & 0xFF)
+
+    def parse_group(self) -> Optional[Node]:
+        if self.peek() == "?":
+            self.take()
+            c = self.peek()
+            if c == ":":
+                self.take()
+            elif c == "#":
+                # comment group
+                while not self.at_end() and self.peek() != ")":
+                    self.take()
+                self.expect(")")
+                return Empty()
+            elif c in "=!":
+                raise self.error("lookahead assertions are not supported")
+            elif c == "<":
+                self.take()
+                c2 = self.peek()
+                if c2 in "=!":
+                    raise self.error("lookbehind assertions are not supported")
+                # named group (?<name>...)
+                while not self.at_end() and self.peek() != ">":
+                    self.take()
+                self.expect(">")
+            elif c == "P":
+                self.take()
+                c2 = self.peek()
+                if c2 == "<":
+                    self.take()
+                    while not self.at_end() and self.peek() != ">":
+                        self.take()
+                    self.expect(">")
+                else:
+                    raise self.error("subroutine references are not supported")
+            elif c == ">":
+                raise self.error("atomic groups are not supported")
+            elif c in "imsx-":
+                # inline flags, possibly scoped: (?i) (?i:...) (?-i) ...
+                newf = self.flags.copy()
+                neg = False
+                while not self.at_end() and self.peek() in "imsx-":
+                    f = self.take()
+                    if f == "-":
+                        neg = True
+                        continue
+                    val = not neg
+                    if f == "i":
+                        newf.caseless = val
+                    elif f == "m":
+                        newf.multiline = val
+                    elif f == "s":
+                        newf.dotall = val
+                    elif f == "x":
+                        newf.extended = val
+                if self.at_end():
+                    raise self.error("unterminated group")
+                if self.peek() == ")":
+                    self.take()
+                    self.flags = newf  # applies to rest of enclosing group
+                    return Empty()
+                if self.peek() == ":":
+                    self.take()
+                    saved = self.flags
+                    self.flags = newf
+                    node = self.parse_alt()
+                    self.flags = saved
+                    self.expect(")")
+                    return node
+                raise self.error("malformed inline-flags group")
+            elif c == "R" or c.isdigit() or c == "&" or c == "+":
+                raise self.error("recursion/subroutine calls are not supported")
+            elif c == "(":
+                raise self.error("conditional groups are not supported")
+            else:
+                raise self.error(f"unrecognized group syntax (?{c}")
+        # plain capturing or rewritten-to-noncapturing group body
+        saved = self.flags.copy()
+        self.group_depth += 1
+        node = self.parse_alt()
+        self.group_depth -= 1
+        self.flags = saved
+        self.expect(")")
+        return node
+
+    # -- escapes -----------------------------------------------------------
+    _SIMPLE_ESCAPES = {
+        "n": 0x0A,
+        "r": 0x0D,
+        "t": 0x09,
+        "f": 0x0C,
+        "a": 0x07,
+        "e": 0x1B,
+    }
+
+    def parse_escape(self) -> Node:
+        if self.at_end():
+            raise self.error("pattern may not end with a backslash")
+        c = self.take()
+        if c in self._SIMPLE_ESCAPES:
+            return self._lit(self._SIMPLE_ESCAPES[c])
+        if c == "d":
+            return Pos(DIGIT)
+        if c == "D":
+            return Pos(~DIGIT)
+        if c == "s":
+            return Pos(SPACE)
+        if c == "S":
+            return Pos(~SPACE)
+        if c == "w":
+            return Pos(WORD)
+        if c == "W":
+            return Pos(~WORD)
+        if c == "v":
+            return Pos(VERT_WS)
+        if c == "V":
+            return Pos(~VERT_WS)
+        if c == "h":
+            return Pos(HORZ_WS)
+        if c == "H":
+            return Pos(~HORZ_WS)
+        if c == "R":
+            # \r\n | single NL byte
+            return alt(
+                seq(Pos(CharReach.single(0x0D)), Pos(CharReach.single(0x0A))),
+                Pos(NL_BYTES),
+            )
+        if c == "N":
+            return Pos(DOT_NO_NL)
+        if c == "A":
+            return Anchor(A_BOS)
+        if c == "Z":
+            return Anchor(A_EOS_NL)
+        if c == "z":
+            return Anchor(A_EOS)
+        if c == "b":
+            return Anchor(A_WORDB)
+        if c == "B":
+            return Anchor(A_NWORDB)
+        if c == "G":
+            raise self.error("\\G is not supported")
+        if c == "X":
+            raise self.error("\\X is not supported")
+        if c == "x":
+            return self._lit(self._parse_hex_escape())
+        if c == "c":
+            if self.at_end():
+                raise self.error("malformed \\c escape")
+            ch = self.take()
+            return self._lit(ord(ch.upper()) ^ 0x40)
+        if c == "0":
+            return self._lit(self._parse_octal_after_zero())
+        if c.isdigit():
+            raise self.error("backreferences are not supported")
+        if c == "Q":
+            return self._parse_quoted()
+        if c == "E":
+            return Empty()
+        if c == "k" or c == "g":
+            raise self.error("backreferences are not supported")
+        if c == "p" or c == "P":
+            raise self.error("unicode properties require UCP mode (not yet supported)")
+        if c.isalpha():
+            raise self.error(f"unrecognized escape \\{c}")
+        return self._lit(ord(c) & 0xFF)
+
+    def _parse_hex_escape(self) -> int:
+        if self.peek() == "{":
+            self.take()
+            start = self.i
+            while not self.at_end() and self.peek() != "}":
+                self.take()
+            val = int(self.pat[start : self.i] or "0", 16)
+            self.expect("}")
+            if val > 0xFF:
+                raise self.error("\\x{} value exceeds one byte (UTF-8 mode required)")
+            return val
+        digits = ""
+        while len(digits) < 2 and not self.at_end() and self.peek() in "0123456789abcdefABCDEF":
+            digits += self.take()
+        return int(digits, 16) if digits else 0
+
+    def _parse_octal_after_zero(self) -> int:
+        digits = "0"
+        while len(digits) < 3 and not self.at_end() and self.peek() in "01234567":
+            digits += self.take()
+        return int(digits, 8) & 0xFF
+
+    def _parse_quoted(self) -> Node:
+        items: List[Node] = []
+        while not self.at_end():
+            c = self.take()
+            if c == "\\" and self.peek() == "E":
+                self.take()
+                break
+            items.append(self._lit(ord(c) & 0xFF))
+        return seq(*items) if items else Empty()
+
+    # -- character classes ---------------------------------------------
+    def parse_class(self) -> CharReach:
+        negate = False
+        if self.peek() == "^":
+            self.take()
+            negate = True
+        cr = CharReach.none()
+        first = True
+        while True:
+            if self.at_end():
+                raise self.error("unterminated character class")
+            c = self.take()
+            if c == "]" and not first:
+                break
+            first = False
+            # POSIX class [:name:]
+            if c == "[" and self.peek() == ":":
+                save = self.i
+                self.take()
+                neg2 = False
+                if self.peek() == "^":
+                    self.take()
+                    neg2 = True
+                name = ""
+                while not self.at_end() and self.peek().isalpha():
+                    name += self.take()
+                if self.pat[self.i : self.i + 2] == ":]" and name in POSIX_CLASSES:
+                    self.i += 2
+                    pc = POSIX_CLASSES[name]
+                    cr = cr | (~pc if neg2 else pc)
+                    continue
+                self.i = save  # literal '['
+
+            lo_cr: Optional[CharReach] = None
+            if c == "\\":
+                lo_cr, lo_byte = self._class_escape()
+            else:
+                lo_byte = ord(c) & 0xFF
+
+            if lo_cr is not None:
+                cr = cr | lo_cr
+                continue
+
+            # possible range a-z
+            if self.peek() == "-" and self.i + 1 < self.n and self.pat[self.i + 1] != "]":
+                self.take()  # '-'
+                c2 = self.take()
+                if c2 == "\\":
+                    hi_cr, hi_byte = self._class_escape()
+                    if hi_cr is not None:
+                        raise self.error("invalid range endpoint in class")
+                else:
+                    hi_byte = ord(c2) & 0xFF
+                if hi_byte < lo_byte:
+                    raise self.error("range out of order in character class")
+                cr = cr | CharReach.range(lo_byte, hi_byte)
+            else:
+                cr = cr | CharReach.single(lo_byte)
+
+        if self.flags.caseless:
+            cr = cr.make_caseless()
+        if negate:
+            cr = ~cr
+        return cr
+
+    def _class_escape(self):
+        """Returns (class, None) for class escapes or (None, byte)."""
+        if self.at_end():
+            raise self.error("pattern may not end with a backslash")
+        c = self.take()
+        if c in self._SIMPLE_ESCAPES:
+            return None, self._SIMPLE_ESCAPES[c]
+        if c == "d":
+            return DIGIT, None
+        if c == "D":
+            return ~DIGIT, None
+        if c == "s":
+            return SPACE, None
+        if c == "S":
+            return ~SPACE, None
+        if c == "w":
+            return WORD, None
+        if c == "W":
+            return ~WORD, None
+        if c == "v":
+            return VERT_WS, None
+        if c == "V":
+            return ~VERT_WS, None
+        if c == "h":
+            return HORZ_WS, None
+        if c == "H":
+            return ~HORZ_WS, None
+        if c == "b":
+            return None, 0x08  # backspace inside classes
+        if c == "x":
+            return None, self._parse_hex_escape()
+        if c == "c":
+            ch = self.take()
+            return None, ord(ch.upper()) ^ 0x40
+        if c == "0":
+            return None, self._parse_octal_after_zero()
+        if c.isdigit():
+            # octal without leading 0 inside classes
+            digits = c
+            while len(digits) < 3 and not self.at_end() and self.peek() in "01234567":
+                digits += self.take()
+            try:
+                return None, int(digits, 8) & 0xFF
+            except ValueError:
+                raise self.error("bad octal escape in class")
+        if c.isalpha():
+            raise self.error(f"unrecognized escape \\{c} in class")
+        return None, ord(c) & 0xFF
+
+
+def parse(pattern, flags: int = 0, index: int = -1) -> Node:
+    """Parse a PCRE-subset pattern into an AST (anchors unresolved)."""
+    return _Parser(pattern, flags, index).parse()

@@ -1,0 +1,174 @@
+"""Ground-truth matchers for differential testing.
+
+Analogue of the reference's conformance oracles:
+- ``ast_match_ends``: direct interpretation of the parsed AST with true
+  zero-width assertion semantics — plays the role of PCRE ground truth
+  (reference: tools/hscollider/GroundTruth.cpp)
+- ``nfa_match_ends``: simulation of the compiled NFAGraph — plays the role
+  of the graph NFA simulation (reference: tools/hscollider/GraphTruth.cpp
+  via src/nfagraph/ng_execute.cpp)
+
+Both return the set of match records the engine must reproduce:
+Hyperscan reports *every* end offset at which a match ends ("automata
+semantics"), deduped per (id, to).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, Set, Tuple
+
+from ..compiler.ast import (
+    A_BOS,
+    A_EOS,
+    A_EOS_NL,
+    A_MLINE_BOS,
+    A_MLINE_EOS,
+    A_NWORDB,
+    A_WORDB,
+    Alt,
+    Anchor,
+    Empty,
+    Node,
+    Pos,
+    Rep,
+    Seq,
+)
+from ..compiler.charclass import WORD
+from ..compiler.glushkov import NFAGraph
+
+_WORD_BITS = WORD.bits
+
+
+def _is_word(data: bytes, i: int) -> bool:
+    return 0 <= i < len(data) and bool(_WORD_BITS[data[i]])
+
+
+def _assert_holds(kind: str, data: bytes, pos: int) -> bool:
+    n = len(data)
+    if kind == A_BOS:
+        return pos == 0
+    if kind == A_MLINE_BOS:
+        return pos == 0 or data[pos - 1] == 0x0A
+    if kind == A_EOS:
+        return pos == n
+    if kind == A_EOS_NL:  # $, \Z: at end, or before a final \n
+        return pos == n or (pos == n - 1 and data[pos] == 0x0A)
+    if kind == A_MLINE_EOS:  # before any \n, or at end
+        return pos == n or data[pos] == 0x0A
+    if kind == A_WORDB:
+        return _is_word(data, pos - 1) != _is_word(data, pos)
+    if kind == A_NWORDB:
+        return _is_word(data, pos - 1) == _is_word(data, pos)
+    raise ValueError(kind)
+
+
+def _ends(node: Node, data: bytes, start: int, memo) -> FrozenSet[int]:
+    """All positions reachable by matching `node` beginning at `start`."""
+    key = (id(node), start)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    memo[key] = frozenset()  # cycle guard (Rep of nullable child)
+    if isinstance(node, Empty):
+        out = frozenset([start])
+    elif isinstance(node, Pos):
+        if start < len(data) and bool(node.cr.bits[data[start]]):
+            out = frozenset([start + 1])
+        else:
+            out = frozenset()
+    elif isinstance(node, Anchor):
+        out = frozenset([start]) if _assert_holds(node.kind, data, start) else frozenset()
+    elif isinstance(node, Seq):
+        cur = {start}
+        for child in node.children:
+            nxt: Set[int] = set()
+            for p in cur:
+                nxt |= _ends(child, data, p, memo)
+            cur = nxt
+            if not cur:
+                break
+        out = frozenset(cur)
+    elif isinstance(node, Alt):
+        acc: Set[int] = set()
+        for child in node.children:
+            acc |= _ends(child, data, start, memo)
+        out = frozenset(acc)
+    else:
+        assert isinstance(node, Rep)
+        lo, hi = node.lo, node.hi
+        # mandatory part
+        cur = {start}
+        for _ in range(lo):
+            nxt: Set[int] = set()
+            for p in cur:
+                nxt |= _ends(node.child, data, p, memo)
+            cur = nxt
+            if not cur:
+                break
+        acc = set(cur)
+        # optional part: closure (bounded by hi or by fixpoint)
+        frontier = set(cur)
+        count = lo
+        while frontier and (hi is None or count < hi):
+            nxt = set()
+            for p in frontier:
+                nxt |= _ends(node.child, data, p, memo)
+            new = nxt - acc
+            acc |= new
+            frontier = new if hi is None else nxt
+            count += 1
+            if hi is None and not new:
+                break
+        out = frozenset(acc)
+    memo[key] = out
+    return out
+
+
+def ast_match_ends(node: Node, data: bytes) -> Set[int]:
+    """Hyperscan-semantics match ends: every offset `e` such that some
+    substring data[s:e] (any s ≤ e) matches the pattern."""
+    memo: Dict = {}
+    ends: Set[int] = set()
+    for s in range(len(data) + 1):
+        ends |= _ends(node, data, s, memo)
+    return ends
+
+
+def nfa_match_ends(g: NFAGraph, data: bytes) -> Set[int]:
+    """Simulate the position NFA; return the set of match end offsets."""
+    n = len(data)
+    ends: Set[int] = set()
+
+    # empty-match accepts
+    for (anchored, eod, adj) in g.start_accepts:
+        if anchored and eod:
+            if n == 0:
+                ends.add(adj)
+        elif anchored:
+            ends.add(adj)
+        elif eod:
+            ends.add(n + adj)
+        else:
+            for e in range(n + 1):
+                ends.add(e + adj)
+
+    active: Set[int] = set()
+    for i in range(n):
+        byte = data[i]
+        nxt: Set[int] = set()
+        for u in active:
+            for v in g.follow[u]:
+                if g.reach[v, byte]:
+                    nxt.add(v)
+        firsts = g.float_first if i > 0 else (g.float_first | g.anchored_first)
+        for v in firsts:
+            if g.reach[v, byte]:
+                nxt.add(v)
+        active = nxt
+        for v in active:
+            for adj in g.accept.get(v, ()):
+                ends.add(i + 1 + adj)
+    for v in active:
+        for adj in g.accept_eod.get(v, ()):
+            ends.add(n + adj)
+    return {e for e in ends if 0 <= e <= n}

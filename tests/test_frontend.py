@@ -1,0 +1,207 @@
+"""Parser + Glushkov differential tests.
+
+Chain of trust (mirrors the reference's hscollider strategy,
+doc/dev-reference/tools.rst:91-110):
+  Python `re`  ⇔  ast_match_ends   (validates parser semantics)
+  ast_match_ends ⇔ nfa_match_ends  (validates Glushkov + assert resolution)
+"""
+
+import re
+
+import pytest
+
+from hyperscan_tpu.compiler.parser import parse
+from hyperscan_tpu.compiler.glushkov import build_nfa
+from hyperscan_tpu.errors import CompileError
+from hyperscan_tpu.flags import (
+    HS_FLAG_CASELESS,
+    HS_FLAG_DOTALL,
+    HS_FLAG_MULTILINE,
+)
+from hyperscan_tpu.utils.oracle import ast_match_ends, nfa_match_ends
+
+CORPORA = [
+    b"",
+    b"a",
+    b"\n",
+    b"abc",
+    b"aabbcc",
+    b"xyzabcxyzabc",
+    b"foo bar, baz.",
+    b"aaaa",
+    b"abab\nabab",
+    b"line1\nline2\n",
+    b"\nstart",
+    b"end\n",
+    b"The quick brown fox jumps over the lazy dog",
+    b"mixed CASE Text 123",
+    b"a,b;c d\te\nf",
+    bytes(range(32, 127)),
+    b"\x00\x01\xff\xfe binary \x80 data",
+]
+
+# Patterns exercised against Python `re` (no anchors — slicing-based
+# re-oracle is only exact for anchor-free patterns).
+RE_PATTERNS = [
+    (r"abc", 0),
+    (r"a", 0),
+    (r"a+", 0),
+    (r"ab*c", 0),
+    (r"a|b", 0),
+    (r"(ab|cd)+", 0),
+    (r"[a-c]x?", 0),
+    (r"[^a-z]", 0),
+    (r"a.c", 0),
+    (r"a.c", HS_FLAG_DOTALL),
+    (r"\d+", 0),
+    (r"\w\s\w", 0),
+    (r"a{2,3}", 0),
+    (r"a{3}", 0),
+    (r"a{2,}", 0),
+    (r"(a|ab)(c|bcd)", 0),
+    (r"abc", HS_FLAG_CASELESS),
+    (r"[a-f]+", HS_FLAG_CASELESS),
+    (r"q(?:uick|uiet)", 0),
+    (r"fo{1,2}", 0),
+    (r"x\.y", 0),
+    (r"\x41\x42", 0),
+    (r"[\d,;]+", 0),
+    (r"(?i)mIxEd", 0),
+    (r"(?i:case) ", 0),
+    (r"l(in)*e", 0),
+    (r"a??b", 0),
+    (r"(a+)+b", 0),
+]
+
+# Patterns with assertions — checked AST-oracle vs NFA only (the AST oracle
+# implements true zero-width semantics directly).
+ANCHOR_PATTERNS = [
+    (r"^abc", 0),
+    (r"abc$", 0),
+    (r"^abc$", 0),
+    (r"^", 0),
+    (r"$", 0),
+    (r"^$", 0),
+    (r"\Aabc", 0),
+    (r"abc\z", 0),
+    (r"abc\Z", 0),
+    (r"^line1", HS_FLAG_MULTILINE),
+    (r"line1$", HS_FLAG_MULTILINE),
+    (r"^line2$", HS_FLAG_MULTILINE),
+    (r"^a|b$", 0),
+    (r"^a|b$", HS_FLAG_MULTILINE),
+    (r"\bfoo", 0),
+    (r"foo\b", 0),
+    (r"\bfoo\b", 0),
+    (r"\Bar", 0),
+    (r"a\B", 0),
+    (r"\bline\d\b", HS_FLAG_MULTILINE),
+    (r"^\w+", HS_FLAG_MULTILINE),
+    (r"\w+$", HS_FLAG_MULTILINE),
+    (r"^(a|line1)", HS_FLAG_MULTILINE),
+    (r"(^|,)b", 0),
+    (r"a$|^b", HS_FLAG_MULTILINE),
+    (r"^.", 0),
+    (r".$", 0),
+    (r"^.", HS_FLAG_MULTILINE),
+    (r".$", HS_FLAG_MULTILINE),
+    (r"^[a-z]+$", HS_FLAG_MULTILINE),
+    (r"a\b.", 0),
+    (r"x|^", 0),
+    (r"end$\n", 0),
+    (r"\Qa.c\E", 0),
+    (r"[[:alpha:]]+", 0),
+]
+
+
+def _re_flags(flags: int) -> int:
+    out = 0
+    if flags & HS_FLAG_CASELESS:
+        out |= re.IGNORECASE
+    if flags & HS_FLAG_DOTALL:
+        out |= re.DOTALL
+    if flags & HS_FLAG_MULTILINE:
+        out |= re.MULTILINE
+    return out
+
+
+def re_ends(pattern: str, flags: int, data: bytes) -> set:
+    """All end offsets via Python re (anchor-free patterns only)."""
+    c = re.compile(pattern.encode("latin-1"), _re_flags(flags))
+    ends = set()
+    for e in range(len(data) + 1):
+        for s in range(e + 1):
+            if c.fullmatch(data[s:e]):
+                ends.add(e)
+                break
+    return ends
+
+
+@pytest.mark.parametrize("pattern,flags", RE_PATTERNS)
+def test_ast_oracle_vs_re(pattern, flags):
+    ast = parse(pattern, flags)
+    for data in CORPORA:
+        got = ast_match_ends(ast, data)
+        want = re_ends(pattern, flags, data)
+        assert got == want, f"{pattern!r} flags={flags} on {data!r}: {got} != {want}"
+
+
+@pytest.mark.parametrize(
+    "pattern,flags", RE_PATTERNS + ANCHOR_PATTERNS
+)
+def test_nfa_vs_ast_oracle(pattern, flags):
+    ast = parse(pattern, flags)
+    g = build_nfa(ast)
+    for data in CORPORA:
+        want = ast_match_ends(ast, data)
+        got = nfa_match_ends(g, data)
+        assert got == want, f"{pattern!r} flags={flags} on {data!r}: {got} != {want}"
+
+
+def test_parse_errors():
+    for bad in [
+        r"a(b", r")", r"a**", r"*a", r"a{2,1}",
+        r"(?=x)y", r"(?<=x)y", r"(?<!x)y", r"x(?!y)", r"(?>ab)",
+        r"(a)\1", "a" + chr(92), r"[a", r"a{100000}", r"a*+",
+    ]:
+        with pytest.raises(CompileError):
+            parse(bad)
+
+
+def test_parse_literal_braces():
+    # malformed bounds are literal text, per PCRE
+    ast = parse(r"a{,2}")
+    assert ast_match_ends(ast, b"xa{,2}") == {6}
+    ast = parse(r"a{b}")
+    assert ast_match_ends(ast, b"a{b}") == {4}
+
+
+def test_anchored_empty_cases():
+    # `^` alone matches empty at offset 0 on any input
+    ast = parse(r"^")
+    assert ast_match_ends(ast, b"abc") == {0}
+    assert ast_match_ends(ast, b"") == {0}
+    # `$` matches at end (and before a final newline)
+    ast = parse(r"$")
+    assert ast_match_ends(ast, b"abc") == {3}
+    assert ast_match_ends(ast, b"abc\n") == {3, 4}
+    g = build_nfa(parse(r"$"))
+    assert nfa_match_ends(g, b"abc\n") == {3, 4}
+
+
+def test_word_boundary_trailing():
+    # /foo\b/ on "foo," reports to=3 (via consumed ',' with adjust -1)
+    g = build_nfa(parse(r"foo\b"))
+    assert nfa_match_ends(g, b"foo,") == {3}
+    assert nfa_match_ends(g, b"foo") == {3}
+    assert nfa_match_ends(g, b"foobar") == set()
+
+
+def test_eos_chain():
+    # /a$\z/: $ and \z assert at the same point; "a\n" must NOT match
+    ast = parse(r"a$\z")
+    g = build_nfa(ast)
+    for data in [b"a", b"a\n", b"ab"]:
+        assert nfa_match_ends(g, data) == ast_match_ends(ast, data), data
+    assert nfa_match_ends(g, b"a") == {1}
+    assert nfa_match_ends(g, b"a\n") == set()
