@@ -1,0 +1,201 @@
+"""Public API.
+
+Pythonic surface plus C-style aliases mirroring the reference's hs.h
+(reference: src/hs_compile.h, src/hs_runtime.h, src/hs_common.h). A user of
+the reference should find every entry point they know:
+
+  hs_compile / hs_compile_multi / hs_compile_ext_multi / hs_compile_lit*
+  hs_scan (block), scan_batch (TPU-native batched blocks)
+  hs_serialize_database / hs_deserialize_database / hs_database_size /
+  hs_database_info / hs_serialized_database_info
+  hs_alloc_scratch / hs_clone_scratch
+  hs_expression_info / hs_expression_ext_info
+  hs_version / hs_valid_platform
+
+Streaming (hs_open_stream …) lives in runtime/stream.py once built.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from .compiler.glushkov import build_nfa
+from .compiler.parser import parse as _parse
+from .database import DB_VERSION, Database, PatternInfo, compile_patterns, _nfa_widths
+from .errors import *  # noqa: F401,F403 — error codes are part of the API
+from .errors import CompileError, InvalidError
+from .flags import (
+    ExprExt,
+    HS_MODE_BLOCK,
+    HS_MODE_STREAM,
+    HS_MODE_VECTORED,
+    UNBOUNDED,
+    validate_flags,
+)
+from .runtime.scan import Match, Scratch, scan_batch, scan_block
+
+
+def version() -> str:
+    return ".".join(map(str, DB_VERSION)) + " hyperscan-tpu"
+
+
+def valid_platform() -> bool:
+    """True if a JAX backend is available (reference: hs_valid_platform)."""
+    try:
+        import jax
+
+        return len(jax.devices()) > 0
+    except Exception:
+        return False
+
+
+# --- compile ----------------------------------------------------------------
+
+
+def compile(expression: str, flags: int = 0, mode: int = HS_MODE_BLOCK) -> Database:
+    """Single-pattern compile (reference: hs_compile, src/hs.cpp:412)."""
+    return compile_patterns([expression], [flags], [0], mode)
+
+
+def compile_multi(
+    expressions: Sequence[str],
+    flags: Optional[Sequence[int]] = None,
+    ids: Optional[Sequence[int]] = None,
+    mode: int = HS_MODE_BLOCK,
+) -> Database:
+    """Multi-pattern compile (reference: hs_compile_multi, src/hs.cpp:438)."""
+    return compile_patterns(expressions, flags, ids, mode)
+
+
+def compile_ext_multi(
+    expressions: Sequence[str],
+    flags: Optional[Sequence[int]] = None,
+    ids: Optional[Sequence[int]] = None,
+    ext: Optional[Sequence[Optional[ExprExt]]] = None,
+    mode: int = HS_MODE_BLOCK,
+) -> Database:
+    """Compile with extended parameters (reference: hs_compile_ext_multi,
+    src/hs.cpp:450)."""
+    return compile_patterns(expressions, flags, ids, mode, ext=ext)
+
+
+def compile_lit(expression: bytes, flags: int = 0, mode: int = HS_MODE_BLOCK) -> Database:
+    """Pure-literal compile (reference: hs_compile_lit)."""
+    return compile_patterns([expression], [flags], [0], mode, literal=True)
+
+
+def compile_lit_multi(
+    expressions: Sequence[bytes],
+    flags: Optional[Sequence[int]] = None,
+    ids: Optional[Sequence[int]] = None,
+    mode: int = HS_MODE_BLOCK,
+) -> Database:
+    """Pure-literal multi compile (reference: hs_compile_lit_multi)."""
+    return compile_patterns(expressions, flags, ids, mode, literal=True)
+
+
+# --- scan -------------------------------------------------------------------
+
+
+def scan(
+    db: Database,
+    data: bytes,
+    callback: Optional[Callable[[int, int, int, int], int]] = None,
+    scratch: Optional[Scratch] = None,
+) -> List[Match]:
+    """Block-mode scan (reference: hs_scan, src/runtime.c:316).
+
+    Returns the ordered match list [(id, from, to), ...]; if `callback` is
+    given it is invoked per match and a nonzero return stops delivery
+    (HS_SCAN_TERMINATED semantics)."""
+    matches, _terminated = scan_block(db, data, callback, scratch)
+    return matches
+
+
+# --- scratch ---------------------------------------------------------------
+
+
+def alloc_scratch(db: Database, capacity: int = 4096) -> Scratch:
+    """reference: hs_alloc_scratch (src/scratch.c)."""
+    del db  # capacity policy is database-independent for now
+    return Scratch(capacity=capacity)
+
+
+def clone_scratch(scratch: Scratch) -> Scratch:
+    return scratch.clone()
+
+
+def scratch_size(scratch: Scratch) -> int:
+    return scratch.capacity * 12  # 3 int32 buffers
+
+
+# --- serialization ----------------------------------------------------------
+
+
+def serialize_database(db: Database) -> bytes:
+    return db.serialize()
+
+
+def deserialize_database(data: bytes) -> Database:
+    return Database.deserialize(data)
+
+
+def database_size(db: Database) -> int:
+    return db.size()
+
+
+def database_info(db: Database) -> str:
+    return db.info()
+
+
+def serialized_database_size(data: bytes) -> int:
+    return len(data)
+
+
+def serialized_database_info(data: bytes) -> str:
+    return Database.deserialize(data).info()
+
+
+# --- expression info ---------------------------------------------------------
+
+
+def expression_info(expression: str, flags: int = 0) -> dict:
+    """reference: hs_expression_info (src/hs.cpp). Returns width and
+    behavior info for one pattern without building a database."""
+    validate_flags(flags)
+    node = _parse(expression, flags)
+    g = build_nfa(node)
+    min_w, max_w = _nfa_widths(g)
+    return {
+        "min_width": min_w,
+        "max_width": max_w if max_w is not None else 0xFFFFFFFF,
+        "unordered_matches": False,
+        "matches_at_eod": bool(g.accept_eod)
+        or any(eod for (_a, eod, _adj) in g.start_accepts),
+        "matches_only_at_eod": bool(g.accept_eod) and not g.accept,
+    }
+
+
+def expression_ext_info(expression: str, flags: int = 0,
+                        ext: Optional[ExprExt] = None) -> dict:
+    info = expression_info(expression, flags)
+    return info
+
+
+# --- C-style aliases ---------------------------------------------------------
+
+hs_compile = compile
+hs_compile_multi = compile_multi
+hs_compile_ext_multi = compile_ext_multi
+hs_compile_lit = compile_lit
+hs_compile_lit_multi = compile_lit_multi
+hs_scan = scan
+hs_alloc_scratch = alloc_scratch
+hs_clone_scratch = clone_scratch
+hs_serialize_database = serialize_database
+hs_deserialize_database = deserialize_database
+hs_database_size = database_size
+hs_database_info = database_info
+hs_expression_info = expression_info
+hs_version = version
+hs_valid_platform = valid_platform

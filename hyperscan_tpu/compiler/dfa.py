@@ -1,0 +1,319 @@
+"""Determinization and minimization: NFAGraph(s) → scanning DFA tables.
+
+Reference analogues:
+- subset construction: src/util/determinise.h + src/nfagraph/ng_mcclellan.cpp
+- Hopcroft minimization: src/nfa/dfa_min.cpp
+- alphabet remap (byte equivalence classes): McClellan's alphaRemap
+  (src/nfa/mcclellan_internal.h) — shrinks the 256-wide transition table to
+  the number of distinguishable byte classes, which on TPU directly shrinks
+  the gather table held in VMEM.
+
+The DFA is a *scanning* DFA: the union NFA's floating starts are folded in
+(every state includes the implicit ".*" restart), so no outer loop over
+start offsets is needed — one pass over the data yields every match end.
+Multi-pattern: accepts carry sets of (expression index, offset adjust).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, FrozenSet, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..errors import CompileError
+from .glushkov import NFAGraph
+
+Report = Tuple[int, int]  # (expression index, offset adjust)
+
+
+class DfaLimitExceeded(CompileError):
+    """Subset construction exceeded the state budget; caller should
+    partition the pattern set (reference: resource limits in grey box)."""
+
+
+@dataclasses.dataclass
+class ScanDFA:
+    """A scanning DFA over remapped byte classes."""
+
+    byte_to_class: np.ndarray  # [256] uint16
+    trans: np.ndarray  # [S, C] int32
+    start_state: int
+    # accepts: per state, a set id into `accept_sets` (0 = empty set)
+    accept_id: np.ndarray  # [S] int32
+    accept_eod_id: np.ndarray  # [S] int32
+    accept_sets: List[FrozenSet[Report]]  # accept_sets[0] == frozenset()
+    # empty-match reports: (anchored, eod, adjust, expr)
+    start_reports: List[Tuple[bool, bool, int, int]]
+
+    @property
+    def num_states(self) -> int:
+        return int(self.trans.shape[0])
+
+    @property
+    def num_classes(self) -> int:
+        return int(self.trans.shape[1])
+
+
+@dataclasses.dataclass
+class _Union:
+    """Flattened multi-NFA with positions renumbered into one space."""
+
+    reach: np.ndarray  # [P, 256] bool
+    follow_mask: List[int]  # bitmask ints over positions
+    anchored_first_mask: int
+    float_first_mask: int
+    accept: Dict[int, FrozenSet[Report]]
+    accept_eod: Dict[int, FrozenSet[Report]]
+    start_reports: List[Tuple[bool, bool, int, int]]
+
+
+def _flatten(nfas: Sequence[NFAGraph], expr_ids: Sequence[int]) -> _Union:
+    reaches = []
+    follow_mask: List[int] = []
+    af = 0
+    ff = 0
+    accept: Dict[int, FrozenSet[Report]] = {}
+    accept_eod: Dict[int, FrozenSet[Report]] = {}
+    start_reports: List[Tuple[bool, bool, int, int]] = []
+    base = 0
+    for g, eid in zip(nfas, expr_ids):
+        P = g.num_positions
+        if P:
+            reaches.append(g.reach)
+        for u in range(P):
+            m = 0
+            for v in g.follow[u]:
+                m |= 1 << (base + v)
+            follow_mask.append(m)
+        for v in g.anchored_first:
+            af |= 1 << (base + v)
+        for v in g.float_first:
+            ff |= 1 << (base + v)
+        for u, adjs in g.accept.items():
+            accept[base + u] = frozenset((eid, a) for a in adjs)
+        for u, adjs in g.accept_eod.items():
+            accept_eod[base + u] = frozenset((eid, a) for a in adjs)
+        for (anchored, eod, adj) in g.start_accepts:
+            start_reports.append((anchored, eod, adj, eid))
+        base += P
+    reach = (
+        np.concatenate(reaches, axis=0) if reaches else np.zeros((0, 256), dtype=bool)
+    )
+    return _Union(reach, follow_mask, af, ff, accept, accept_eod, start_reports)
+
+
+def _byte_classes(reach: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Partition bytes into equivalence classes w.r.t. all position classes.
+
+    Returns (byte_to_class [256] uint16, representative byte per class).
+    """
+    if reach.shape[0] == 0:
+        return np.zeros(256, dtype=np.uint16), np.zeros(1, dtype=np.uint8)
+    # signature of byte b = column b of reach; np.unique over 256 rows
+    cols = np.ascontiguousarray(reach.T)  # [256, P]
+    uniq, inverse = np.unique(cols, axis=0, return_inverse=True)
+    byte_to_class = inverse.astype(np.uint16).reshape(256)
+    reps = np.zeros(len(uniq), dtype=np.uint8)
+    for b in range(255, -1, -1):
+        reps[byte_to_class[b]] = b
+    return byte_to_class, reps
+
+
+def determinize(
+    nfas: Sequence[NFAGraph],
+    expr_ids: Sequence[int],
+    max_states: int = 60000,
+) -> ScanDFA:
+    u = _flatten(nfas, expr_ids)
+    P = u.reach.shape[0]
+    byte_to_class, reps = _byte_classes(u.reach)
+    C = len(reps)
+
+    # reach mask per class: positions whose class contains the class's bytes
+    reach_mask = [0] * C
+    for c in range(C):
+        bits = u.reach[:, int(reps[c])]
+        m = 0
+        for p in np.flatnonzero(bits):
+            m |= 1 << int(p)
+        reach_mask[c] = m
+
+    follow = u.follow_mask
+    ff = u.float_first_mask
+    af = u.anchored_first_mask
+
+    # State 0 is the initial ("anchored context") state; it behaves like the
+    # floating rest-state but additionally launches anchored firsts.
+    # Key: (position bitmask, is_start)
+    states: Dict[Tuple[int, bool], int] = {}
+    order: List[Tuple[int, bool]] = []
+
+    def intern(key: Tuple[int, bool]) -> int:
+        sid = states.get(key)
+        if sid is None:
+            sid = len(order)
+            if sid > max_states:
+                raise DfaLimitExceeded(
+                    f"DFA exceeds {max_states} states; partition the pattern set"
+                )
+            states[key] = sid
+            order.append(key)
+        return sid
+
+    start = intern((0, True))
+    trans_rows: List[List[int]] = []
+    i = 0
+    # cache of OR-of-follow masks per state mask
+    while i < len(order):
+        mask, is_start = order[i]
+        base_next = 0
+        m = mask
+        while m:
+            low = m & (-m)
+            p = low.bit_length() - 1
+            base_next |= follow[p]
+            m ^= low
+        firsts = ff | (af if is_start else 0)
+        row = []
+        for c in range(C):
+            nxt = (base_next | firsts) & reach_mask[c]
+            row.append(intern((nxt, False)))
+        trans_rows.append(row)
+        i += 1
+
+    S = len(order)
+    trans = np.asarray(trans_rows, dtype=np.int32)
+
+    # accept sets
+    accept_sets: List[FrozenSet[Report]] = [frozenset()]
+    set_ids: Dict[FrozenSet[Report], int] = {frozenset(): 0}
+
+    def set_id(s: FrozenSet[Report]) -> int:
+        if s not in set_ids:
+            set_ids[s] = len(accept_sets)
+            accept_sets.append(s)
+        return set_ids[s]
+
+    accept_id = np.zeros(S, dtype=np.int32)
+    accept_eod_id = np.zeros(S, dtype=np.int32)
+    for sid, (mask, _is_start) in enumerate(order):
+        acc: Set[Report] = set()
+        acce: Set[Report] = set()
+        m = mask
+        while m:
+            low = m & (-m)
+            p = low.bit_length() - 1
+            if p in u.accept:
+                acc |= u.accept[p]
+            if p in u.accept_eod:
+                acce |= u.accept_eod[p]
+            m ^= low
+        if acc:
+            accept_id[sid] = set_id(frozenset(acc))
+        if acce:
+            accept_eod_id[sid] = set_id(frozenset(acce))
+
+    dfa = ScanDFA(
+        byte_to_class=byte_to_class,
+        trans=trans,
+        start_state=start,
+        accept_id=accept_id,
+        accept_eod_id=accept_eod_id,
+        accept_sets=accept_sets,
+        start_reports=u.start_reports,
+    )
+    return minimize(dfa)
+
+
+def minimize(d: ScanDFA) -> ScanDFA:
+    """Hopcroft minimization (reference: src/nfa/dfa_min.cpp).
+
+    Initial partition distinguishes (accept_id, accept_eod_id) signatures.
+    The start state is tracked through the merge.
+    """
+    S, C = d.trans.shape
+    if S <= 1:
+        return d
+    sig = {}
+    block_of = np.zeros(S, dtype=np.int64)
+    for s in range(S):
+        k = (int(d.accept_id[s]), int(d.accept_eod_id[s]))
+        if k not in sig:
+            sig[k] = len(sig)
+        block_of[s] = sig[k]
+    nblocks = len(sig)
+
+    # iterative partition refinement (Moore); S is modest (<=60k) and C is
+    # small after alphabet remap, so this is fast enough and simple.
+    trans = d.trans
+    while True:
+        # signature: (own block, blocks of successors per class)
+        keys = np.concatenate(
+            [block_of[:, None], block_of[trans.reshape(S * C)].reshape(S, C)], axis=1
+        )
+        uniq, new_block = np.unique(keys, axis=0, return_inverse=True)
+        if len(uniq) == nblocks:
+            break
+        nblocks = len(uniq)
+        block_of = new_block
+
+    if nblocks == S:
+        return d
+    # canonical representative per block
+    new_trans = np.zeros((nblocks, C), dtype=np.int32)
+    new_accept = np.zeros(nblocks, dtype=np.int32)
+    new_accept_eod = np.zeros(nblocks, dtype=np.int32)
+    rep_seen = np.zeros(nblocks, dtype=bool)
+    for s in range(S):
+        b = int(block_of[s])
+        if not rep_seen[b]:
+            rep_seen[b] = True
+            new_trans[b] = block_of[trans[s]]
+            new_accept[b] = d.accept_id[s]
+            new_accept_eod[b] = d.accept_eod_id[s]
+    return ScanDFA(
+        byte_to_class=d.byte_to_class,
+        trans=new_trans,
+        start_state=int(block_of[d.start_state]),
+        accept_id=new_accept,
+        accept_eod_id=new_accept_eod,
+        accept_sets=d.accept_sets,
+        start_reports=d.start_reports,
+    )
+
+
+# --------------------------------------------------------------------------
+# numpy reference scan (oracle for the device kernels)
+# --------------------------------------------------------------------------
+
+
+def dfa_scan_reference(d: ScanDFA, data: bytes) -> Set[Tuple[int, int]]:
+    """Returns the set of (expr_id, to) match records."""
+    out: Set[Tuple[int, int]] = set()
+    n = len(data)
+    for (anchored, eod, adj, eid) in d.start_reports:
+        if anchored and eod:
+            if n == 0:
+                out.add((eid, adj))
+        elif anchored:
+            out.add((eid, adj))
+        elif eod:
+            out.add((eid, n + adj))
+        else:
+            for e in range(n + 1):
+                out.add((eid, e + adj))
+    s = d.start_state
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cls = d.byte_to_class[arr]
+    for i in range(n):
+        s = int(d.trans[s, cls[i]])
+        aid = int(d.accept_id[s])
+        if aid:
+            for (eid, adj) in d.accept_sets[aid]:
+                out.add((eid, i + 1 + adj))
+    aid = int(d.accept_eod_id[s])
+    if aid:
+        for (eid, adj) in d.accept_sets[aid]:
+            out.add((eid, n + adj))
+    return {(e, t) for (e, t) in out if 0 <= t <= n}

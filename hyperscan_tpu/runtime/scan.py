@@ -1,0 +1,223 @@
+"""Block-mode scan runtime.
+
+Reference analogue: src/runtime.c hs_scan → roseBlockExec. The TPU version
+runs each engine's scan kernel over the (batched, padded) data on device,
+extracts match candidates into fixed-capacity buffers, and finishes report
+processing on host: accept-set expansion, offset adjusts, ext-param bounds,
+dedupe, ordering, SINGLEMATCH/QUIET handling, and callback delivery
+(reference: src/rose/match.c + src/util/report.h semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..database import Database, DfaEngine
+from ..errors import DbModeError, InvalidError, ScratchInUseError
+from ..flags import (
+    HS_FLAG_QUIET,
+    HS_FLAG_SINGLEMATCH,
+    HS_MODE_BLOCK,
+    UNBOUNDED,
+    base_mode,
+)
+from ..ops.dfa import dfa_scan_batch
+from ..ops.match import extract_matches
+
+Match = Tuple[int, int, int]  # (external id, from, to)
+
+_LANE = 128  # pad lengths to lane multiples to bound recompiles
+
+
+def _bucket_len(n: int) -> int:
+    """Round up to a padding bucket (next power of two of lane multiples)."""
+    m = max(_LANE, n)
+    b = _LANE
+    while b < m:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class Scratch:
+    """Per-thread scan workspace (reference: src/scratch.c hs_scratch).
+
+    Holds the match-buffer capacity and marks in-use for reentrancy
+    detection. Device buffers are functional in JAX, so the scratch's main
+    job is capacity policy + the in-use guard.
+    """
+
+    capacity: int = 4096
+    in_use: bool = False
+
+    def clone(self) -> "Scratch":
+        return Scratch(capacity=self.capacity)
+
+
+@functools.lru_cache(maxsize=256)
+def _jit_engine_scan(capacity: int):
+    """Jitted: scan one engine over a batch and extract matches."""
+
+    @jax.jit
+    def run(trans, b2c, accept_id, accept_eod_id, start_state, data, lengths):
+        accepts, finals = dfa_scan_batch(
+            trans, b2c, accept_id, start_state, data, lengths
+        )
+        total, set_ids, blocks, tos = extract_matches(accepts, capacity)
+        eod_sets = accept_eod_id[finals]
+        return total, set_ids, blocks, tos, eod_sets
+
+    return run
+
+
+def _engine_device_arrays(engine: DfaEngine):
+    # cached per engine object
+    if not hasattr(engine, "_dev"):
+        engine._dev = (  # type: ignore[attr-defined]
+            jnp.asarray(engine.trans),
+            jnp.asarray(engine.byte_to_class),
+            jnp.asarray(engine.accept_id),
+            jnp.asarray(engine.accept_eod_id),
+            jnp.int32(engine.start_state),
+        )
+    return engine._dev  # type: ignore[attr-defined]
+
+
+def scan_blocks_raw(
+    db: Database, blocks: Sequence[bytes], capacity: int
+) -> List[List[Tuple[int, int]]]:
+    """Scan a batch of independent blocks; returns per-block lists of
+    internal (expr_index, to) records (pre report-processing), deduped and
+    sorted. Retries with doubled capacity on overflow."""
+    B = len(blocks)
+    maxlen = max((len(b) for b in blocks), default=0)
+    L = _bucket_len(maxlen)
+    data = np.zeros((B, L), dtype=np.uint8)
+    lengths = np.zeros((B,), dtype=np.int32)
+    for i, blk in enumerate(blocks):
+        data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
+        lengths[i] = len(blk)
+    data_d = jnp.asarray(data)
+    len_d = jnp.asarray(lengths)
+
+    per_block: List[set] = [set() for _ in range(B)]
+    for engine in db.engines:
+        trans, b2c, acc, acce, ss = _engine_device_arrays(engine)
+        cap = capacity
+        while True:
+            run = _jit_engine_scan(cap)
+            total, set_ids, blks, tos, eod_sets = run(
+                trans, b2c, acc, acce, ss, data_d, len_d
+            )
+            total = int(total)
+            if total <= cap:
+                break
+            cap = _bucket_len(total)
+        k = min(total, cap)
+        set_ids = np.asarray(set_ids[:k])
+        blks = np.asarray(blks[:k])
+        tos = np.asarray(tos[:k])
+        for j in range(k):
+            for (eid, adj) in engine.expand_set(int(set_ids[j])):
+                per_block[int(blks[j])].add((eid, int(tos[j]) + adj))
+        # EOD accepts
+        eod_sets = np.asarray(eod_sets)
+        for bi in range(B):
+            sid = int(eod_sets[bi])
+            if sid:
+                for (eid, adj) in engine.expand_set(sid):
+                    per_block[bi].add((eid, int(lengths[bi]) + adj))
+        # empty-match reports
+        for (anchored, eod, adj, eid) in engine.start_reports:
+            for bi in range(B):
+                n = int(lengths[bi])
+                if anchored and eod:
+                    if n == 0:
+                        per_block[bi].add((eid, adj))
+                elif anchored:
+                    per_block[bi].add((eid, adj))
+                elif eod:
+                    per_block[bi].add((eid, n + adj))
+                else:
+                    for e in range(n + 1):
+                        per_block[bi].add((eid, e + adj))
+
+    out = []
+    for bi in range(B):
+        n = int(lengths[bi])
+        recs = sorted((t, e) for (e, t) in per_block[bi] if 0 <= t <= n)
+        out.append([(e, t) for (t, e) in recs])
+    return out
+
+
+def finalize_reports(
+    db: Database,
+    records: List[Tuple[int, int]],
+    callback: Optional[Callable[[int, int, int, int], int]] = None,
+) -> Tuple[List[Match], bool]:
+    """Apply report semantics and deliver matches in offset order.
+
+    Returns (matches, terminated). `terminated` is True if a callback
+    returned nonzero (reference: HS_SCAN_TERMINATED, src/hs_runtime.h:78).
+    """
+    seen_single = set()
+    out: List[Match] = []
+    for (eidx, to) in records:
+        p = db.patterns[eidx]
+        if to < p.min_offset or to > p.max_offset:
+            continue
+        if p.flags & HS_FLAG_QUIET:
+            continue
+        if p.flags & HS_FLAG_SINGLEMATCH:
+            if eidx in seen_single:
+                continue
+            seen_single.add(eidx)
+        m = (p.external_id, 0, to)
+        out.append(m)
+        if callback is not None:
+            if callback(p.external_id, 0, to, 0):
+                return out, True
+    return out, False
+
+
+def scan_block(
+    db: Database,
+    data: bytes,
+    callback: Optional[Callable[[int, int, int, int], int]] = None,
+    scratch: Optional[Scratch] = None,
+) -> Tuple[List[Match], bool]:
+    """hs_scan analogue (reference: src/runtime.c:316)."""
+    if base_mode(db.mode) != HS_MODE_BLOCK:
+        raise DbModeError("database not compiled for block mode")
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise InvalidError("data must be bytes-like")
+    scratch = scratch or Scratch()
+    if scratch.in_use:
+        raise ScratchInUseError("scratch is already in use")
+    scratch.in_use = True
+    try:
+        recs = scan_blocks_raw(db, [bytes(data)], scratch.capacity)[0]
+        return finalize_reports(db, recs, callback)
+    finally:
+        scratch.in_use = False
+
+
+def scan_batch(
+    db: Database,
+    blocks: Sequence[bytes],
+    scratch: Optional[Scratch] = None,
+) -> List[List[Match]]:
+    """Batched block scan — the TPU-native entry point: many blocks advance
+    in lockstep across VPU lanes (reference's per-core thread model
+    replaced by batch parallelism)."""
+    if base_mode(db.mode) != HS_MODE_BLOCK:
+        raise DbModeError("database not compiled for block mode")
+    scratch = scratch or Scratch()
+    all_recs = scan_blocks_raw(db, [bytes(b) for b in blocks], scratch.capacity)
+    return [finalize_reports(db, recs)[0] for recs in all_recs]

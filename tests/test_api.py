@@ -1,0 +1,176 @@
+"""End-to-end public API tests: compile → device scan → match tuples,
+differentially against the NFA oracle (reference strategy:
+unit/hyperscan/single.cpp + multi.cpp through the public API only)."""
+
+import numpy as np
+import pytest
+
+import hyperscan_tpu as hs
+from hyperscan_tpu.compiler.parser import parse
+from hyperscan_tpu.compiler.glushkov import build_nfa
+from hyperscan_tpu.utils.oracle import nfa_match_ends
+
+from test_frontend import CORPORA, RE_PATTERNS, ANCHOR_PATTERNS
+
+ALL_PATTERNS = RE_PATTERNS + ANCHOR_PATTERNS
+
+
+def oracle_matches(patterns, data):
+    want = set()
+    for (pid, (p, f)) in enumerate(patterns):
+        g = build_nfa(parse(p, f))
+        want |= {(pid, 0, e) for e in nfa_match_ends(g, data)}
+    return want
+
+
+@pytest.mark.parametrize("pattern,flags", ALL_PATTERNS[::3])
+def test_scan_single(pattern, flags):
+    db = hs.compile(pattern, flags | hs.HS_FLAG_ALLOWEMPTY)
+    for data in CORPORA:
+        got = set(hs.scan(db, data))
+        want = oracle_matches([(pattern, flags)], data)
+        want = {(0, f, t) for (_e, f, t) in want}
+        assert got == want, f"{pattern!r} on {data!r}"
+
+
+def test_scan_multi_ids():
+    pats = [r"abc", r"a.c", r"[abc]{3}", r"\bfox\b"]
+    ids = [10, 20, 30, 40]
+    db = hs.compile_multi(pats, ids=ids)
+    data = b"The quick brown fox jumps abcabc"
+    got = set(hs.scan(db, data))
+    want = set()
+    for i, p in enumerate(pats):
+        g = build_nfa(parse(p, 0))
+        want |= {(ids[i], 0, e) for e in nfa_match_ends(g, data)}
+    assert got == want
+
+
+def test_scan_order_and_callback():
+    db = hs.compile_multi([r"a", r"ab"], ids=[1, 2])
+    seen = []
+
+    def cb(mid, frm, to, cbflags):
+        seen.append((mid, frm, to))
+        return 0
+
+    matches = hs.scan(db, b"abab", cb)
+    assert matches == seen
+    tos = [t for (_, _, t) in seen]
+    assert tos == sorted(tos)  # offset order
+
+    # nonzero callback return terminates delivery
+    stop = []
+
+    def cb2(mid, frm, to, cbflags):
+        stop.append((mid, to))
+        return 1
+
+    hs.scan(db, b"abab", cb2)
+    assert len(stop) == 1
+
+
+def test_singlematch_flag():
+    db = hs.compile(r"a", hs.HS_FLAG_SINGLEMATCH)
+    assert hs.scan(db, b"aaa") == [(0, 0, 1)]
+
+
+def test_quiet_flag():
+    db = hs.compile(r"a", hs.HS_FLAG_QUIET)
+    assert hs.scan(db, b"aaa") == []
+
+
+def test_ext_params_offsets():
+    ext = hs.ExprExt(min_offset=3, max_offset=5)
+    db = hs.compile_ext_multi([r"a"], ext=[ext])
+    got = hs.scan(db, b"aaaaaaaa")
+    assert got == [(0, 0, 3), (0, 0, 4), (0, 0, 5)]
+
+
+def test_allowempty_required():
+    with pytest.raises(hs.CompileError):
+        hs.compile(r"a*")
+    db = hs.compile(r"a*", hs.HS_FLAG_ALLOWEMPTY)
+    got = {t for (_, _, t) in hs.scan(db, b"xa")}
+    assert got == {0, 1, 2}
+
+
+def test_literal_api():
+    db = hs.compile_lit_multi([b"a.c", b"xyz"], ids=[5, 6])
+    got = set(hs.scan(db, b"a.c abc xyz"))
+    assert got == {(5, 0, 3), (6, 0, 11)}
+    # caseless literal
+    db2 = hs.compile_lit(b"AbC", hs.HS_FLAG_CASELESS)
+    assert hs.scan(db2, b"xxabc") == [(0, 0, 5)]
+
+
+def test_serialize_roundtrip():
+    pats = [r"foo\d+", r"^bar", r"baz$"]
+    db = hs.compile_multi(pats, ids=[1, 2, 3])
+    blob = hs.serialize_database(db)
+    db2 = hs.deserialize_database(blob)
+    data = b"foo123 bar\nbaz"
+    assert hs.scan(db, data) == hs.scan(db2, data)
+    assert hs.database_info(db2) == hs.database_info(db)
+    with pytest.raises(hs.DbVersionError):
+        hs.deserialize_database(b"garbage" * 10)
+    # corrupted payload
+    bad = bytearray(blob)
+    bad[25] ^= 0xFF
+    with pytest.raises(hs.DbVersionError):
+        hs.deserialize_database(bytes(bad))
+
+
+def test_scan_batch():
+    db = hs.compile_multi([r"ab+", r"c"], ids=[1, 2])
+    blocks = [b"abbb", b"", b"cc", b"xaby"]
+    res = hs.scan_batch(db, blocks)
+    assert len(res) == 4
+    for blk, matches in zip(blocks, res):
+        want = oracle_matches([(r"ab+", 0), (r"c", 0)], blk)
+        want = {(eid + 1, 0, t) for (eid, _f, t) in want}
+        assert set(matches) == want
+
+
+def test_mode_errors():
+    db = hs.compile(r"a", mode=hs.HS_MODE_STREAM)
+    with pytest.raises(hs.DbModeError):
+        hs.scan(db, b"a")
+
+
+def test_expression_info():
+    info = hs.expression_info(r"ab{2,4}c")
+    assert info["min_width"] == 4 and info["max_width"] == 6
+    info = hs.expression_info(r"a+")
+    assert info["min_width"] == 1 and info["max_width"] == 0xFFFFFFFF
+    info = hs.expression_info(r"abc$")
+    assert info["matches_at_eod"]
+
+
+def test_scratch_guard():
+    db = hs.compile(r"a")
+    s = hs.alloc_scratch(db)
+    s.in_use = True
+    with pytest.raises(hs.ScratchInUseError):
+        hs.scan(db, b"a", scratch=s)
+    s.in_use = False
+    s2 = hs.clone_scratch(s)
+    assert s2.capacity == s.capacity
+
+
+def test_capacity_overflow_rescan():
+    # tiny capacity forces the doubled-capacity retry path
+    db = hs.compile(r"a", hs.HS_FLAG_ALLOWEMPTY if False else 0)
+    s = hs.alloc_scratch(db, capacity=2)
+    matches = hs.scan(db, b"a" * 100, scratch=s)
+    assert len(matches) == 100
+
+
+def test_big_random_differential():
+    rng = np.random.default_rng(42)
+    data = bytes(rng.integers(97, 101, size=2000, dtype=np.uint8))
+    pats = [(r"ab", 0), (r"a[bc]d", 0), (r"(ab|cd)e", 0), (r"ad{2,3}", 0)]
+    db = hs.compile_multi([p for p, _ in pats], ids=list(range(4)))
+    got = set(hs.scan(db, data))
+    want = {(e, f, t) for (e, f, t) in oracle_matches(pats, data)}
+    assert got == want
