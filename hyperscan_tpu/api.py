@@ -33,6 +33,18 @@ from .flags import (
     validate_flags,
 )
 from .runtime.scan import Match, Scratch, scan_batch, scan_block
+from .runtime.stream import (
+    Stream,
+    close_stream,
+    compress_stream,
+    copy_stream,
+    expand_stream,
+    open_stream,
+    reset_stream,
+    scan_stream,
+    scan_streams,
+    scan_vector,
+)
 
 
 def version() -> str:
@@ -184,6 +196,14 @@ def expression_ext_info(expression: str, flags: int = 0,
 
 # --- C-style aliases ---------------------------------------------------------
 
+hs_open_stream = open_stream
+hs_scan_stream = scan_stream
+hs_close_stream = close_stream
+hs_reset_stream = reset_stream
+hs_copy_stream = copy_stream
+hs_compress_stream = compress_stream
+hs_expand_stream = expand_stream
+hs_scan_vector = scan_vector
 hs_compile = compile
 hs_compile_multi = compile_multi
 hs_compile_ext_multi = compile_ext_multi

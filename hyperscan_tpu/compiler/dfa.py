@@ -39,6 +39,10 @@ class ScanDFA:
     byte_to_class: np.ndarray  # [256] uint16
     trans: np.ndarray  # [S, C] int32
     start_state: int
+    # the pure-floating rest state: like start_state but without the
+    # anchored firsts — the correct entry state when a scan begins
+    # mid-buffer (window validation, chunked scans)
+    float_state: int
     # accepts: per state, a set id into `accept_sets` (0 = empty set)
     accept_id: np.ndarray  # [S] int32
     accept_eod_id: np.ndarray  # [S] int32
@@ -162,6 +166,7 @@ def determinize(
         return sid
 
     start = intern((0, True))
+    float_rest = intern((0, False))
     trans_rows: List[List[int]] = []
     i = 0
     # cache of OR-of-follow masks per state mask
@@ -218,6 +223,7 @@ def determinize(
         byte_to_class=byte_to_class,
         trans=trans,
         start_state=start,
+        float_state=float_rest,
         accept_id=accept_id,
         accept_eod_id=accept_eod_id,
         accept_sets=accept_sets,
@@ -276,6 +282,7 @@ def minimize(d: ScanDFA) -> ScanDFA:
         byte_to_class=d.byte_to_class,
         trans=new_trans,
         start_state=int(block_of[d.start_state]),
+        float_state=int(block_of[d.float_state]),
         accept_id=new_accept,
         accept_eod_id=new_accept_eod,
         accept_sets=d.accept_sets,

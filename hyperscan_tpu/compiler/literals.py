@@ -1,0 +1,259 @@
+"""Literal-factor extraction — the violet-lite decomposition.
+
+Reference analogues:
+- mandatory-literal cut extraction: src/nfagraph/ng_violet.cpp (doViolet
+  finds literal cut-sets that every accepting path crosses) and literal
+  scoring in src/nfagraph/ng_literal_analysis.cpp
+- masked literal model: src/hwlm/hwlm_literal.h (hwlmLiteral msk/cmp —
+  per-byte (mask, value) compare handles caseless bytes)
+
+Here the extraction runs on the pattern AST instead of the NFA graph:
+every match of the pattern must fully contain at least one factor from the
+returned factor set. Each factor carries distance bounds that let the
+runtime validate candidate sites with a bounded window scan:
+
+    [match start] --(start_to_fend)-- [factor end] --(fend_to_end)-- [match end]
+
+Bounds are (min, max) with max None meaning unbounded (the pattern then
+needs the general engine path for validation windows, though the factor
+set itself remains a valid prefilter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+from .ast import Alt, Anchor, Empty, Node, Pos, Rep, Seq
+from .charclass import CharReach
+
+# Factors shorter than this are not worth prefiltering with (they flood the
+# candidate stream); patterns without a factor of at least this length fall
+# back to the general DFA engines. Reference analogue: literal score
+# thresholds in ng_violet.cpp.
+MIN_FACTOR_LEN = 3
+MAX_FACTOR_LEN = 16  # confirm window cap; longer literals confirm on prefix
+
+
+@dataclasses.dataclass(frozen=True)
+class LitAtom:
+    """One byte position: matches b iff (b & mask) == value.
+
+    A caseless ASCII letter uses mask 0xDF (case bit cleared); an exact
+    byte uses mask 0xFF. Reference: hwlmLiteral msk/cmp.
+    """
+
+    value: int
+    mask: int
+
+    def matches(self, b: int) -> bool:
+        return (b & self.mask) == self.value
+
+
+@dataclasses.dataclass(frozen=True)
+class Factor:
+    atoms: Tuple[LitAtom, ...]
+
+    def __len__(self) -> int:
+        return len(self.atoms)
+
+    def key(self) -> Tuple:
+        return tuple((a.value, a.mask) for a in self.atoms)
+
+
+@dataclasses.dataclass
+class FactorInfo:
+    """A factor occurrence obligation within a pattern, with bounds."""
+
+    factor: Factor
+    min_start_to_fend: int
+    max_start_to_fend: Optional[int]
+    min_fend_to_end: int
+    max_fend_to_end: Optional[int]
+
+    def shift_prefix(self, wmin: int, wmax: Optional[int]) -> "FactorInfo":
+        return FactorInfo(
+            self.factor,
+            self.min_start_to_fend + wmin,
+            None
+            if (self.max_start_to_fend is None or wmax is None)
+            else self.max_start_to_fend + wmax,
+            self.min_fend_to_end,
+            self.max_fend_to_end,
+        )
+
+    def shift_suffix(self, wmin: int, wmax: Optional[int]) -> "FactorInfo":
+        return FactorInfo(
+            self.factor,
+            self.min_start_to_fend,
+            self.max_start_to_fend,
+            self.min_fend_to_end + wmin,
+            None
+            if (self.max_fend_to_end is None or wmax is None)
+            else self.max_fend_to_end + wmax,
+        )
+
+
+def _pos_atom(node: Node) -> Optional[LitAtom]:
+    """A Pos that matches exactly one byte, or a caseless ASCII pair."""
+    if not isinstance(node, Pos) or node.bos or node.eos:
+        return None
+    n = node.cr.count()
+    if n == 1:
+        b = int(node.cr.find_first())
+        return LitAtom(value=b, mask=0xFF)
+    if n == 2:
+        lo, hi = sorted(node.cr.members())
+        if hi == lo + 0x20 and 0x41 <= lo <= 0x5A:  # 'A'..'Z' + its lower
+            return LitAtom(value=lo, mask=0xDF)
+    return None
+
+
+@dataclasses.dataclass
+class _Res:
+    wmin: int
+    wmax: Optional[int]
+    factors: Optional[List[FactorInfo]]  # None = no mandatory factor set
+    # best factor-set score, for option selection
+    score: Tuple = ()
+
+
+def _none_score() -> Tuple:
+    return (-1,)
+
+
+def _set_score(infos: List[FactorInfo]) -> Tuple:
+    min_len = min(len(fi.factor) for fi in infos)
+    bounded = all(
+        fi.max_start_to_fend is not None and fi.max_fend_to_end is not None
+        for fi in infos
+    )
+    # fully-bounded factor sets allow window validation (vs falling back to
+    # the general engines), so they dominate the score
+    return (bounded, min(min_len, 8), -len(infos))
+
+
+def _add(a: Optional[int], b: Optional[int]) -> Optional[int]:
+    return None if (a is None or b is None) else a + b
+
+
+def _mul(a: Optional[int], k: Optional[int]) -> Optional[int]:
+    if a is None or k is None:
+        return None
+    return a * k
+
+
+def _analyze(node: Node) -> _Res:
+    if isinstance(node, Empty) or isinstance(node, Anchor):
+        return _Res(0, 0, None, _none_score())
+    if isinstance(node, Pos):
+        w = 1
+        atom = _pos_atom(node)
+        if atom is not None:
+            fi = FactorInfo(Factor((atom,)), 1, 1, 0, 0)
+            return _Res(w, w, [fi], _set_score([fi]))
+        return _Res(w, w, None, _none_score())
+    if isinstance(node, Alt):
+        rs = [_analyze(c) for c in node.children]
+        wmin = min(r.wmin for r in rs)
+        wmax_list = [r.wmax for r in rs]
+        wmax = None if any(w is None for w in wmax_list) else max(wmax_list)
+        if all(r.factors for r in rs):
+            merged: List[FactorInfo] = []
+            for r in rs:
+                merged.extend(r.factors)  # type: ignore[arg-type]
+            return _Res(wmin, wmax, merged, _set_score(merged))
+        return _Res(wmin, wmax, None, _none_score())
+    if isinstance(node, Rep):
+        r = _analyze(node.child)
+        wmin = r.wmin * node.lo
+        wmax = _mul(r.wmax, node.hi)
+        if node.lo == 0 or not r.factors:
+            return _Res(wmin, wmax, None, _none_score())
+        # every match contains a full first repetition; remaining lo-1..hi-1
+        # repetitions extend the suffix side
+        extra_min = r.wmin * (node.lo - 1)
+        extra_max = None if node.hi is None else _mul(r.wmax, node.hi - 1)
+        infos = [fi.shift_suffix(extra_min, extra_max) for fi in r.factors]
+        return _Res(wmin, wmax, infos, _set_score(infos))
+    assert isinstance(node, Seq)
+    rs = [_analyze(c) for c in node.children]
+    wmin = sum(r.wmin for r in rs)
+    wmax: Optional[int] = 0
+    for r in rs:
+        wmax = _add(wmax, r.wmax)
+
+    # prefix/suffix width bounds around each child
+    pre_min = [0] * len(rs)
+    pre_max: List[Optional[int]] = [0] * len(rs)
+    acc_min, acc_max = 0, 0  # type: int, Optional[int]
+    for i, r in enumerate(rs):
+        pre_min[i], pre_max[i] = acc_min, acc_max
+        acc_min += r.wmin
+        acc_max = _add(acc_max, r.wmax)
+    suf_min = [0] * len(rs)
+    suf_max: List[Optional[int]] = [0] * len(rs)
+    acc_min, acc_max = 0, 0
+    for i in range(len(rs) - 1, -1, -1):
+        suf_min[i], suf_max[i] = acc_min, acc_max
+        acc_min += rs[i].wmin
+        acc_max = _add(acc_max, rs[i].wmax)
+
+    options: List[Tuple[Tuple, List[FactorInfo]]] = []
+
+    # (a) literal runs across consecutive single-atom children
+    i = 0
+    while i < len(rs):
+        atom = _pos_atom(node.children[i])
+        if atom is None:
+            i += 1
+            continue
+        j = i
+        atoms: List[LitAtom] = []
+        while j < len(rs):
+            a = _pos_atom(node.children[j])
+            if a is None:
+                break
+            atoms.append(a)
+            j += 1
+        if len(atoms) >= 2:
+            # trim over-long runs to the last MAX_FACTOR_LEN atoms
+            run = atoms[-MAX_FACTOR_LEN:]
+            k_end = j - 1  # child index of last atom
+            fi = FactorInfo(
+                Factor(tuple(run)),
+                min_start_to_fend=pre_min[k_end] + 1,
+                max_start_to_fend=_add(pre_max[k_end], 1),
+                min_fend_to_end=suf_min[k_end],
+                max_fend_to_end=suf_max[k_end],
+            )
+            options.append((_set_score([fi]), [fi]))
+        i = j
+
+    # (b) each child's own factor set, shifted by surrounding widths
+    for i, r in enumerate(rs):
+        if not r.factors:
+            continue
+        shifted = [
+            fi.shift_prefix(pre_min[i], pre_max[i]).shift_suffix(
+                suf_min[i], suf_max[i]
+            )
+            for fi in r.factors
+        ]
+        options.append((_set_score(shifted), shifted))
+
+    if not options:
+        return _Res(wmin, wmax, None, _none_score())
+    best = max(options, key=lambda o: o[0])
+    return _Res(wmin, wmax, best[1], best[0])
+
+
+def extract_factors(node: Node) -> Optional[List[FactorInfo]]:
+    """Best mandatory factor set for a pattern, or None if the pattern has
+    no factor of length ≥ MIN_FACTOR_LEN (route to general engines)."""
+    r = _analyze(node)
+    if not r.factors:
+        return None
+    if min(len(fi.factor) for fi in r.factors) < MIN_FACTOR_LEN:
+        return None
+    return r.factors

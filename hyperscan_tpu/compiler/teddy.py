@@ -1,0 +1,89 @@
+"""Teddy-style bucketed multi-literal table build.
+
+Reference analogues:
+- bucket assignment / mask packing: src/fdr/teddy_compile.cpp
+  (assignStringsToBuckets :624, pack :224); byte-exact tables take the
+  place of the reference's nibble masks because the TPU analogue of pshufb
+  (tpu.dynamic_gather along lanes) handles 128-entry tables natively, so
+  a 256-entry byte table costs two gathers + one select — no nibble split
+  needed, and byte-exact tables saturate far later than nibble tables.
+- masked (caseless) literal bytes: src/hwlm/hwlm_literal.h msk/cmp.
+
+The plan scales with the factor count: more factors → more suffix
+positions (M) and more buckets (bitmask words W), trading kernel cost for
+candidate precision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .literals import Factor
+
+MAX_M = 8  # deepest suffix AND chain
+
+
+def plan_shape(n_factors: int) -> Tuple[int, int, int]:
+    """(M, B, W): suffix depth, bucket count, bitmask words (B = 32*W)."""
+    if n_factors <= 48:
+        return 4, 32, 1
+    if n_factors <= 300:
+        return 6, 32, 1
+    if n_factors <= 2500:
+        return 8, 64, 2
+    return 8, 128, 4
+
+
+@dataclasses.dataclass
+class TeddyPlan:
+    masks: np.ndarray  # [M, W, 256] int32 bucket bitmasks
+    m: int
+    num_buckets: int
+    words: int
+    factors: List[Factor]
+    bucket_of: List[int]  # factor index -> bucket
+    buckets: List[List[int]]  # bucket -> factor indices
+
+    @property
+    def max_len(self) -> int:
+        return max((len(f) for f in self.factors), default=0)
+
+
+def build_teddy(factors: Sequence[Factor]) -> TeddyPlan:
+    n = len(factors)
+    M, B, W = plan_shape(n)
+    # bucket by length so short factors don't dilute long buckets' AND depth
+    order = sorted(range(n), key=lambda i: (len(factors[i]), factors[i].key()))
+    buckets: List[List[int]] = [[] for _ in range(B)]
+    bucket_of = [0] * n
+    per = (n + B - 1) // B
+    for k, fi in enumerate(order):
+        b = min(k // max(per, 1), B - 1)
+        buckets[b].append(fi)
+        bucket_of[fi] = b
+
+    bytes_ = np.arange(256, dtype=np.int64)
+    masks = np.zeros((M, W, 256), dtype=np.int64)
+    for fi, f in enumerate(factors):
+        b = bucket_of[fi]
+        w, bit = divmod(b, 32)
+        for m in range(M):
+            if m < len(f):
+                a = f.atoms[-1 - m]
+                hit = (bytes_ & a.mask) == a.value
+            else:
+                hit = np.ones(256, dtype=bool)  # short factor: always pass
+            masks[m, w, hit] |= 1 << bit
+    masks_i32 = (masks & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    return TeddyPlan(
+        masks=masks_i32,
+        m=M,
+        num_buckets=B,
+        words=W,
+        factors=list(factors),
+        bucket_of=bucket_of,
+        buckets=buckets,
+    )

@@ -50,7 +50,7 @@ from .flags import (
 )
 
 DB_MAGIC = b"HSTPUDB1"
-DB_VERSION = (0, 1, 0)
+DB_VERSION = (0, 2, 0)
 PLATFORM = "tpu-generic"  # single XLA target; reference: fat-runtime dispatch
 
 
@@ -74,6 +74,7 @@ class DfaEngine:
     byte_to_class: np.ndarray  # [256] int32
     trans: np.ndarray  # [S, C] int32
     start_state: int
+    float_state: int  # pure-floating rest state (mid-buffer entry)
     accept_id: np.ndarray  # [S] int32
     accept_eod_id: np.ndarray  # [S] int32
     # accept-set expansion: set k covers reports
@@ -102,6 +103,7 @@ class DfaEngine:
             byte_to_class=d.byte_to_class.astype(np.int32),
             trans=d.trans.astype(np.int32),
             start_state=int(d.start_state),
+            float_state=int(d.float_state),
             accept_id=d.accept_id.astype(np.int32),
             accept_eod_id=d.accept_eod_id.astype(np.int32),
             set_offsets=np.asarray(offsets, dtype=np.int32),
@@ -118,10 +120,33 @@ class DfaEngine:
 
 
 @dataclasses.dataclass
+class LiteralEngine:
+    """Teddy prefilter + confirm tables + per-pattern window validators.
+
+    Reference analogue: the HWLM floating matcher + FDRConfirm + the Rose
+    literal programs (src/hwlm, src/fdr/fdr_confirm.h,
+    src/rose/rose_build_matchers.cpp), re-architected as
+    device-filter → host-confirm → bounded-window DFA validation.
+    """
+
+    masks: np.ndarray  # [M, W, 256] int32 (teddy tables)
+    factor_atoms: List[Tuple[Tuple[int, int], ...]]  # fid -> ((value,mask)..)
+    bucket_factors: List[List[int]]  # bucket -> factor ids
+    # fid -> [(pattern_idx, max_start_to_fend, max_fend_to_end, literal_equiv)]
+    factor_refs: List[List[Tuple[int, int, int, bool]]]
+    validators: Dict[int, DfaEngine]  # pattern_idx -> window DFA
+
+    @property
+    def num_factors(self) -> int:
+        return len(self.factor_atoms)
+
+
+@dataclasses.dataclass
 class Database:
     mode: int
     patterns: List[PatternInfo]
     engines: List[DfaEngine]
+    lit: Optional[LiteralEngine] = None
 
     # -- introspection (reference: hs_database_info, src/database.c) --------
     def info(self) -> str:
@@ -139,6 +164,36 @@ class Database:
         return sum(e.num_states for e in self.engines)
 
     # -- serialization (reference: src/database.c:62,200) -------------------
+    _ENGINE_ARRAYS = (
+        "byte_to_class",
+        "trans",
+        "accept_id",
+        "accept_eod_id",
+        "set_offsets",
+        "set_exprs",
+        "set_adjusts",
+    )
+
+    @classmethod
+    def _pack_engine(cls, e: DfaEngine, prefix: str, arrays: Dict) -> dict:
+        for name in cls._ENGINE_ARRAYS:
+            arrays[f"{prefix}_{name}"] = getattr(e, name)
+        return {
+            "start_state": e.start_state,
+            "float_state": e.float_state,
+            "start_reports": e.start_reports,
+        }
+
+    @classmethod
+    def _unpack_engine(cls, em: dict, prefix: str, z) -> DfaEngine:
+        kw = {name: z[f"{prefix}_{name}"] for name in cls._ENGINE_ARRAYS}
+        return DfaEngine(
+            start_state=int(em["start_state"]),
+            float_state=int(em.get("float_state", 0)),
+            start_reports=[tuple(r) for r in em["start_reports"]],
+            **kw,
+        )
+
     def serialize(self) -> bytes:
         arrays: Dict[str, np.ndarray] = {}
         meta = {
@@ -149,19 +204,20 @@ class Database:
             "engines": [],
         }
         for i, e in enumerate(self.engines):
-            meta["engines"].append(
-                {"start_state": e.start_state, "start_reports": e.start_reports}
-            )
-            for name in (
-                "byte_to_class",
-                "trans",
-                "accept_id",
-                "accept_eod_id",
-                "set_offsets",
-                "set_exprs",
-                "set_adjusts",
-            ):
-                arrays[f"e{i}_{name}"] = getattr(e, name)
+            meta["engines"].append(self._pack_engine(e, f"e{i}", arrays))
+        if self.lit is not None:
+            arrays["lit_masks"] = self.lit.masks
+            meta["lit"] = {
+                "factor_atoms": [
+                    [list(a) for a in atoms] for atoms in self.lit.factor_atoms
+                ],
+                "bucket_factors": self.lit.bucket_factors,
+                "factor_refs": self.lit.factor_refs,
+                "validators": {
+                    str(k): self._pack_engine(v, f"v{k}", arrays)
+                    for k, v in self.lit.validators.items()
+                },
+            }
         buf = io.BytesIO()
         np.savez(buf, meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
                  **arrays)
@@ -190,22 +246,31 @@ class Database:
                     f"database built for platform {meta['platform']}"
                 )
             patterns = [PatternInfo(**p) for p in meta["patterns"]]
-            engines = []
-            for i, em in enumerate(meta["engines"]):
-                engines.append(
-                    DfaEngine(
-                        byte_to_class=z[f"e{i}_byte_to_class"],
-                        trans=z[f"e{i}_trans"],
-                        start_state=int(em["start_state"]),
-                        accept_id=z[f"e{i}_accept_id"],
-                        accept_eod_id=z[f"e{i}_accept_eod_id"],
-                        set_offsets=z[f"e{i}_set_offsets"],
-                        set_exprs=z[f"e{i}_set_exprs"],
-                        set_adjusts=z[f"e{i}_set_adjusts"],
-                        start_reports=[tuple(r) for r in em["start_reports"]],
-                    )
+            engines = [
+                cls._unpack_engine(em, f"e{i}", z)
+                for i, em in enumerate(meta["engines"])
+            ]
+            lit = None
+            if "lit" in meta:
+                lm = meta["lit"]
+                lit = LiteralEngine(
+                    masks=z["lit_masks"],
+                    factor_atoms=[
+                        tuple(tuple(a) for a in atoms)
+                        for atoms in lm["factor_atoms"]
+                    ],
+                    bucket_factors=[list(b) for b in lm["bucket_factors"]],
+                    factor_refs=[
+                        [tuple(r) for r in refs] for refs in lm["factor_refs"]
+                    ],
+                    validators={
+                        int(k): cls._unpack_engine(vm, f"v{k}", z)
+                        for k, vm in lm["validators"].items()
+                    },
                 )
-        return cls(mode=int(meta["mode"]), patterns=patterns, engines=engines)
+        return cls(
+            mode=int(meta["mode"]), patterns=patterns, engines=engines, lit=lit
+        )
 
 
 def _nfa_widths(g: NFAGraph) -> Tuple[int, Optional[int]]:
@@ -277,6 +342,47 @@ def _nfa_widths(g: NFAGraph) -> Tuple[int, Optional[int]]:
     return (0 if min_w == INF else min_w), max_w
 
 
+# resource limits (reference analogue: Grey box tunables, src/grey.h)
+VALIDATOR_MAX_STATES = 4000
+MAX_WINDOW = 1024
+
+
+def _has_anchor(node) -> bool:
+    from .compiler.ast import Alt, Anchor, Rep, Seq
+
+    if isinstance(node, Anchor):
+        return True
+    if isinstance(node, (Seq, Alt)):
+        return any(_has_anchor(c) for c in node.children)
+    if isinstance(node, Rep):
+        return _has_anchor(node.child)
+    return False
+
+
+def _try_literal_route(node, g, i):
+    """Literal-path eligibility: (factor_infos, literal_equiv) or None.
+
+    Eligible when a mandatory factor set exists with finite window bounds
+    (reference analogue: ng_violet's decision to decompose vs. fall back
+    to an outfix engine)."""
+    from .compiler.literals import extract_factors
+
+    fs = extract_factors(node)
+    if fs is None:
+        return None
+    for fi in fs:
+        if fi.max_start_to_fend is None or fi.max_fend_to_end is None:
+            return None
+        if fi.max_start_to_fend + fi.max_fend_to_end > MAX_WINDOW:
+            return None
+    lit_equiv = (not _has_anchor(node)) and all(
+        fi.min_start_to_fend == fi.max_start_to_fend == len(fi.factor)
+        and fi.min_fend_to_end == fi.max_fend_to_end == 0
+        for fi in fs
+    )
+    return fs, lit_equiv
+
+
 def _build_engines(
     nfas: List[NFAGraph], expr_idx: List[int], max_states: int
 ) -> List[DfaEngine]:
@@ -319,7 +425,13 @@ def compile_patterns(
         raise InvalidError("expressions/flags/ids/ext length mismatch")
 
     patterns: List[PatternInfo] = []
-    nfas: List[NFAGraph] = []
+    general_nfas: List[NFAGraph] = []
+    general_idx: List[int] = []
+    factor_ids: Dict[Tuple, int] = {}
+    factor_atoms: List[Tuple[Tuple[int, int], ...]] = []
+    factor_refs: List[List[Tuple[int, int, int, bool]]] = []
+    factor_objs = []
+    validators: Dict[int, DfaEngine] = {}
     for i, expr in enumerate(expressions):
         f = flags[i]
         validate_flags(f, i)
@@ -367,7 +479,59 @@ def compile_patterns(
                 max_width=max_w,
             )
         )
-        nfas.append(g)
 
-    engines = _build_engines(nfas, list(range(n)), max_states)
-    return Database(mode=mode, patterns=patterns, engines=engines)
+        # route: literal path (Teddy + confirm + window validation) when a
+        # bounded mandatory factor set exists; otherwise general engines
+        routed = False
+        if not g.is_vacuous():
+            lr = _try_literal_route(node, g, i)
+            if lr is not None:
+                fs, lit_equiv = lr
+                ok = True
+                if not lit_equiv:
+                    try:
+                        d = determinize([g], [i], max_states=VALIDATOR_MAX_STATES)
+                        validators[i] = DfaEngine.from_scan_dfa(d)
+                    except DfaLimitExceeded:
+                        ok = False
+                if ok:
+                    for fi in fs:
+                        key = fi.factor.key()
+                        fid = factor_ids.get(key)
+                        if fid is None:
+                            fid = len(factor_atoms)
+                            factor_ids[key] = fid
+                            factor_atoms.append(key)
+                            factor_refs.append([])
+                            factor_objs.append(fi.factor)
+                        factor_refs[fid].append(
+                            (
+                                i,
+                                int(fi.max_start_to_fend),
+                                int(fi.max_fend_to_end),
+                                lit_equiv,
+                            )
+                        )
+                    routed = True
+        if not routed:
+            general_nfas.append(g)
+            general_idx.append(i)
+
+    engines = (
+        _build_engines(general_nfas, general_idx, max_states)
+        if general_nfas
+        else []
+    )
+    lit = None
+    if factor_objs:
+        from .compiler.teddy import build_teddy
+
+        plan = build_teddy(factor_objs)
+        lit = LiteralEngine(
+            masks=plan.masks,
+            factor_atoms=factor_atoms,
+            bucket_factors=plan.buckets,
+            factor_refs=factor_refs,
+            validators=validators,
+        )
+    return Database(mode=mode, patterns=patterns, engines=engines, lit=lit)

@@ -35,7 +35,9 @@ def dfa_scan_batch(trans, byte_to_class, accept_id, init_state, data, lengths):
       trans:         [S, C] int32 transition table
       byte_to_class: [256] int32 alphabet remap
       accept_id:     [S] int32 accept-set id per state (0 = none)
-      init_state:    scalar int32
+      init_state:    scalar int32, or [B] int32 per-lane entry states
+                     (streaming: each lane resumes its stream's carried
+                     state; reference analogue: loadStreamState)
       data:          [B, L] uint8 (padded)
       lengths:       [B] int32 valid lengths
 
@@ -56,7 +58,8 @@ def dfa_scan_batch(trans, byte_to_class, accept_id, init_state, data, lengths):
         acc = jnp.where(i < lengths, accept_id[states], 0)
         return states, acc
 
-    states0 = jnp.full((B,), init_state, dtype=jnp.int32)
+    init_state = jnp.asarray(init_state, dtype=jnp.int32)
+    states0 = jnp.broadcast_to(init_state, (B,)).astype(jnp.int32)
     idx = jnp.arange(L, dtype=jnp.int32)
     final_states, accs = jax.lax.scan(step, states0, (cls.T, idx))
     return accs.T, final_states

@@ -1,0 +1,219 @@
+"""Literal-path runtime: Teddy candidates → exact confirm → window validation.
+
+Reference analogues:
+- confirm-after-candidate: src/fdr/fdr_confirm.h / do_confirm_fdr
+  (src/fdr/fdr.c:330) — candidates from the filter are checked against the
+  exact literal bytes before any reporting.
+- role validation around a literal hit: the Rose literal program running
+  CHECK_* guards then triggering engines (src/rose/program_runtime.c); here
+  the role logic is a bounded window re-scan with the pattern's own
+  scanning DFA, entered in the float-rest state (or the anchored start
+  state when the window touches offset 0).
+
+The device produces sparse candidates; this stage runs on host over numpy
+(work is proportional to candidate count, not corpus size — the same
+asymmetry the reference exploits with its confirm step).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+Record = Tuple[int, int, int]  # (block_idx, expr_idx, to_local)
+
+# extra window bytes on each side covering Glushkov-synthesized boundary
+# context positions (\b / ^m / $ consume one adjacent byte; see
+# compiler/glushkov.py _Resolver)
+WINDOW_SLACK = 2
+
+
+def confirm_candidates(
+    lit, corpus: np.ndarray, block_starts: np.ndarray,
+    pos: np.ndarray, words: np.ndarray,
+) -> List[Tuple[int, int]]:
+    """Exact-match confirm: returns [(factor_id, flat_end_pos)].
+
+    `pos` are flat indices of candidate last-factor bytes; `words` is
+    [W, n] bucket bitmask words. A factor is confirmed when its (mask,
+    value) atoms match the corpus bytes and the factor lies entirely
+    inside one input block.
+    """
+    out: List[Tuple[int, int]] = []
+    n = pos.shape[0]
+    if n == 0:
+        return out
+    # block containing each candidate position
+    blk = np.searchsorted(block_starts, pos, side="right") - 1
+    bstart = block_starts[blk]
+    clen = corpus.shape[0]
+    for j in range(n):
+        p = int(pos[j])
+        if p >= clen:  # candidate in the padded tail beyond the corpus
+            continue
+        bs = int(bstart[j])
+        for w in range(words.shape[0]):
+            bits = int(np.uint32(words[w, j]))
+            while bits:
+                low = bits & (-bits)
+                bits ^= low
+                bucket = w * 32 + low.bit_length() - 1
+                for fid in lit.bucket_factors[bucket]:
+                    atoms = lit.factor_atoms[fid]
+                    flen = len(atoms)
+                    start = p - flen + 1
+                    if start < bs:
+                        continue
+                    seg = corpus[start : p + 1]
+                    ok = True
+                    for k, (value, mask) in enumerate(atoms):
+                        if (int(seg[k]) & mask) != value:
+                            ok = False
+                            break
+                    if ok:
+                        out.append((fid, p))
+    return out
+
+
+def _merge_spans(spans: List[Tuple[int, int, int]]) -> List[Tuple[int, int, int]]:
+    """Merge overlapping (start, end, block_idx) spans within a block."""
+    spans.sort()
+    merged: List[Tuple[int, int, int]] = []
+    for s, e, b in spans:
+        if merged and merged[-1][2] == b and s <= merged[-1][1]:
+            ps, pe, pb = merged[-1]
+            merged[-1] = (ps, max(pe, e), pb)
+        else:
+            merged.append((s, e, b))
+    return merged
+
+
+def validate_windows(
+    validator, expr_idx: int, corpus: np.ndarray,
+    spans: List[Tuple[int, int, int]],
+    block_starts: np.ndarray, block_ends: np.ndarray,
+    block_anchored: np.ndarray, block_final: np.ndarray,
+    eod_only: bool = False,
+) -> Set[Record]:
+    """Lockstep numpy DFA scan over merged windows of one pattern.
+
+    `validator` is a DfaEngine built from the pattern alone; spans are
+    (flat_start, flat_end, block_idx), already clamped to block bounds.
+    """
+    recs: Set[Record] = set()
+    if not spans:
+        return recs
+    spans = _merge_spans(spans)
+    nw = len(spans)
+    starts = np.asarray([s for (s, _e, _b) in spans], dtype=np.int64)
+    ends = np.asarray([e for (_s, e, _b) in spans], dtype=np.int64)
+    blks = np.asarray([b for (_s, _e, b) in spans], dtype=np.int64)
+    lens = ends - starts
+    wmax = int(lens.max())
+    win = np.zeros((nw, wmax), dtype=np.uint8)
+    for i, (s, e, _b) in enumerate(spans):
+        win[i, : e - s] = corpus[s:e]
+
+    b2c = validator.byte_to_class.astype(np.int64)
+    trans = validator.trans
+    accept_id = validator.accept_id
+    accept_eod_id = validator.accept_eod_id
+    bs = block_starts[blks]
+    be = block_ends[blks]
+    # anchored context only when the window starts at the true beginning
+    # of the logical data (offset 0 of a block, or of a whole stream)
+    states = np.where(
+        (starts == bs) & block_anchored[blks],
+        validator.start_state,
+        validator.float_state,
+    ).astype(np.int64)
+
+    cls = b2c[win]  # [nw, wmax]
+    for t in range(wmax):
+        active = t < lens
+        nxt = trans[states, cls[:, t]]
+        states = np.where(active, nxt, states)
+        if eod_only:  # close-pass: mid-data accepts were already reported
+            continue
+        aids = np.where(active, accept_id[states], 0)
+        for i in np.flatnonzero(aids):
+            to_flat = int(starts[i]) + t + 1
+            for (eidx, adj) in validator.expand_set(int(aids[i])):
+                to_local = to_flat + adj - int(bs[i])
+                if 0 <= to_local <= int(be[i]) - int(bs[i]):
+                    recs.add((int(blks[i]), eidx, to_local))
+    # EOD accepts where the window reaches the end of its block (and the
+    # block really is the end of the logical data — not a mid-stream chunk)
+    at_eod = (ends == be) & block_final[blks]
+    eod_aids = np.where(at_eod, accept_eod_id[states], 0)
+    for i in np.flatnonzero(eod_aids):
+        blen = int(be[i]) - int(bs[i])
+        for (eidx, adj) in validator.expand_set(int(eod_aids[i])):
+            to_local = blen + adj
+            if 0 <= to_local <= blen:
+                recs.add((int(blks[i]), eidx, to_local))
+    return recs
+
+
+def scan_literal_path(
+    db, corpus: np.ndarray, block_starts: np.ndarray, block_ends: np.ndarray,
+    capacity: int = 1 << 14,
+    block_anchored: np.ndarray = None, block_final: np.ndarray = None,
+    eod_only: bool = False,
+) -> Set[Record]:
+    """Full literal pipeline for one flat corpus of concatenated blocks."""
+    from ..ops.teddy import teddy_scan
+
+    lit = db.lit
+    if lit is None or corpus.shape[0] == 0:
+        return set()
+
+    _total, pos, words = teddy_scan(corpus, lit.masks, capacity)
+    return finish_literal_scan(
+        db, corpus, block_starts, block_ends, pos, words,
+        block_anchored=block_anchored, block_final=block_final,
+        eod_only=eod_only,
+    )
+
+
+def finish_literal_scan(
+    db, corpus: np.ndarray, block_starts: np.ndarray, block_ends: np.ndarray,
+    pos: np.ndarray, words: np.ndarray,
+    block_anchored: np.ndarray = None, block_final: np.ndarray = None,
+    eod_only: bool = False,
+) -> Set[Record]:
+    """Host stages after the device filter: confirm → windows → validate."""
+    lit = db.lit
+    nb = block_starts.shape[0]
+    if block_anchored is None:
+        block_anchored = np.ones(nb, dtype=bool)
+    if block_final is None:
+        block_final = np.ones(nb, dtype=bool)
+    recs: Set[Record] = set()
+    confirmed = confirm_candidates(lit, corpus, block_starts, pos, words)
+    if not confirmed:
+        return recs
+
+    blk_of = lambda p: int(np.searchsorted(block_starts, p, side="right") - 1)
+    windows: Dict[int, List[Tuple[int, int, int]]] = {}
+    for (fid, p) in confirmed:
+        fe = p + 1  # factor end offset (exclusive), flat
+        b = blk_of(p)
+        bs, be = int(block_starts[b]), int(block_ends[b])
+        for (eidx, max_s2f, max_f2e, lit_equiv) in lit.factor_refs[fid]:
+            if lit_equiv:
+                if not eod_only:
+                    recs.add((b, eidx, fe - bs))
+            else:
+                ws = max(bs, fe - max_s2f - WINDOW_SLACK)
+                we = min(be, fe + max_f2e + WINDOW_SLACK)
+                windows.setdefault(eidx, []).append((ws, we, b))
+
+    for eidx, spans in windows.items():
+        v = lit.validators[eidx]
+        recs |= validate_windows(
+            v, eidx, corpus, spans, block_starts, block_ends,
+            block_anchored, block_final, eod_only=eod_only,
+        )
+    return recs

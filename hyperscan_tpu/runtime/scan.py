@@ -96,6 +96,35 @@ def scan_blocks_raw(
     internal (expr_index, to) records (pre report-processing), deduped and
     sorted. Retries with doubled capacity on overflow."""
     B = len(blocks)
+    per_block: List[set] = [set() for _ in range(B)]
+
+    # literal path: Teddy filter over the concatenated corpus, then
+    # confirm + window validation (reference: Rose floating literal
+    # matcher path, src/rose/block.c roseBlockFloating)
+    if db.lit is not None:
+        from .lit_runtime import scan_literal_path
+
+        lens = np.asarray([len(b) for b in blocks], dtype=np.int64)
+        starts = np.zeros(B, dtype=np.int64)
+        if B > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        ends = starts + lens
+        corpus = (
+            np.concatenate([np.frombuffer(b, dtype=np.uint8) for b in blocks])
+            if int(lens.sum())
+            else np.zeros(0, dtype=np.uint8)
+        )
+        for (bi, eidx, to) in scan_literal_path(db, corpus, starts, ends):
+            per_block[bi].add((eidx, to))
+
+    if not db.engines:
+        out = []
+        for bi in range(B):
+            n = len(blocks[bi])
+            recs = sorted((t, e) for (e, t) in per_block[bi] if 0 <= t <= n)
+            out.append([(e, t) for (t, e) in recs])
+        return out
+
     maxlen = max((len(b) for b in blocks), default=0)
     L = _bucket_len(maxlen)
     data = np.zeros((B, L), dtype=np.uint8)
@@ -106,7 +135,6 @@ def scan_blocks_raw(
     data_d = jnp.asarray(data)
     len_d = jnp.asarray(lengths)
 
-    per_block: List[set] = [set() for _ in range(B)]
     for engine in db.engines:
         trans, b2c, acc, acce, ss = _engine_device_arrays(engine)
         cap = capacity
@@ -160,13 +188,17 @@ def finalize_reports(
     db: Database,
     records: List[Tuple[int, int]],
     callback: Optional[Callable[[int, int, int, int], int]] = None,
+    seen_single: Optional[set] = None,
 ) -> Tuple[List[Match], bool]:
     """Apply report semantics and deliver matches in offset order.
 
     Returns (matches, terminated). `terminated` is True if a callback
     returned nonzero (reference: HS_SCAN_TERMINATED, src/hs_runtime.h:78).
+    `seen_single` carries SINGLEMATCH state across calls (streaming: the
+    stream owns it for its whole lifetime).
     """
-    seen_single = set()
+    if seen_single is None:
+        seen_single = set()
     out: List[Match] = []
     for (eidx, to) in records:
         p = db.patterns[eidx]

@@ -1,0 +1,399 @@
+"""Streaming runtime: stream lifecycle, history rescan, EOD semantics.
+
+Reference analogues:
+- stream object + lifecycle: hs_open/scan/close/reset/copy_stream
+  (src/runtime.c:511,980,999,713; struct hs_stream src/state.h:54)
+- history maintenance at each write boundary: maintainHistoryBuffer
+  (src/runtime.c:478) — here the history tail is re-scanned by the literal
+  path each write, the same job as the delay-rebuild rescan
+  (src/rose/stream.c:415 do_rebuild)
+- carried engine state: roseSaveNfaStreamState/loadStreamState — here the
+  general DFA engines carry one int state per (stream, engine)
+- EOD reporting on close: report_eod_matches (src/runtime.c:632)
+- state codec: hs_compress_stream / hs_expand_stream (src/runtime.c:1177,
+  src/stream_compress.c)
+
+TPU-native shape: `scan_streams` batches many streams into one device
+dispatch (corpus = concatenated history+chunk extents for the literal
+filter; general engines advance all streams' carried states in lockstep
+lanes). Per-stream `scan_stream` is the 1-stream special case.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..database import Database
+from ..errors import DbModeError, InvalidError, ScanTerminated
+from ..flags import HS_MODE_STREAM, HS_MODE_VECTORED, base_mode
+from .lit_runtime import WINDOW_SLACK, finish_literal_scan
+from .scan import Match, finalize_reports
+
+STREAM_MAGIC = b"HSTPUST1"
+
+
+def history_required(db: Database) -> int:
+    """Bytes of history each stream must keep so that any match ending in
+    a new chunk has its factor candidate, confirm bytes and validation
+    window fully inside history+chunk (reference analogue:
+    RoseEngine historyRequired)."""
+    h = 0
+    if db.lit is not None:
+        for fid, refs in enumerate(db.lit.factor_refs):
+            flen = len(db.lit.factor_atoms[fid])
+            for (_e, max_s2f, max_f2e, _le) in refs:
+                h = max(h, max_f2e + max(max_s2f + WINDOW_SLACK, flen) + 2)
+    return h
+
+
+@dataclasses.dataclass
+class Stream:
+    """An open stream (reference: hs_stream_t)."""
+
+    db: Database
+    offset: int = 0  # absolute bytes consumed
+    history: bytes = b""
+    engine_states: List[int] = dataclasses.field(default_factory=list)
+    terminated: bool = False
+    closed: bool = False
+    seen_single: Set[int] = dataclasses.field(default_factory=set)
+    # (expr_idx, to_abs) reported near the last write boundary, used to
+    # dedupe the literal path's history rescan
+    recent: Set[Tuple[int, int]] = dataclasses.field(default_factory=set)
+
+    def _init_states(self) -> None:
+        self.engine_states = [e.start_state for e in self.db.engines]
+
+
+def open_stream(db: Database) -> Stream:
+    """reference: hs_open_stream (src/runtime.c:511)."""
+    if base_mode(db.mode) not in (HS_MODE_STREAM, HS_MODE_VECTORED):
+        raise DbModeError("database not compiled for streaming")
+    s = Stream(db=db)
+    s._init_states()
+    return s
+
+
+def copy_stream(stream: Stream) -> Stream:
+    """reference: hs_copy_stream (src/runtime.c:713)."""
+    return dataclasses.replace(
+        stream,
+        engine_states=list(stream.engine_states),
+        seen_single=set(stream.seen_single),
+        recent=set(stream.recent),
+    )
+
+
+def _engine_pass(db, streams, chunks, recs_abs):
+    """Advance general engines over this write's chunks (batched lanes)."""
+    if not db.engines:
+        return
+    import jax.numpy as jnp
+
+    from ..ops.dfa import dfa_scan_batch
+    from .scan import _bucket_len, _engine_device_arrays
+
+    B = len(streams)
+    maxlen = max(len(c) for c in chunks)
+    L = _bucket_len(max(1, maxlen))
+    data = np.zeros((B, L), dtype=np.uint8)
+    lengths = np.zeros((B,), dtype=np.int32)
+    for i, c in enumerate(chunks):
+        a = np.frombuffer(c, dtype=np.uint8)
+        data[i, : len(a)] = a
+        lengths[i] = len(a)
+    data_d = jnp.asarray(data)
+    len_d = jnp.asarray(lengths)
+
+    for ei, engine in enumerate(db.engines):
+        trans, b2c, acc, acce, _ss = _engine_device_arrays(engine)
+        init = jnp.asarray(
+            [st.engine_states[ei] for st in streams], dtype=jnp.int32
+        )
+        accepts, finals = dfa_scan_batch(trans, b2c, acc, init, data_d, len_d)
+        accepts = np.asarray(accepts)
+        finals = np.asarray(finals)
+        for bi, st in enumerate(streams):
+            nz = np.flatnonzero(accepts[bi])
+            for i in nz:
+                for (eidx, adj) in engine.expand_set(int(accepts[bi, i])):
+                    to_abs = st.offset + int(i) + 1 + adj
+                    if to_abs >= 0:
+                        recs_abs[bi].add((eidx, to_abs))
+            st.engine_states[ei] = int(finals[bi])
+        # vacuous float reports at every new offset
+        for bi, st in enumerate(streams):
+            n = len(chunks[bi])
+            for (anchored, eod, adj, eid) in engine.start_reports:
+                if eod:
+                    continue  # EOD start reports fire at close
+                if anchored:
+                    if st.offset == 0:
+                        recs_abs[bi].add((eid, adj))
+                else:
+                    lo = 0 if st.offset == 0 else st.offset + 1
+                    for e in range(lo, st.offset + n + 1):
+                        if e + adj >= 0:
+                            recs_abs[bi].add((eid, e + adj))
+
+
+def scan_streams(
+    db: Database,
+    streams: Sequence[Stream],
+    chunks: Sequence[bytes],
+    callbacks: Optional[Sequence[Optional[Callable]]] = None,
+) -> List[List[Match]]:
+    """Batched stream write — the TPU-native entry point: all streams'
+    extents are filtered in one device dispatch."""
+    B = len(streams)
+    if B != len(chunks):
+        raise InvalidError("streams/chunks length mismatch")
+    for st in streams:
+        if st.closed:
+            raise InvalidError("stream is closed")
+        if st.db is not db:
+            raise InvalidError("stream belongs to a different database")
+    callbacks = callbacks or [None] * B
+
+    recs_abs: List[Set[Tuple[int, int]]] = [set() for _ in range(B)]
+    chunks = [bytes(c) for c in chunks]
+
+    # literal path over history+chunk extents
+    if db.lit is not None:
+        exts = [st.history + c for (st, c) in zip(streams, chunks)]
+        lens = np.asarray([len(e) for e in exts], dtype=np.int64)
+        starts = np.zeros(B, dtype=np.int64)
+        if B > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        ends = starts + lens
+        corpus = (
+            np.concatenate([np.frombuffer(e, np.uint8) for e in exts])
+            if int(lens.sum())
+            else np.zeros(0, np.uint8)
+        )
+        # anchored context applies iff the extent begins at stream offset 0
+        anchored = np.asarray(
+            [st.offset - len(st.history) == 0 for st in streams]
+        )
+        final = np.zeros(B, dtype=bool)
+        from .lit_runtime import scan_literal_path
+
+        for (bi, eidx, to_local) in scan_literal_path(
+            db, corpus, starts, ends,
+            block_anchored=anchored, block_final=final,
+        ):
+            st = streams[bi]
+            to_abs = st.offset - len(st.history) + to_local
+            # history rescan duplicates: anything ending at or before the
+            # previous write boundary was reported then
+            if to_abs > st.offset or (
+                to_abs == st.offset and (eidx, to_abs) not in st.recent
+            ):
+                recs_abs[bi].add((eidx, to_abs))
+
+    _engine_pass(db, streams, chunks, recs_abs)
+
+    out: List[List[Match]] = []
+    hist_req = history_required(db)
+    for bi, st in enumerate(streams):
+        ordered = sorted((t, e) for (e, t) in recs_abs[bi])
+        ms, terminated = finalize_reports(
+            db, [(e, t) for (t, e) in ordered], callbacks[bi],
+            seen_single=st.seen_single,
+        )
+        st.terminated = st.terminated or terminated
+        new_off = st.offset + len(chunks[bi])
+        st.recent = {(e, t) for (e, t) in recs_abs[bi] if t >= new_off}
+        ext = st.history + chunks[bi]
+        st.history = ext[-hist_req:] if hist_req else b""
+        st.offset = new_off
+        out.append(ms)
+    return out
+
+
+def scan_stream(
+    stream: Stream, data: bytes,
+    callback: Optional[Callable] = None,
+) -> List[Match]:
+    """reference: hs_scan_stream (src/runtime.c:980)."""
+    if stream.terminated:
+        raise ScanTerminated("stream was terminated by callback")
+    return scan_streams(stream.db, [stream], [data], [callback])[0]
+
+
+def _eod_pass(stream: Stream) -> List[Tuple[int, int]]:
+    """Collect EOD-only records at stream end (reference:
+    report_eod_matches, src/runtime.c:632)."""
+    db = stream.db
+    recs: Set[Tuple[int, int]] = set()
+    n = stream.offset
+    # general engines: final-state EOD accepts + vacuous EOD reports
+    for ei, engine in enumerate(db.engines):
+        sid = int(engine.accept_eod_id[stream.engine_states[ei]])
+        if sid:
+            for (eidx, adj) in engine.expand_set(sid):
+                if n + adj >= 0:
+                    recs.add((eidx, n + adj))
+        for (anchored, eod, adj, eid) in engine.start_reports:
+            if not eod:
+                continue
+            if anchored:
+                if n == 0 and adj >= 0:
+                    recs.add((eid, adj))
+            elif n + adj >= 0:
+                recs.add((eid, n + adj))
+    # literal path: rescan history with EOD semantics, keep only EOD records
+    if db.lit is not None and stream.history:
+        hist = np.frombuffer(stream.history, np.uint8)
+        starts = np.zeros(1, np.int64)
+        ends = np.asarray([len(hist)], np.int64)
+        anchored = np.asarray([stream.offset == len(stream.history)])
+        final = np.ones(1, dtype=bool)
+        from .lit_runtime import scan_literal_path
+
+        base = stream.offset - len(stream.history)
+        for (_bi, eidx, to_local) in scan_literal_path(
+            db, hist, starts, ends,
+            block_anchored=anchored, block_final=final,
+            eod_only=True,
+        ):
+            recs.add((eidx, base + to_local))
+    return sorted((t, e) for (e, t) in recs)
+
+
+def close_stream(
+    stream: Stream, callback: Optional[Callable] = None
+) -> List[Match]:
+    """reference: hs_close_stream (src/runtime.c:999). Returns (and
+    delivers, if a callback is given) the matches at end-of-data."""
+    if stream.closed:
+        raise InvalidError("stream already closed")
+    ms: List[Match] = []
+    if not stream.terminated:
+        ordered = _eod_pass(stream)
+        ms, _t = finalize_reports(
+            stream.db, [(e, t) for (t, e) in ordered], callback,
+            seen_single=stream.seen_single,
+        )
+    stream.closed = True
+    return ms
+
+
+def reset_stream(
+    stream: Stream, callback: Optional[Callable] = None
+) -> List[Match]:
+    """reference: hs_reset_stream (src/runtime.c:1028): report EOD matches
+    (if a callback is supplied), then reinitialize for reuse."""
+    ms: List[Match] = []
+    if callback is not None and not stream.terminated:
+        ordered = _eod_pass(stream)
+        ms, _t = finalize_reports(
+            stream.db, [(e, t) for (t, e) in ordered], callback,
+            seen_single=stream.seen_single,
+        )
+    stream.offset = 0
+    stream.history = b""
+    stream.terminated = False
+    stream.closed = False
+    stream.seen_single = set()
+    stream.recent = set()
+    stream._init_states()
+    return ms
+
+
+# --- state codec (reference: hs_compress_stream / hs_expand_stream) ---------
+
+
+def compress_stream(stream: Stream) -> bytes:
+    """Pack the stream state into a portable buffer (reference:
+    hs_compress_stream, src/runtime.c:1177)."""
+    parts = [STREAM_MAGIC]
+    parts.append(
+        struct.pack(
+            "<QIBBI",
+            stream.offset,
+            len(stream.history),
+            1 if stream.terminated else 0,
+            1 if stream.closed else 0,
+            len(stream.engine_states),
+        )
+    )
+    parts.append(stream.history)
+    parts.append(struct.pack(f"<{len(stream.engine_states)}i",
+                             *stream.engine_states))
+    ss = sorted(stream.seen_single)
+    parts.append(struct.pack("<I", len(ss)))
+    parts.append(struct.pack(f"<{len(ss)}i", *ss))
+    rr = sorted(stream.recent)
+    parts.append(struct.pack("<I", len(rr)))
+    for (e, t) in rr:
+        parts.append(struct.pack("<iq", e, t))
+    return b"".join(parts)
+
+
+def expand_stream(db: Database, buf: bytes) -> Stream:
+    """reference: hs_expand_stream (src/runtime.c:1204)."""
+    if buf[:8] != STREAM_MAGIC:
+        raise InvalidError("bad stream state magic")
+    off = 8
+    offset, hlen, term, closed, ne = struct.unpack_from("<QIBBI", buf, off)
+    off += struct.calcsize("<QIBBI")
+    history = buf[off : off + hlen]
+    off += hlen
+    states = list(struct.unpack_from(f"<{ne}i", buf, off))
+    off += 4 * ne
+    (nss,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    seen = set(struct.unpack_from(f"<{nss}i", buf, off))
+    off += 4 * nss
+    (nrr,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    recent = set()
+    for _ in range(nrr):
+        e, t = struct.unpack_from("<iq", buf, off)
+        off += struct.calcsize("<iq")
+        recent.add((e, t))
+    if ne != len(db.engines):
+        raise InvalidError("stream state does not match database")
+    s = open_stream(db)
+    s.offset = offset
+    s.history = history
+    s.terminated = bool(term)
+    s.closed = bool(closed)
+    s.engine_states = states
+    s.seen_single = seen
+    s.recent = recent
+    return s
+
+
+# --- vectored mode (reference: hs_scan_vector, src/runtime.c:1106) ----------
+
+
+def scan_vector(
+    db: Database,
+    buffers: Sequence[bytes],
+    callback: Optional[Callable] = None,
+) -> List[Match]:
+    """Vectored scan = one synthetic stream over a gather list; offsets are
+    absolute in the concatenation (reference: src/runtime.c:1106-1175)."""
+    if base_mode(db.mode) != HS_MODE_VECTORED:
+        raise DbModeError("database not compiled for vectored mode")
+    s = Stream(db=db)
+    s._init_states()
+    out: List[Match] = []
+    terminated = False
+    for buf in buffers:
+        if terminated:
+            break
+        ms = scan_streams(db, [s], [buf], [callback])[0]
+        out.extend(ms)
+        terminated = s.terminated
+    if not terminated:
+        out.extend(close_stream(s, callback))
+    else:
+        s.closed = True
+    return out

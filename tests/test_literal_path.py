@@ -1,0 +1,128 @@
+"""Literal path (Teddy filter → confirm → window validation) conformance.
+
+Differential tests against the AST oracle — the hscollider analogue for
+the literal-decomposition path (reference: tools/hscollider compares
+engine output against PCRE ground truth)."""
+
+import numpy as np
+import pytest
+
+import hyperscan_tpu as hs
+from hyperscan_tpu.compiler.parser import parse
+from hyperscan_tpu.utils.oracle import ast_match_ends
+
+LIT_PATTERNS = [
+    (r"attack", 0),
+    (r"error|warning|fatal", 0),
+    (r"foo(bar|baz)", 0),
+    (r"admin[0-9]{1,3}", 0),
+    (r"^root:x:0", 0),
+    (r"union\s+select", 0),
+    (r"passwd$", 0),
+    (r"GET\s/index\.html", 0),
+    (r"cookie=[a-f0-9]{4}", 0),
+    (r"xyz{2,4}w", 0),
+    (r"SeLeCt", 1),  # CASELESS
+    (r"\bshell\b", 0),
+]
+
+CORPORA = [
+    b"",
+    b"attack",
+    b"an attack and an error, warning: fatal foobar foobaz",
+    b"admin1 admin22 admin333 admin4444",
+    b"root:x:0:0:root:/root:/bin/bash",
+    b"union  select * from users; UNION\tSELECT 1",
+    b"user passwd\nand passwd",
+    b"GET /index.html HTTP/1.1",
+    b"cookie=deadbeef cookie=xyz",
+    b"xyzw xyzzw xyzzzzw xyzzzzzw",
+    b"select SELECT sElEcT",
+    b"shell shells bombshell shell!",
+    b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    bytes(range(256)) * 2,
+]
+
+
+@pytest.fixture(scope="module")
+def lit_db():
+    db = hs.compile_multi(
+        [p for (p, _f) in LIT_PATTERNS],
+        flags=[f for (_p, f) in LIT_PATTERNS],
+        ids=list(range(len(LIT_PATTERNS))),
+    )
+    assert db.lit is not None
+    return db
+
+
+def test_routing(lit_db):
+    # most patterns have a bounded mandatory factor; `union\s+select` has an
+    # unbounded gap and `xyz{2,4}w` only 2-byte runs, so they stay general
+    assert lit_db.lit.num_factors >= 10
+    general = {e for eng in lit_db.engines for e in set(eng.set_exprs.tolist())}
+    assert general == {5, 9}
+
+
+def test_differential_vs_oracle(lit_db):
+    for data in CORPORA:
+        got = {}
+        for (mid, _f, to) in hs.scan(lit_db, data):
+            got.setdefault(mid, set()).add(to)
+        for i, (pat, fl) in enumerate(LIT_PATTERNS):
+            want = ast_match_ends(parse(pat, fl), data)
+            assert got.get(i, set()) == want, (
+                f"pattern {pat!r} on {data!r}: got {sorted(got.get(i, set()))} "
+                f"want {sorted(want)}"
+            )
+
+
+def test_batch_matches_blockwise(lit_db):
+    blocks = CORPORA
+    batched = hs.scan_batch(lit_db, blocks)
+    for blk, ms in zip(blocks, batched):
+        single = hs.scan(lit_db, blk)
+        assert ms == single
+
+
+def test_match_at_block_boundaries(lit_db):
+    # factor spans must not leak across concatenated blocks
+    blocks = [b"atta", b"ck", b"attack"]
+    res = hs.scan_batch(lit_db, blocks)
+    assert res[0] == [] and res[1] == []
+    assert (0, 0, 6) in res[2]
+
+
+def test_serialize_roundtrip_with_lit(lit_db):
+    data = hs.serialize_database(lit_db)
+    db2 = hs.deserialize_database(data)
+    assert db2.lit is not None
+    corpus = b"an attack; union select; SELECT; shell!"
+    assert hs.scan(db2, corpus) == hs.scan(lit_db, corpus)
+
+
+def test_mixed_literal_and_general():
+    db = hs.compile_multi(
+        [r"attack", r"[0-9]{3}-[0-9]{4}", r"foo[a-z]+bar"],
+        ids=[1, 2, 3],
+    )
+    assert db.lit is not None and db.engines
+    data = b"attack 555-1212 fooqqqbar"
+    got = {(m, t) for (m, _f, t) in hs.scan(db, data)}
+    assert (1, 6) in got
+    assert (2, 15) in got
+    assert (3, 25) in got
+
+
+def test_caseless_literal_equiv():
+    db = hs.compile_multi([r"Admin"], flags=[hs.HS_FLAG_CASELESS], ids=[9])
+    got = hs.scan(db, b"admin ADMIN aDmIn admix")
+    assert [t for (_m, _f, t) in got] == [5, 11, 17]
+
+
+def test_long_factor_confirm():
+    # factor longer than the teddy suffix depth M still confirms exactly
+    db = hs.compile_multi([r"abcdefghijklmnop"], ids=[5])
+    hit = b"xx abcdefghijklmnop yy"
+    miss = b"xx Abcdefghijklmnop yy"  # differs before the suffix window
+    assert [(5, 0, 19)] == hs.scan(db, hit)
+    assert hs.scan(db, miss) == []

@@ -20,10 +20,15 @@ from hyperscan_tpu.runtime.scan import scan_batch
 
 @pytest.fixture(scope="module")
 def db():
-    return hs.compile_multi(
-        [r"foo[a-z]+bar", r"[0-9]{3}-[0-9]{4}", r"err(or|ors)"],
+    # all three lack a bounded literal factor, so they stay on the general
+    # DFA engine path these tests exercise (the literal path has its own
+    # tests in test_literal_path.py)
+    db = hs.compile_multi(
+        [r"foo[a-z]+bar", r"[0-9]{3}-[0-9]{4}", r"er+or"],
         ids=[10, 20, 30],
     )
+    assert db.lit is None and len(db.engines) == 1
+    return db
 
 
 def _blocks():

@@ -1,0 +1,173 @@
+"""Streaming conformance: chunked scans must equal block scans.
+
+The reference's invariant (hscollider tests exactly this): scanning a
+buffer as one block and as a stream of arbitrary writes yields the same
+(id, to) match set, regardless of write boundaries. Also covers stream
+lifecycle, state compress/expand round trips, vectored mode, and
+SINGLEMATCH-across-writes semantics."""
+
+import numpy as np
+import pytest
+
+import hyperscan_tpu as hs
+
+PATTERNS = [
+    (r"attack", 0),
+    (r"error|warning", 0),
+    (r"admin[0-9]{1,3}", 0),
+    (r"^root:x", 0),
+    (r"passwd$", 0),
+    (r"\bshell\b", 0),
+    (r"foo[a-z]+bar", 0),          # general path (unbounded gap)
+    (r"[0-9]{3}-[0-9]{4}", 0),     # general path (no factor)
+    (r"xyz\z", 0),
+]
+
+CORPORA = [
+    b"",
+    b"attack",
+    b"attack at dawn; warning: error in passwd",
+    b"root:x:0:0 admin77 shell 555-1212 foozzzbar xyz",
+    b"passwd\npasswd",
+    b"sh" + b"e" * 40 + b"ll shell",
+    b"a" * 300 + b"attack" + b"b" * 300,
+    b"xyz xyz",
+]
+
+
+def _splits(data, rng):
+    yield [data]
+    if len(data) > 1:
+        for _ in range(3):
+            k = rng.integers(1, min(5, len(data)) + 1)
+            cuts = sorted(rng.choice(len(data), size=k, replace=False).tolist())
+            parts, prev = [], 0
+            for c in cuts + [len(data)]:
+                parts.append(data[prev:c])
+                prev = c
+            yield parts
+
+
+@pytest.fixture(scope="module")
+def dbs():
+    exprs = [p for (p, _f) in PATTERNS]
+    flags = [f for (_p, f) in PATTERNS]
+    ids = list(range(len(PATTERNS)))
+    return (
+        hs.compile_multi(exprs, flags=flags, ids=ids, mode=hs.HS_MODE_BLOCK),
+        hs.compile_multi(exprs, flags=flags, ids=ids, mode=hs.HS_MODE_STREAM),
+        hs.compile_multi(exprs, flags=flags, ids=ids, mode=hs.HS_MODE_VECTORED),
+    )
+
+
+def _stream_scan(sdb, parts):
+    st = hs.open_stream(sdb)
+    ms = []
+    for p in parts:
+        ms.extend(hs.scan_stream(st, p))
+    ms.extend(hs.close_stream(st))
+    return ms
+
+
+def test_stream_equals_block(dbs):
+    bdb, sdb, _vdb = dbs
+    rng = np.random.default_rng(42)
+    for data in CORPORA:
+        want = {(m, t) for (m, _f, t) in hs.scan(bdb, data)}
+        for parts in _splits(data, rng):
+            got = {(m, t) for (m, _f, t) in _stream_scan(sdb, parts)}
+            assert got == want, (
+                f"data={data!r} splits={[len(p) for p in parts]}: "
+                f"{sorted(got)} != {sorted(want)}"
+            )
+
+
+def test_vectored_equals_block(dbs):
+    bdb, _sdb, vdb = dbs
+    rng = np.random.default_rng(7)
+    for data in CORPORA:
+        want = {(m, t) for (m, _f, t) in hs.scan(bdb, data)}
+        for parts in _splits(data, rng):
+            got = {(m, t) for (m, _f, t) in hs.scan_vector(vdb, parts)}
+            assert got == want, f"data={data!r}: {sorted(got)} != {sorted(want)}"
+
+
+def test_compress_expand_roundtrip(dbs):
+    _bdb, sdb, _vdb = dbs
+    data = b"attack at dawn; warning: error in passwd"
+    st = hs.open_stream(sdb)
+    ms1 = hs.scan_stream(st, data[:15])
+    buf = hs.compress_stream(st)
+    st2 = hs.expand_stream(sdb, buf)
+    ms2a = hs.scan_stream(st, data[15:]) + hs.close_stream(st)
+    ms2b = hs.scan_stream(st2, data[15:]) + hs.close_stream(st2)
+    assert ms2a == ms2b
+
+
+def test_copy_stream_independent(dbs):
+    _bdb, sdb, _vdb = dbs
+    st = hs.open_stream(sdb)
+    hs.scan_stream(st, b"atta")
+    st2 = hs.copy_stream(st)
+    a = hs.scan_stream(st, b"ck") + hs.close_stream(st)
+    b = hs.scan_stream(st2, b"ck") + hs.close_stream(st2)
+    assert a == b
+    assert any(m[0] == 0 for m in a)
+
+
+def test_reset_stream(dbs):
+    _bdb, sdb, _vdb = dbs
+    st = hs.open_stream(sdb)
+    hs.scan_stream(st, b"attack")
+    hs.reset_stream(st)
+    ms = hs.scan_stream(st, b"^^attack") + hs.close_stream(st)
+    assert (0, 0, 8) in ms
+
+
+def test_singlematch_across_writes(dbs):
+    del dbs
+    sdb = hs.compile_multi(
+        [r"attack"], flags=[hs.HS_FLAG_SINGLEMATCH], ids=[3],
+        mode=hs.HS_MODE_STREAM,
+    )
+    st = hs.open_stream(sdb)
+    ms = hs.scan_stream(st, b"attack attack ")
+    ms += hs.scan_stream(st, b"attack")
+    ms += hs.close_stream(st)
+    assert ms == [(3, 0, 6)]
+
+
+def test_terminated_stream_rejects_writes(dbs):
+    _bdb, sdb, _vdb = dbs
+    st = hs.open_stream(sdb)
+    hs.scan_stream(st, b"attack", lambda i, f, t, fl: 1)
+    assert st.terminated
+    with pytest.raises(Exception):
+        hs.scan_stream(st, b"more")
+
+
+def test_mode_enforcement(dbs):
+    bdb, sdb, vdb = dbs
+    with pytest.raises(hs.DbModeError):
+        hs.open_stream(bdb)
+    with pytest.raises(hs.DbModeError):
+        hs.scan(sdb, b"data")
+    with pytest.raises(hs.DbModeError):
+        hs.scan_vector(sdb, [b"data"])
+
+
+def test_batched_scan_streams(dbs):
+    _bdb, sdb, _vdb = dbs
+    n = 6
+    streams = [hs.open_stream(sdb) for _ in range(n)]
+    chunk1 = [b"atta", b"warn", b"admin", b"root", b"pass", b"xy"]
+    chunk2 = [b"ck", b"ing!", b"77 go", b":x:0", b"wd", b"z"]
+    r1 = hs.scan_streams(sdb, streams, chunk1)
+    r2 = hs.scan_streams(sdb, streams, chunk2)
+    closes = [hs.close_stream(st) for st in streams]
+    combined = [a + b + c for (a, b, c) in zip(r1, r2, closes)]
+    # compare against per-stream runs
+    for i, (c1, c2) in enumerate(zip(chunk1, chunk2)):
+        st = hs.open_stream(sdb)
+        want = hs.scan_stream(st, c1) + hs.scan_stream(st, c2) + hs.close_stream(st)
+        assert combined[i] == want, f"stream {i}"
