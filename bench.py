@@ -26,8 +26,8 @@ import numpy as np
 
 BASELINE_GBPS = 19241.10 / 8 / 1000.0  # doc sample, Mbit/s → GB/s
 
-CORPUS_MB = 256
-ITERS = 4
+CORPUS_MB = 512
+ITERS = 3
 
 
 def _patterns():
@@ -56,16 +56,23 @@ _PLANTS = [b"attack0 ", b"payload16y99z!", b"x12GET /abc ", b"q8hdeadbeef ",
            b"v4.exe ", b"union55 ", b"shell2222 "]
 
 
-def _gen_host(n: int, salt: int) -> np.ndarray:
-    i = np.arange(n, dtype=np.uint64)
-    v = (i + np.uint64(salt * 1_000_003)) * np.uint64(2654435761)
-    corpus = (32 + ((v >> np.uint64(16)) % np.uint64(95))).astype(np.uint8)
-    step = n // (len(_PLANTS) * 4)
-    off = 1000
+def _plant_region() -> np.ndarray:
+    """4 KiB region holding every planted match, spliced at corpus offset
+    128 (one kernel row in) on both host and device."""
+    region = np.full(4096, ord(" "), dtype=np.uint8)
+    off = 16
     for k in range(len(_PLANTS) * 4):
         p = _PLANTS[k % len(_PLANTS)]
-        corpus[off : off + len(p)] = np.frombuffer(p, np.uint8)
-        off += step
+        region[off : off + len(p)] = np.frombuffer(p, np.uint8)
+        off += len(p) + 97
+    return region
+
+
+def _gen_host(n: int, salt: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.uint32)
+    v = (i + np.uint32(salt * 1_000_003)) * np.uint32(2654435761)
+    corpus = (32 + ((v >> np.uint32(16)) % np.uint32(95))).astype(np.uint8)
+    corpus[128 : 128 + 4096] = _plant_region()
     return corpus
 
 
@@ -94,12 +101,7 @@ def main() -> None:
     n_cells = -(-n // cell)
     n_rows = 1 + n_cells * ROWS_PER_CELL
 
-    plants = np.zeros((len(_PLANTS), max(len(p) for p in _PLANTS)), np.uint8)
-    plant_lens = [len(p) for p in _PLANTS]
-    for k, p in enumerate(_PLANTS):
-        plants[k, : len(p)] = np.frombuffer(p, np.uint8)
-    plants_d = jnp.asarray(plants)
-    step = n // (len(_PLANTS) * 4)
+    plants_d = jnp.asarray(_plant_region().reshape(32, 128))  # tiny upload
 
     @jax.jit
     def gen_rows(salt):
@@ -109,15 +111,8 @@ def main() -> None:
         v = (g + salt * jnp.uint32(1_000_003)) * jnp.uint32(2654435761)
         b = (32 + ((v >> 16) % 95)).astype(jnp.uint8)
         b = jnp.where(r == 0, 0, b)
-        flat = b.reshape(-1)
-        off = 1000
-        for k in range(len(_PLANTS) * 4):
-            pk = k % len(_PLANTS)
-            flat = jax.lax.dynamic_update_slice(
-                flat, plants_d[pk, : plant_lens[pk]], (128 + off,)
-            )
-            off += step
-        return flat.reshape(n_rows, 128)
+        # splice the planted-match region at corpus offset 128 (rows 2..33)
+        return b.at[2:34, :].set(plants_d)
 
     masks_d = jnp.asarray(db.lit.masks)
     bs = np.zeros(1, dtype=np.int64)
@@ -127,8 +122,8 @@ def main() -> None:
         rows = gen_rows(jnp.uint32(salt))
         total, pos, words = teddy_scan_rows(rows, masks_d, n, 1 << 14)
         recs = finish_literal_scan(db, corpus_np, bs, be, pos, words)
-        ordered = sorted((t, e) for (_b, e, t) in recs)
-        ms, _ = finalize_reports(db, [(e, t) for (t, e) in ordered])
+        ordered = sorted((t, e, f) for (_b, e, t, f) in recs)
+        ms, _ = finalize_reports(db, [(e, t, f) for (t, e, f) in ordered])
         return len(ms)
 
     host_corpora = [_gen_host(n, s) for s in range(ITERS + 1)]

@@ -232,6 +232,44 @@ def determinize(
     return minimize(dfa)
 
 
+def reverse_graph(g: NFAGraph, eod: bool) -> NFAGraph:
+    """Reverse NFA for SOM back-scans (reference: ng_som.cpp reverse NFAs
+    + nfaBlockExecReverse, src/nfa/nfa_rev_api.h).
+
+    The reverse automaton starts — anchored, no floating restart — from the
+    accept positions (accept_eod positions when `eod`), walks reversed
+    follow edges, and accepts at the original first positions: an accept
+    after the reverse scan has consumed down to byte j marks a match
+    starting at j. Accepts at prev-context hop positions carry adjust +1
+    (the hop consumed the byte before the start); anchored-only starts
+    become reverse EOD accepts (they require reaching offset 0).
+    Determinizing this graph yields a plain anchored DFA whose dead state
+    is its (empty) float_state — handy for early exit.
+    """
+    P = g.num_positions
+    follow_rev: List[Set[int]] = [set() for _ in range(P)]
+    for u in range(P):
+        for v in g.follow[u]:
+            follow_rev[v].add(u)
+    starts = set((g.accept_eod if eod else g.accept).keys())
+    acc: Dict[int, Set[int]] = {}
+    acc_eod: Dict[int, Set[int]] = {}
+    for p in g.float_first:
+        acc.setdefault(p, set()).add(1 if p in g.prev_hops else 0)
+    for p in g.anchored_first:
+        acc_eod.setdefault(p, set()).add(1 if p in g.prev_hops else 0)
+    return NFAGraph(
+        reach=g.reach,
+        anchored_first=starts,
+        float_first=set(),
+        follow=follow_rev,
+        accept={k: frozenset(v) for k, v in acc.items()},
+        accept_eod={k: frozenset(v) for k, v in acc_eod.items()},
+        start_accepts=set(),
+        prev_hops=set(),
+    )
+
+
 def minimize(d: ScanDFA) -> ScanDFA:
     """Hopcroft minimization (reference: src/nfa/dfa_min.cpp).
 

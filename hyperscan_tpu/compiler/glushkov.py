@@ -91,6 +91,10 @@ class NFAGraph:
     #  (True,  True,  a): empty input only, to = a
     #  (False, True,  a): empty match at EOD, to = len + a
     start_accepts: Set[Tuple[bool, bool, int]] = dataclasses.field(default_factory=set)
+    # positions synthesized by assertion resolution that consume the byte
+    # *before* the match start (".*[cr]" hops for \b/^m prev-context);
+    # SOM reverse scans must report the start one byte to their right
+    prev_hops: Set[int] = dataclasses.field(default_factory=set)
 
     @property
     def num_positions(self) -> int:
@@ -593,6 +597,11 @@ def build_nfa(node: Node) -> NFAGraph:
     for i, cr in enumerate(new_reach):
         reach[i] = cr.bits
 
+    hop_src = set(resolver.synth_prev.values())
+    prev_hops = {
+        nid for (p, i), nid in new_ids.items() if p in hop_src
+    }
+
     g = NFAGraph(
         reach=reach,
         anchored_first=anchored_first,
@@ -601,6 +610,7 @@ def build_nfa(node: Node) -> NFAGraph:
         accept={k: frozenset(v) for k, v in accept.items()},
         accept_eod={k: frozenset(v) for k, v in accept_eod.items()},
         start_accepts=start_accepts,
+        prev_hops=prev_hops,
     )
     return _prune(g)
 
@@ -650,4 +660,5 @@ def _prune(g: NFAGraph) -> NFAGraph:
         accept={int(remap[p]): a for p, a in g.accept.items() if keep[p]},
         accept_eod={int(remap[p]): a for p, a in g.accept_eod.items() if keep[p]},
         start_accepts=set(g.start_accepts),
+        prev_hops=rs(g.prev_hops),
     )

@@ -135,6 +135,11 @@ class LiteralEngine:
     # fid -> [(pattern_idx, max_start_to_fend, max_fend_to_end, literal_equiv)]
     factor_refs: List[List[Tuple[int, int, int, bool]]]
     validators: Dict[int, DfaEngine]  # pattern_idx -> window DFA
+    # SOM back-scan DFAs (reference: ng_som reverse NFAs): pattern_idx ->
+    # (reverse-from-accepts, reverse-from-EOD-accepts); either may be None
+    rev_validators: Dict[int, Tuple[Optional[DfaEngine], Optional[DfaEngine]]] = (
+        dataclasses.field(default_factory=dict)
+    )
 
     @property
     def num_factors(self) -> int:
@@ -207,6 +212,12 @@ class Database:
             meta["engines"].append(self._pack_engine(e, f"e{i}", arrays))
         if self.lit is not None:
             arrays["lit_masks"] = self.lit.masks
+            rv_meta = {}
+            for k, (ra, re) in self.lit.rev_validators.items():
+                rv_meta[str(k)] = [
+                    self._pack_engine(ra, f"ra{k}", arrays) if ra else None,
+                    self._pack_engine(re, f"re{k}", arrays) if re else None,
+                ]
             meta["lit"] = {
                 "factor_atoms": [
                     [list(a) for a in atoms] for atoms in self.lit.factor_atoms
@@ -217,6 +228,7 @@ class Database:
                     str(k): self._pack_engine(v, f"v{k}", arrays)
                     for k, v in self.lit.validators.items()
                 },
+                "rev_validators": rv_meta,
             }
         buf = io.BytesIO()
         np.savez(buf, meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -266,6 +278,13 @@ class Database:
                     validators={
                         int(k): cls._unpack_engine(vm, f"v{k}", z)
                         for k, vm in lm["validators"].items()
+                    },
+                    rev_validators={
+                        int(k): (
+                            cls._unpack_engine(ra, f"ra{k}", z) if ra else None,
+                            cls._unpack_engine(re, f"re{k}", z) if re else None,
+                        )
+                        for k, (ra, re) in lm.get("rev_validators", {}).items()
                     },
                 )
         return cls(
@@ -432,13 +451,17 @@ def compile_patterns(
     factor_refs: List[List[Tuple[int, int, int, bool]]] = []
     factor_objs = []
     validators: Dict[int, DfaEngine] = {}
+    rev_validators: Dict[int, Tuple] = {}
     for i, expr in enumerate(expressions):
         f = flags[i]
         validate_flags(f, i)
         if f & HS_FLAG_COMBINATION:
             raise CompileError("logical combinations not yet supported", i)
-        if f & HS_FLAG_SOM_LEFTMOST:
-            raise CompileError("HS_FLAG_SOM_LEFTMOST not yet supported", i)
+        if (f & HS_FLAG_SOM_LEFTMOST) and (f & HS_FLAG_SINGLEMATCH):
+            raise CompileError(
+                "HS_FLAG_SOM_LEFTMOST cannot be combined with "
+                "HS_FLAG_SINGLEMATCH", i
+            )
         if literal:
             data = expr if isinstance(expr, bytes) else str(expr).encode("latin-1")
             from .compiler.ast import Pos, seq as ast_seq
@@ -483,15 +506,36 @@ def compile_patterns(
         # route: literal path (Teddy + confirm + window validation) when a
         # bounded mandatory factor set exists; otherwise general engines
         routed = False
+        want_som = bool(f & HS_FLAG_SOM_LEFTMOST)
         if not g.is_vacuous():
             lr = _try_literal_route(node, g, i)
             if lr is not None:
                 fs, lit_equiv = lr
                 ok = True
-                if not lit_equiv:
+                if not lit_equiv or want_som:
                     try:
                         d = determinize([g], [i], max_states=VALIDATOR_MAX_STATES)
                         validators[i] = DfaEngine.from_scan_dfa(d)
+                        if want_som:
+                            from .compiler.dfa import reverse_graph
+
+                            rev_a = rev_e = None
+                            if g.accept:
+                                rev_a = DfaEngine.from_scan_dfa(
+                                    determinize(
+                                        [reverse_graph(g, eod=False)], [i],
+                                        max_states=VALIDATOR_MAX_STATES,
+                                    )
+                                )
+                            if g.accept_eod:
+                                rev_e = DfaEngine.from_scan_dfa(
+                                    determinize(
+                                        [reverse_graph(g, eod=True)], [i],
+                                        max_states=VALIDATOR_MAX_STATES,
+                                    )
+                                )
+                            rev_validators[i] = (rev_a, rev_e)
+                            lit_equiv = False  # SOM always validates windows
                     except DfaLimitExceeded:
                         ok = False
                 if ok:
@@ -514,6 +558,11 @@ def compile_patterns(
                         )
                     routed = True
         if not routed:
+            if want_som:
+                raise CompileError(
+                    "HS_FLAG_SOM_LEFTMOST currently requires a pattern "
+                    "with a bounded literal factor", i
+                )
             general_nfas.append(g)
             general_idx.append(i)
 
@@ -533,5 +582,6 @@ def compile_patterns(
             bucket_factors=plan.buckets,
             factor_refs=factor_refs,
             validators=validators,
+            rev_validators=rev_validators,
         )
     return Database(mode=mode, patterns=patterns, engines=engines, lit=lit)

@@ -138,13 +138,14 @@ def _jit_filter(M: int, W: int, n_cells: int, capacity: int, cap_chunks: int,
         have = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(total, capacity)
         src_global = jnp.take(gidx.reshape(-1), slot_src, axis=0)
         pos = jnp.where(have, src_global, 0)
-        words = jnp.stack(
-            [
-                jnp.where(have, jnp.take(f, src_global, axis=0), 0)
-                for f in flats
-            ]
-        )
-        return total, n_hit, pos, words
+        words = [
+            jnp.where(have, jnp.take(f, src_global, axis=0), 0) for f in flats
+        ]
+        # pack everything into two buffers to minimize host fetches (each
+        # device->host read through the dev tunnel costs a full RTT)
+        meta = jnp.stack([total, n_hit])
+        packed = jnp.stack([pos] + words)  # [1+W, capacity]
+        return meta, packed
 
     return jax.jit(run)
 
@@ -166,8 +167,8 @@ def teddy_scan_rows(
     cap_chunks = max(64, capacity // 16)
     while True:
         run = _jit_filter(M, W, n_cells, capacity, cap_chunks, interpret)
-        total, n_hit, pos, words = run(rows_all, masks, jnp.int32(n_valid))
-        total, n_hit = int(total), int(n_hit)
+        meta, packed = run(rows_all, masks, jnp.int32(n_valid))
+        total, n_hit = (int(x) for x in np.asarray(meta))
         if total <= capacity and n_hit <= cap_chunks:
             break
         if total > capacity:
@@ -175,7 +176,8 @@ def teddy_scan_rows(
         if n_hit > cap_chunks:
             cap_chunks = 1 << (n_hit - 1).bit_length()
     k = min(total, capacity)
-    return total, np.asarray(pos[:k]), np.asarray(words[:, :k])
+    got = np.asarray(packed[:, :k])
+    return total, got[0], got[1:]
 
 
 def corpus_to_rows(corpus: np.ndarray) -> np.ndarray:

@@ -21,7 +21,9 @@ from typing import Dict, List, Sequence, Set, Tuple
 
 import numpy as np
 
-Record = Tuple[int, int, int]  # (block_idx, expr_idx, to_local)
+Record = Tuple[int, int, int, int]  # (block_idx, expr_idx, to_local, from_local)
+# from_local is 0 unless the pattern has HS_FLAG_SOM_LEFTMOST, in which
+# case it is the leftmost match start (reference: som/som_runtime.c)
 
 # extra window bytes on each side covering Glushkov-synthesized boundary
 # context positions (\b / ^m / $ consume one adjacent byte; see
@@ -89,12 +91,43 @@ def _merge_spans(spans: List[Tuple[int, int, int]]) -> List[Tuple[int, int, int]
     return merged
 
 
+def _som_backscan(rev, row: np.ndarray, upto: int,
+                  at_block_start: bool) -> int:
+    """Leftmost match start (window-relative) for a match whose consumed
+    end is `upto` in this window. Reverse-DFA scan (reference analogue:
+    nfaBlockExecReverse for SOM, src/som/som_runtime.c rev-NFA ops)."""
+    s = int(rev.start_state)
+    dead = int(rev.float_state)
+    trans = rev.trans
+    b2c = rev.byte_to_class
+    aidv = rev.accept_id
+    best = None
+    completed = True
+    for j in range(upto - 1, -1, -1):
+        s = int(trans[s, int(b2c[int(row[j])])])
+        aid = int(aidv[s])
+        if aid:
+            for (_e, adj) in rev.expand_set(aid):
+                c = j + adj
+                best = c if best is None else min(best, c)
+        if s == dead:
+            completed = False
+            break
+    if completed and at_block_start:
+        aid = int(rev.accept_eod_id[s])
+        if aid:
+            for (_e, adj) in rev.expand_set(aid):
+                best = adj if best is None else min(best, adj)
+    return 0 if best is None else best
+
+
 def validate_windows(
     validator, expr_idx: int, corpus: np.ndarray,
     spans: List[Tuple[int, int, int]],
     block_starts: np.ndarray, block_ends: np.ndarray,
     block_anchored: np.ndarray, block_final: np.ndarray,
     eod_only: bool = False,
+    som_rev: Tuple = None,
 ) -> Set[Record]:
     """Lockstep numpy DFA scan over merged windows of one pattern.
 
@@ -139,20 +172,34 @@ def validate_windows(
         aids = np.where(active, accept_id[states], 0)
         for i in np.flatnonzero(aids):
             to_flat = int(starts[i]) + t + 1
+            frm = 0
+            if som_rev is not None and som_rev[0] is not None:
+                j = _som_backscan(
+                    som_rev[0], win[i], t + 1,
+                    bool((starts[i] == bs[i]) & block_anchored[blks[i]]),
+                )
+                frm = max(0, int(starts[i]) + j - int(bs[i]))
             for (eidx, adj) in validator.expand_set(int(aids[i])):
                 to_local = to_flat + adj - int(bs[i])
                 if 0 <= to_local <= int(be[i]) - int(bs[i]):
-                    recs.add((int(blks[i]), eidx, to_local))
+                    recs.add((int(blks[i]), eidx, to_local, frm))
     # EOD accepts where the window reaches the end of its block (and the
     # block really is the end of the logical data — not a mid-stream chunk)
     at_eod = (ends == be) & block_final[blks]
     eod_aids = np.where(at_eod, accept_eod_id[states], 0)
     for i in np.flatnonzero(eod_aids):
         blen = int(be[i]) - int(bs[i])
+        frm = 0
+        if som_rev is not None and som_rev[1] is not None:
+            j = _som_backscan(
+                som_rev[1], win[i], int(lens[i]),
+                bool((starts[i] == bs[i]) & block_anchored[blks[i]]),
+            )
+            frm = max(0, int(starts[i]) + j - int(bs[i]))
         for (eidx, adj) in validator.expand_set(int(eod_aids[i])):
             to_local = blen + adj
             if 0 <= to_local <= blen:
-                recs.add((int(blks[i]), eidx, to_local))
+                recs.add((int(blks[i]), eidx, to_local, frm))
     return recs
 
 
@@ -204,7 +251,7 @@ def finish_literal_scan(
         for (eidx, max_s2f, max_f2e, lit_equiv) in lit.factor_refs[fid]:
             if lit_equiv:
                 if not eod_only:
-                    recs.add((b, eidx, fe - bs))
+                    recs.add((b, eidx, fe - bs, 0))
             else:
                 ws = max(bs, fe - max_s2f - WINDOW_SLACK)
                 we = min(be, fe + max_f2e + WINDOW_SLACK)
@@ -215,5 +262,6 @@ def finish_literal_scan(
         recs |= validate_windows(
             v, eidx, corpus, spans, block_starts, block_ends,
             block_anchored, block_final, eod_only=eod_only,
+            som_rev=lit.rev_validators.get(eidx),
         )
     return recs

@@ -114,16 +114,11 @@ def scan_blocks_raw(
             if int(lens.sum())
             else np.zeros(0, dtype=np.uint8)
         )
-        for (bi, eidx, to) in scan_literal_path(db, corpus, starts, ends):
-            per_block[bi].add((eidx, to))
+        for (bi, eidx, to, frm) in scan_literal_path(db, corpus, starts, ends):
+            per_block[bi].add((eidx, to, frm))
 
     if not db.engines:
-        out = []
-        for bi in range(B):
-            n = len(blocks[bi])
-            recs = sorted((t, e) for (e, t) in per_block[bi] if 0 <= t <= n)
-            out.append([(e, t) for (t, e) in recs])
-        return out
+        return [_order_records(per_block[bi], len(blocks[bi])) for bi in range(B)]
 
     maxlen = max((len(b) for b in blocks), default=0)
     L = _bucket_len(maxlen)
@@ -153,35 +148,41 @@ def scan_blocks_raw(
         tos = np.asarray(tos[:k])
         for j in range(k):
             for (eid, adj) in engine.expand_set(int(set_ids[j])):
-                per_block[int(blks[j])].add((eid, int(tos[j]) + adj))
+                per_block[int(blks[j])].add((eid, int(tos[j]) + adj, 0))
         # EOD accepts
         eod_sets = np.asarray(eod_sets)
         for bi in range(B):
             sid = int(eod_sets[bi])
             if sid:
                 for (eid, adj) in engine.expand_set(sid):
-                    per_block[bi].add((eid, int(lengths[bi]) + adj))
+                    per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
         # empty-match reports
         for (anchored, eod, adj, eid) in engine.start_reports:
             for bi in range(B):
                 n = int(lengths[bi])
                 if anchored and eod:
                     if n == 0:
-                        per_block[bi].add((eid, adj))
+                        per_block[bi].add((eid, adj, 0))
                 elif anchored:
-                    per_block[bi].add((eid, adj))
+                    per_block[bi].add((eid, adj, 0))
                 elif eod:
-                    per_block[bi].add((eid, n + adj))
+                    per_block[bi].add((eid, n + adj, 0))
                 else:
                     for e in range(n + 1):
-                        per_block[bi].add((eid, e + adj))
+                        per_block[bi].add((eid, e + adj, 0))
 
-    out = []
-    for bi in range(B):
-        n = int(lengths[bi])
-        recs = sorted((t, e) for (e, t) in per_block[bi] if 0 <= t <= n)
-        out.append([(e, t) for (t, e) in recs])
-    return out
+    return [_order_records(per_block[bi], int(lengths[bi])) for bi in range(B)]
+
+
+def _order_records(recs, n: int) -> List[Tuple[int, int, int]]:
+    """Bound-check, min-merge SOM starts per (expr, to), order by offset."""
+    best = {}
+    for (e, t, frm) in recs:
+        if 0 <= t <= n:
+            k = (t, e)
+            if k not in best or frm < best[k]:
+                best[k] = frm
+    return [(e, t, best[(t, e)]) for (t, e) in sorted(best)]
 
 
 def finalize_reports(
@@ -200,7 +201,9 @@ def finalize_reports(
     if seen_single is None:
         seen_single = set()
     out: List[Match] = []
-    for (eidx, to) in records:
+    for rec in records:
+        eidx, to = rec[0], rec[1]
+        frm = rec[2] if len(rec) > 2 else 0
         p = db.patterns[eidx]
         if to < p.min_offset or to > p.max_offset:
             continue
@@ -210,10 +213,10 @@ def finalize_reports(
             if eidx in seen_single:
                 continue
             seen_single.add(eidx)
-        m = (p.external_id, 0, to)
+        m = (p.external_id, frm, to)
         out.append(m)
         if callback is not None:
-            if callback(p.external_id, 0, to, 0):
+            if callback(p.external_id, frm, to, 0):
                 return out, True
     return out, False
 

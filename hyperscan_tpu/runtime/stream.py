@@ -123,7 +123,7 @@ def _engine_pass(db, streams, chunks, recs_abs):
                 for (eidx, adj) in engine.expand_set(int(accepts[bi, i])):
                     to_abs = st.offset + int(i) + 1 + adj
                     if to_abs >= 0:
-                        recs_abs[bi].add((eidx, to_abs))
+                        recs_abs[bi].add((eidx, to_abs, 0))
             st.engine_states[ei] = int(finals[bi])
         # vacuous float reports at every new offset
         for bi, st in enumerate(streams):
@@ -133,12 +133,12 @@ def _engine_pass(db, streams, chunks, recs_abs):
                     continue  # EOD start reports fire at close
                 if anchored:
                     if st.offset == 0:
-                        recs_abs[bi].add((eid, adj))
+                        recs_abs[bi].add((eid, adj, 0))
                 else:
                     lo = 0 if st.offset == 0 else st.offset + 1
                     for e in range(lo, st.offset + n + 1):
                         if e + adj >= 0:
-                            recs_abs[bi].add((eid, e + adj))
+                            recs_abs[bi].add((eid, e + adj, 0))
 
 
 def scan_streams(
@@ -182,32 +182,32 @@ def scan_streams(
         final = np.zeros(B, dtype=bool)
         from .lit_runtime import scan_literal_path
 
-        for (bi, eidx, to_local) in scan_literal_path(
+        for (bi, eidx, to_local, frm) in scan_literal_path(
             db, corpus, starts, ends,
             block_anchored=anchored, block_final=final,
         ):
             st = streams[bi]
-            to_abs = st.offset - len(st.history) + to_local
+            base = st.offset - len(st.history)
+            to_abs = base + to_local
             # history rescan duplicates: anything ending at or before the
             # previous write boundary was reported then
             if to_abs > st.offset or (
                 to_abs == st.offset and (eidx, to_abs) not in st.recent
             ):
-                recs_abs[bi].add((eidx, to_abs))
+                recs_abs[bi].add((eidx, to_abs, base + frm))
 
     _engine_pass(db, streams, chunks, recs_abs)
 
     out: List[List[Match]] = []
     hist_req = history_required(db)
     for bi, st in enumerate(streams):
-        ordered = sorted((t, e) for (e, t) in recs_abs[bi])
         ms, terminated = finalize_reports(
-            db, [(e, t) for (t, e) in ordered], callbacks[bi],
+            db, _order_abs(recs_abs[bi]), callbacks[bi],
             seen_single=st.seen_single,
         )
         st.terminated = st.terminated or terminated
         new_off = st.offset + len(chunks[bi])
-        st.recent = {(e, t) for (e, t) in recs_abs[bi] if t >= new_off}
+        st.recent = {(e, t) for (e, t, _f) in recs_abs[bi] if t >= new_off}
         ext = st.history + chunks[bi]
         st.history = ext[-hist_req:] if hist_req else b""
         st.offset = new_off
@@ -225,11 +225,21 @@ def scan_stream(
     return scan_streams(stream.db, [stream], [data], [callback])[0]
 
 
-def _eod_pass(stream: Stream) -> List[Tuple[int, int]]:
+def _order_abs(recs) -> List[Tuple[int, int, int]]:
+    """Min-merge SOM starts per (expr, to) and order by absolute offset."""
+    best = {}
+    for (e, t, frm) in recs:
+        k = (t, e)
+        if k not in best or frm < best[k]:
+            best[k] = frm
+    return [(e, t, best[(t, e)]) for (t, e) in sorted(best)]
+
+
+def _eod_pass(stream: Stream) -> List[Tuple[int, int, int]]:
     """Collect EOD-only records at stream end (reference:
     report_eod_matches, src/runtime.c:632)."""
     db = stream.db
-    recs: Set[Tuple[int, int]] = set()
+    recs: Set[Tuple[int, int, int]] = set()
     n = stream.offset
     # general engines: final-state EOD accepts + vacuous EOD reports
     for ei, engine in enumerate(db.engines):
@@ -237,15 +247,15 @@ def _eod_pass(stream: Stream) -> List[Tuple[int, int]]:
         if sid:
             for (eidx, adj) in engine.expand_set(sid):
                 if n + adj >= 0:
-                    recs.add((eidx, n + adj))
+                    recs.add((eidx, n + adj, 0))
         for (anchored, eod, adj, eid) in engine.start_reports:
             if not eod:
                 continue
             if anchored:
                 if n == 0 and adj >= 0:
-                    recs.add((eid, adj))
+                    recs.add((eid, adj, 0))
             elif n + adj >= 0:
-                recs.add((eid, n + adj))
+                recs.add((eid, n + adj, 0))
     # literal path: rescan history with EOD semantics, keep only EOD records
     if db.lit is not None and stream.history:
         hist = np.frombuffer(stream.history, np.uint8)
@@ -256,13 +266,13 @@ def _eod_pass(stream: Stream) -> List[Tuple[int, int]]:
         from .lit_runtime import scan_literal_path
 
         base = stream.offset - len(stream.history)
-        for (_bi, eidx, to_local) in scan_literal_path(
+        for (_bi, eidx, to_local, frm) in scan_literal_path(
             db, hist, starts, ends,
             block_anchored=anchored, block_final=final,
             eod_only=True,
         ):
-            recs.add((eidx, base + to_local))
-    return sorted((t, e) for (e, t) in recs)
+            recs.add((eidx, base + to_local, base + frm))
+    return _order_abs(recs)
 
 
 def close_stream(
@@ -274,9 +284,8 @@ def close_stream(
         raise InvalidError("stream already closed")
     ms: List[Match] = []
     if not stream.terminated:
-        ordered = _eod_pass(stream)
         ms, _t = finalize_reports(
-            stream.db, [(e, t) for (t, e) in ordered], callback,
+            stream.db, _eod_pass(stream), callback,
             seen_single=stream.seen_single,
         )
     stream.closed = True
@@ -290,9 +299,8 @@ def reset_stream(
     (if a callback is supplied), then reinitialize for reuse."""
     ms: List[Match] = []
     if callback is not None and not stream.terminated:
-        ordered = _eod_pass(stream)
         ms, _t = finalize_reports(
-            stream.db, [(e, t) for (t, e) in ordered], callback,
+            stream.db, _eod_pass(stream), callback,
             seen_single=stream.seen_single,
         )
     stream.offset = 0

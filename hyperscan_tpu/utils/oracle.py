@@ -134,6 +134,18 @@ def ast_match_ends(node: Node, data: bytes) -> Set[int]:
     return ends
 
 
+def ast_leftmost_som(node: Node, data: bytes) -> Dict[int, int]:
+    """SOM ground truth: end offset → leftmost start offset over all
+    matches ending there (reference: HS_FLAG_SOM_LEFTMOST semantics,
+    src/hs_compile.h:963-1005)."""
+    memo: Dict = {}
+    out: Dict[int, int] = {}
+    for s in range(len(data) + 1):
+        for e in _ends(node, data, s, memo):
+            out.setdefault(e, s)  # ascending s → first recorded is leftmost
+    return out
+
+
 def nfa_match_ends(g: NFAGraph, data: bytes) -> Set[int]:
     """Simulate the position NFA; return the set of match end offsets."""
     n = len(data)
