@@ -65,6 +65,10 @@ class PatternInfo:
     max_offset: int = UNBOUNDED
     min_width: int = 0
     max_width: Optional[int] = None  # None = unbounded
+    # logical-combination AST in jsonable form (reference: CombInfo,
+    # src/rose/rose_internal.h + parseLogicalCombination); None for
+    # ordinary patterns
+    combination: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -167,6 +171,20 @@ class Database:
 
     def state_count(self) -> int:
         return sum(e.num_states for e in self.engines)
+
+    def combos(self) -> List[Tuple[int, object, frozenset]]:
+        """[(pattern_idx, ast, referenced external ids)] for combination
+        patterns (cached; reference: CombInfo map)."""
+        if not hasattr(self, "_combo_cache"):
+            from .compiler.logical import from_jsonable, referenced_ids
+
+            out = []
+            for i, p in enumerate(self.patterns):
+                if p.combination is not None:
+                    ast = from_jsonable(p.combination)
+                    out.append((i, ast, frozenset(referenced_ids(ast))))
+            self._combo_cache = out
+        return self._combo_cache
 
     # -- serialization (reference: src/database.c:62,200) -------------------
     _ENGINE_ARRAYS = (
@@ -452,11 +470,30 @@ def compile_patterns(
     factor_objs = []
     validators: Dict[int, DfaEngine] = {}
     rev_validators: Dict[int, Tuple] = {}
+    combination_specs: List[Tuple[int, object, set]] = []
     for i, expr in enumerate(expressions):
         f = flags[i]
         validate_flags(f, i)
         if f & HS_FLAG_COMBINATION:
-            raise CompileError("logical combinations not yet supported", i)
+            if f & HS_FLAG_SOM_LEFTMOST:
+                raise CompileError(
+                    "HS_FLAG_COMBINATION cannot be combined with SOM", i
+                )
+            from .compiler.logical import parse_combination, referenced_ids
+
+            ast = parse_combination(str(expr), i)
+            combination_specs.append((i, ast, referenced_ids(ast)))
+            e = ext[i] or ExprExt()
+            patterns.append(
+                PatternInfo(
+                    external_id=ids[i],
+                    flags=f,
+                    min_offset=e.min_offset,
+                    max_offset=e.max_offset,
+                    combination=[],  # filled after validation below
+                )
+            )
+            continue
         if (f & HS_FLAG_SOM_LEFTMOST) and (f & HS_FLAG_SINGLEMATCH):
             raise CompileError(
                 "HS_FLAG_SOM_LEFTMOST cannot be combined with "
@@ -565,6 +602,25 @@ def compile_patterns(
                 )
             general_nfas.append(g)
             general_idx.append(i)
+
+    # validate + attach combination ASTs (referenced ids must name ordinary
+    # sub-expressions in this database; reference: parseLogicalCombination)
+    if combination_specs:
+        from .compiler.logical import to_jsonable
+
+        sub_ids = {
+            p.external_id
+            for j, p in enumerate(patterns)
+            if p.combination is None
+        }
+        for (i, ast, refs) in combination_specs:
+            missing = refs - sub_ids
+            if missing:
+                raise CompileError(
+                    f"logical combination references unknown sub-expression "
+                    f"id(s) {sorted(missing)}", i
+                )
+            patterns[i].combination = to_jsonable(ast)
 
     engines = (
         _build_engines(general_nfas, general_idx, max_states)

@@ -185,28 +185,99 @@ def _order_records(recs, n: int) -> List[Tuple[int, int, int]]:
     return [(e, t, best[(t, e)]) for (t, e) in sorted(best)]
 
 
+def _expand_combinations(
+    db: Database,
+    records: List[Tuple[int, int, int]],
+    matched: set,
+    at_end: bool,
+    end_offset: int,
+) -> List[Tuple[int, int, int]]:
+    """Insert logical-combination reports into the event stream.
+
+    Reference semantics (src/rose/program_runtime.c SET_LOGICAL /
+    FLUSH_COMBINATION / LAST_FLUSH_COMBINATION): combinations referenced by
+    any sub-expression matching at offset X are flushed once all events at
+    X are processed; at end of data, combinations true with *none* of their
+    referenced sub-expressions matched report at the data end (purely
+    negative combinations)."""
+    from ..compiler.logical import evaluate
+
+    combos = db.combos()
+    out: List[Tuple[int, int, int]] = []
+    active: set = set()
+    prev_to: Optional[int] = None
+
+    def flush(to: int) -> None:
+        for ci in sorted(active):
+            eidx, ast, _refs = combos[ci]
+            if evaluate(ast, matched):
+                out.append((eidx, to, 0))
+        active.clear()
+
+    for (eidx, to, frm) in records:
+        if prev_to is not None and to != prev_to:
+            flush(prev_to)
+        prev_to = to
+        out.append((eidx, to, frm))
+        xid = db.patterns[eidx].external_id
+        matched.add(xid)
+        for ci, (_ce, _ast, refs) in enumerate(combos):
+            if xid in refs:
+                active.add(ci)
+    if prev_to is not None:
+        flush(prev_to)
+    if at_end:
+        for (ceidx, ast, refs) in combos:
+            if refs.isdisjoint(matched) and evaluate(ast, matched):
+                out.append((ceidx, end_offset, 0))
+    return out
+
+
 def finalize_reports(
     db: Database,
     records: List[Tuple[int, int]],
     callback: Optional[Callable[[int, int, int, int], int]] = None,
     seen_single: Optional[set] = None,
+    combo_matched: Optional[set] = None,
+    at_end: bool = True,
+    end_offset: Optional[int] = None,
 ) -> Tuple[List[Match], bool]:
     """Apply report semantics and deliver matches in offset order.
 
     Returns (matches, terminated). `terminated` is True if a callback
     returned nonzero (reference: HS_SCAN_TERMINATED, src/hs_runtime.h:78).
-    `seen_single` carries SINGLEMATCH state across calls (streaming: the
-    stream owns it for its whole lifetime).
+    `seen_single` and `combo_matched` carry SINGLEMATCH / logical-vector
+    state across calls (streaming: the stream owns them for its lifetime).
     """
     if seen_single is None:
         seen_single = set()
-    out: List[Match] = []
+
+    # stage 1: per-pattern offset bounds (sub-expression guards run before
+    # combinations see the event — reference: CHECK_BOUNDS precedes
+    # SET_LOGICAL in the literal program)
+    recs: List[Tuple[int, int, int]] = []
     for rec in records:
         eidx, to = rec[0], rec[1]
         frm = rec[2] if len(rec) > 2 else 0
         p = db.patterns[eidx]
-        if to < p.min_offset or to > p.max_offset:
-            continue
+        if p.min_offset <= to <= p.max_offset:
+            recs.append((eidx, to, frm))
+
+    # stage 2: logical combinations
+    if db.combos():
+        if end_offset is None:
+            end_offset = recs[-1][1] if recs else 0
+        recs = _expand_combinations(
+            db, recs, combo_matched if combo_matched is not None else set(),
+            at_end, end_offset,
+        )
+
+    # stage 3: delivery (QUIET / SINGLEMATCH / callback)
+    out: List[Match] = []
+    for (eidx, to, frm) in recs:
+        p = db.patterns[eidx]
+        if p.combination is not None and not (p.min_offset <= to <= p.max_offset):
+            continue  # combination's own ext bounds, checked at flush time
         if p.flags & HS_FLAG_QUIET:
             continue
         if p.flags & HS_FLAG_SINGLEMATCH:
@@ -238,7 +309,7 @@ def scan_block(
     scratch.in_use = True
     try:
         recs = scan_blocks_raw(db, [bytes(data)], scratch.capacity)[0]
-        return finalize_reports(db, recs, callback)
+        return finalize_reports(db, recs, callback, end_offset=len(data))
     finally:
         scratch.in_use = False
 
@@ -255,4 +326,7 @@ def scan_batch(
         raise DbModeError("database not compiled for block mode")
     scratch = scratch or Scratch()
     all_recs = scan_blocks_raw(db, [bytes(b) for b in blocks], scratch.capacity)
-    return [finalize_reports(db, recs)[0] for recs in all_recs]
+    return [
+        finalize_reports(db, recs, end_offset=len(blocks[i]))[0]
+        for i, recs in enumerate(all_recs)
+    ]

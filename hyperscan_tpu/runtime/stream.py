@@ -61,6 +61,8 @@ class Stream:
     terminated: bool = False
     closed: bool = False
     seen_single: Set[int] = dataclasses.field(default_factory=set)
+    # logical vector: external ids matched so far (reference: logicalVector)
+    combo_matched: Set[int] = dataclasses.field(default_factory=set)
     # (expr_idx, to_abs) reported near the last write boundary, used to
     # dedupe the literal path's history rescan
     recent: Set[Tuple[int, int]] = dataclasses.field(default_factory=set)
@@ -84,6 +86,7 @@ def copy_stream(stream: Stream) -> Stream:
         stream,
         engine_states=list(stream.engine_states),
         seen_single=set(stream.seen_single),
+        combo_matched=set(stream.combo_matched),
         recent=set(stream.recent),
     )
 
@@ -204,6 +207,7 @@ def scan_streams(
         ms, terminated = finalize_reports(
             db, _order_abs(recs_abs[bi]), callbacks[bi],
             seen_single=st.seen_single,
+            combo_matched=st.combo_matched, at_end=False,
         )
         st.terminated = st.terminated or terminated
         new_off = st.offset + len(chunks[bi])
@@ -287,6 +291,8 @@ def close_stream(
         ms, _t = finalize_reports(
             stream.db, _eod_pass(stream), callback,
             seen_single=stream.seen_single,
+            combo_matched=stream.combo_matched,
+            at_end=True, end_offset=stream.offset,
         )
     stream.closed = True
     return ms
@@ -302,12 +308,15 @@ def reset_stream(
         ms, _t = finalize_reports(
             stream.db, _eod_pass(stream), callback,
             seen_single=stream.seen_single,
+            combo_matched=stream.combo_matched,
+            at_end=True, end_offset=stream.offset,
         )
     stream.offset = 0
     stream.history = b""
     stream.terminated = False
     stream.closed = False
     stream.seen_single = set()
+    stream.combo_matched = set()
     stream.recent = set()
     stream._init_states()
     return ms
@@ -336,6 +345,9 @@ def compress_stream(stream: Stream) -> bytes:
     ss = sorted(stream.seen_single)
     parts.append(struct.pack("<I", len(ss)))
     parts.append(struct.pack(f"<{len(ss)}i", *ss))
+    cm = sorted(stream.combo_matched)
+    parts.append(struct.pack("<I", len(cm)))
+    parts.append(struct.pack(f"<{len(cm)}i", *cm))
     rr = sorted(stream.recent)
     parts.append(struct.pack("<I", len(rr)))
     for (e, t) in rr:
@@ -358,6 +370,10 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     off += 4
     seen = set(struct.unpack_from(f"<{nss}i", buf, off))
     off += 4 * nss
+    (ncm,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    cmatched = set(struct.unpack_from(f"<{ncm}i", buf, off))
+    off += 4 * ncm
     (nrr,) = struct.unpack_from("<I", buf, off)
     off += 4
     recent = set()
@@ -374,6 +390,7 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     s.closed = bool(closed)
     s.engine_states = states
     s.seen_single = seen
+    s.combo_matched = cmatched
     s.recent = recent
     return s
 
