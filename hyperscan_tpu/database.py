@@ -513,14 +513,25 @@ def compile_patterns(
         else:
             node = parse(expr, f, i)
         g = build_nfa(node)
+        e = ext[i] or ExprExt()
+        fuzzy = bool(e.edit_distance or e.hamming_distance)
+        if fuzzy:
+            if e.edit_distance and e.hamming_distance:
+                raise CompileError(
+                    "edit_distance and hamming_distance are exclusive", i
+                )
+            if f & HS_FLAG_SOM_LEFTMOST:
+                raise CompileError(
+                    "approximate matching does not support SOM", i
+                )
+            from .compiler.fuzzy import fuzzy_graph
+
+            g = fuzzy_graph(g, e.edit_distance, e.hamming_distance)
         if g.is_vacuous() and not (f & HS_FLAG_ALLOWEMPTY):
             raise CompileError(
                 "expression matches an empty buffer; use HS_FLAG_ALLOWEMPTY", i
             )
         min_w, max_w = _nfa_widths(g)
-        e = ext[i] or ExprExt()
-        if e.edit_distance or e.hamming_distance:
-            raise CompileError("approximate matching not yet supported", i)
         if e.min_length:
             # exact without SOM only when every match has width ≥ min_length
             if min_w < e.min_length:
@@ -544,7 +555,8 @@ def compile_patterns(
         # bounded mandatory factor set exists; otherwise general engines
         routed = False
         want_som = bool(f & HS_FLAG_SOM_LEFTMOST)
-        if not g.is_vacuous():
+        if not g.is_vacuous() and not fuzzy:  # fuzzed factors can be edited
+            # away, so fuzzy patterns always use the general engines
             lr = _try_literal_route(node, g, i)
             if lr is not None:
                 fs, lit_equiv = lr
