@@ -210,13 +210,19 @@ def scan_literal_path(
     eod_only: bool = False,
 ) -> Set[Record]:
     """Full literal pipeline for one flat corpus of concatenated blocks."""
-    from ..ops.teddy import teddy_scan
-
     lit = db.lit
     if lit is None or corpus.shape[0] == 0:
         return set()
 
-    _total, pos, words = teddy_scan(corpus, lit.masks, capacity)
+    from .smallwrite import HOST_SCAN_LIMIT, teddy_filter_host
+
+    if corpus.shape[0] <= HOST_SCAN_LIMIT:
+        # small-write path: host shift-AND, no device round trip
+        pos, words = teddy_filter_host(corpus, lit.masks)
+    else:
+        from ..ops.teddy import teddy_scan
+
+        _total, pos, words = teddy_scan(corpus, lit.masks, capacity)
     return finish_literal_scan(
         db, corpus, block_starts, block_ends, pos, words,
         block_anchored=block_anchored, block_final=block_final,

@@ -121,6 +121,31 @@ def scan_blocks_raw(
         return [_order_records(per_block[bi], len(blocks[bi])) for bi in range(B)]
 
     maxlen = max((len(b) for b in blocks), default=0)
+    total_bytes = sum(len(b) for b in blocks)
+    from .smallwrite import HOST_SCAN_LIMIT, dfa_scan_host
+
+    if total_bytes <= HOST_SCAN_LIMIT:
+        # small-write path (reference: runSmallWriteEngine): host numpy
+        data = np.zeros((B, max(1, maxlen)), dtype=np.uint8)
+        lengths = np.zeros((B,), dtype=np.int32)
+        for i, blk in enumerate(blocks):
+            data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
+            lengths[i] = len(blk)
+        for engine in db.engines:
+            hits, finals = dfa_scan_host(engine, data, lengths)
+            for bi in range(B):
+                for (t, sid) in hits[bi]:
+                    for (eid, adj) in engine.expand_set(sid):
+                        per_block[bi].add((eid, t + 1 + adj, 0))
+                sid = int(engine.accept_eod_id[finals[bi]])
+                if sid:
+                    for (eid, adj) in engine.expand_set(sid):
+                        per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
+            _add_start_reports(engine, per_block, lengths)
+        return [
+            _order_records(per_block[bi], int(lengths[bi])) for bi in range(B)
+        ]
+
     L = _bucket_len(maxlen)
     data = np.zeros((B, L), dtype=np.uint8)
     lengths = np.zeros((B,), dtype=np.int32)
@@ -156,22 +181,27 @@ def scan_blocks_raw(
             if sid:
                 for (eid, adj) in engine.expand_set(sid):
                     per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
-        # empty-match reports
-        for (anchored, eod, adj, eid) in engine.start_reports:
-            for bi in range(B):
-                n = int(lengths[bi])
-                if anchored and eod:
-                    if n == 0:
-                        per_block[bi].add((eid, adj, 0))
-                elif anchored:
-                    per_block[bi].add((eid, adj, 0))
-                elif eod:
-                    per_block[bi].add((eid, n + adj, 0))
-                else:
-                    for e in range(n + 1):
-                        per_block[bi].add((eid, e + adj, 0))
+        _add_start_reports(engine, per_block, lengths)
 
     return [_order_records(per_block[bi], int(lengths[bi])) for bi in range(B)]
+
+
+def _add_start_reports(engine, per_block, lengths) -> None:
+    """Empty-match reports (vacuous patterns; reference: boundary
+    programs, roseRunBoundaryProgram)."""
+    for (anchored, eod, adj, eid) in engine.start_reports:
+        for bi in range(len(per_block)):
+            n = int(lengths[bi])
+            if anchored and eod:
+                if n == 0:
+                    per_block[bi].add((eid, adj, 0))
+            elif anchored:
+                per_block[bi].add((eid, adj, 0))
+            elif eod:
+                per_block[bi].add((eid, n + adj, 0))
+            else:
+                for e in range(n + 1):
+                    per_block[bi].add((eid, e + adj, 0))
 
 
 def _order_records(recs, n: int) -> List[Tuple[int, int, int]]:

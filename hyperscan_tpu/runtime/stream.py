@@ -102,21 +102,38 @@ def _engine_pass(db, streams, chunks, recs_abs):
 
     B = len(streams)
     maxlen = max(len(c) for c in chunks)
-    L = _bucket_len(max(1, maxlen))
+    total_bytes = sum(len(c) for c in chunks)
+    from .smallwrite import HOST_SCAN_LIMIT, dfa_scan_host
+
+    host = total_bytes <= HOST_SCAN_LIMIT
+    L = max(1, maxlen) if host else _bucket_len(max(1, maxlen))
     data = np.zeros((B, L), dtype=np.uint8)
     lengths = np.zeros((B,), dtype=np.int32)
     for i, c in enumerate(chunks):
         a = np.frombuffer(c, dtype=np.uint8)
         data[i, : len(a)] = a
         lengths[i] = len(a)
-    data_d = jnp.asarray(data)
-    len_d = jnp.asarray(lengths)
+    if not host:
+        data_d = jnp.asarray(data)
+        len_d = jnp.asarray(lengths)
 
     for ei, engine in enumerate(db.engines):
-        trans, b2c, acc, acce, _ss = _engine_device_arrays(engine)
-        init = jnp.asarray(
-            [st.engine_states[ei] for st in streams], dtype=jnp.int32
+        init_np = np.asarray(
+            [st.engine_states[ei] for st in streams], dtype=np.int32
         )
+        if host:
+            hits, finals = dfa_scan_host(engine, data, lengths, init_np)
+            for bi, st in enumerate(streams):
+                for (t, sid) in hits[bi]:
+                    for (eidx, adj) in engine.expand_set(sid):
+                        to_abs = st.offset + t + 1 + adj
+                        if to_abs >= 0:
+                            recs_abs[bi].add((eidx, to_abs, 0))
+                st.engine_states[ei] = int(finals[bi])
+            _vacuous_stream_reports(engine, streams, chunks, recs_abs)
+            continue
+        trans, b2c, acc, acce, _ss = _engine_device_arrays(engine)
+        init = jnp.asarray(init_np)
         accepts, finals = dfa_scan_batch(trans, b2c, acc, init, data_d, len_d)
         accepts = np.asarray(accepts)
         finals = np.asarray(finals)
@@ -128,20 +145,24 @@ def _engine_pass(db, streams, chunks, recs_abs):
                     if to_abs >= 0:
                         recs_abs[bi].add((eidx, to_abs, 0))
             st.engine_states[ei] = int(finals[bi])
-        # vacuous float reports at every new offset
-        for bi, st in enumerate(streams):
-            n = len(chunks[bi])
-            for (anchored, eod, adj, eid) in engine.start_reports:
-                if eod:
-                    continue  # EOD start reports fire at close
-                if anchored:
-                    if st.offset == 0:
-                        recs_abs[bi].add((eid, adj, 0))
-                else:
-                    lo = 0 if st.offset == 0 else st.offset + 1
-                    for e in range(lo, st.offset + n + 1):
-                        if e + adj >= 0:
-                            recs_abs[bi].add((eid, e + adj, 0))
+        _vacuous_stream_reports(engine, streams, chunks, recs_abs)
+
+
+def _vacuous_stream_reports(engine, streams, chunks, recs_abs) -> None:
+    """Empty-match reports at every new offset of this write."""
+    for bi, st in enumerate(streams):
+        n = len(chunks[bi])
+        for (anchored, eod, adj, eid) in engine.start_reports:
+            if eod:
+                continue  # EOD start reports fire at close
+            if anchored:
+                if st.offset == 0:
+                    recs_abs[bi].add((eid, adj, 0))
+            else:
+                lo = 0 if st.offset == 0 else st.offset + 1
+                for e in range(lo, st.offset + n + 1):
+                    if e + adj >= 0:
+                        recs_abs[bi].add((eid, e + adj, 0))
 
 
 def scan_streams(
