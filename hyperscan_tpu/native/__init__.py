@@ -1,0 +1,156 @@
+"""ctypes bindings for the native host scanning runtime.
+
+The shared library is built lazily with g++ (see build()); callers fall
+back to numpy implementations when unavailable (no compiler, build
+failure). Set HSTPU_NO_NATIVE=1 to force the numpy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    src = pathlib.Path(__file__).with_name("scan.cpp")
+    code = src.read_bytes()
+    tag = hashlib.sha256(code).hexdigest()[:16]
+    cache = pathlib.Path(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    ) / "hyperscan_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / f"libhstpu_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".so.tmp")
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", str(tmp), str(src),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+        os.replace(tmp, so)
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+
+    lib.hstpu_dfa_scan_batch.restype = ctypes.c_int64
+    lib.hstpu_dfa_scan_batch.argtypes = [
+        _I32P, ctypes.c_int32, _I32P, _I32P,
+        _U8P, ctypes.c_int64, ctypes.c_int64, _I32P,
+        _I32P, _I32P, _I32P, _I32P, ctypes.c_int64,
+    ]
+    lib.hstpu_teddy_filter.restype = ctypes.c_int64
+    lib.hstpu_teddy_filter.argtypes = [
+        _I32P, ctypes.c_int32, ctypes.c_int32,
+        _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
+    ]
+    lib.hstpu_dfa_scan_one.restype = ctypes.c_int64
+    lib.hstpu_dfa_scan_one.argtypes = [
+        _I32P, ctypes.c_int32, _I32P, _I32P,
+        _U8P, ctypes.c_int64, ctypes.c_int32,
+        _I32P, _I32P, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if os.environ.get("HSTPU_NO_NATIVE"):
+        return None
+    with _lock:
+        if not _tried:
+            _tried = True
+            _lib = _build()
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# --- typed wrappers (numpy in, numpy out) -----------------------------------
+
+
+def _engine_c_arrays(engine):
+    """Cache C-contiguous int32 views of an engine's tables."""
+    if not hasattr(engine, "_c_arrays"):
+        engine._c_arrays = (
+            np.ascontiguousarray(engine.trans, dtype=np.int32),
+            np.ascontiguousarray(
+                engine.byte_to_class.astype(np.int32)
+            ),
+            np.ascontiguousarray(engine.accept_id, dtype=np.int32),
+        )
+    return engine._c_arrays
+
+
+def dfa_scan_batch_native(engine, data, lengths, init_states):
+    """Returns (hits per row [(pos, aid)...], final_states) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    trans, b2c, accept_id = _engine_c_arrays(engine)
+    B, L = data.shape
+    data = np.ascontiguousarray(data)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    states = np.ascontiguousarray(init_states, dtype=np.int32).copy()
+    cap = 4096
+    while True:
+        out_row = np.empty(cap, np.int32)
+        out_pos = np.empty(cap, np.int32)
+        out_aid = np.empty(cap, np.int32)
+        states_run = states.copy()
+        n = lib.hstpu_dfa_scan_batch(
+            trans, trans.shape[1], b2c, accept_id,
+            data, B, L, lengths, states_run,
+            out_row, out_pos, out_aid, cap,
+        )
+        if n <= cap:
+            break
+        cap = 1 << int(n - 1).bit_length()
+    hits = [[] for _ in range(B)]
+    for j in range(int(n)):
+        hits[int(out_row[j])].append((int(out_pos[j]), int(out_aid[j])))
+    return hits, states_run
+
+
+def teddy_filter_native(corpus, masks):
+    """Returns (pos, words) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    M, W, _ = masks.shape
+    masks = np.ascontiguousarray(masks, dtype=np.int32)
+    corpus = np.ascontiguousarray(corpus)
+    n = corpus.shape[0]
+    cap = max(1024, n // 64)
+    while True:
+        out_pos = np.empty(cap, np.int64)
+        out_words = np.empty((W, cap), np.int32)
+        cnt = lib.hstpu_teddy_filter(
+            masks, M, W, corpus, n, out_pos, out_words, cap
+        )
+        if cnt <= cap:
+            break
+        cap = 1 << int(cnt - 1).bit_length()
+    k = int(cnt)
+    return out_pos[:k], out_words[:, :k]

@@ -1,0 +1,106 @@
+// Native host scanning runtime.
+//
+// TPU-native framework split: device kernels (Pallas/XLA) handle bulk
+// corpus scanning; this C++ library is the host runtime for the latency
+// paths — small-write scans, streaming writes, and window validation —
+// mirroring the reference's pure-C run side (src/nfa/mcclellan.c byte
+// loop, src/fdr shift-or, src/rose window re-scan semantics).
+//
+// Built with build.py (g++ -O3 -shared); loaded via ctypes; every entry
+// point has a numpy fallback with identical semantics.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Lockstep DFA over a [B, L] byte batch.
+// trans: [S*C] row-major, b2c: [256], accept_id: [S], states: [B] in/out.
+// Emits (row, pos, accept_set_id) triples into out_* (capacity cap).
+// Returns the true number of hits (may exceed cap; caller re-runs).
+int64_t hstpu_dfa_scan_batch(
+    const int32_t* trans, int32_t C,
+    const int32_t* b2c, const int32_t* accept_id,
+    const uint8_t* data, int64_t B, int64_t L, const int32_t* lengths,
+    int32_t* states,
+    int32_t* out_row, int32_t* out_pos, int32_t* out_aid, int64_t cap) {
+    int64_t n = 0;
+    for (int64_t b = 0; b < B; b++) {
+        int32_t s = states[b];
+        const uint8_t* row = data + b * L;
+        const int64_t len = lengths[b] < L ? lengths[b] : L;
+        for (int64_t i = 0; i < len; i++) {
+            s = trans[(int64_t)s * C + b2c[row[i]]];
+            const int32_t aid = accept_id[s];
+            if (aid) {
+                if (n < cap) {
+                    out_row[n] = (int32_t)b;
+                    out_pos[n] = (int32_t)i;
+                    out_aid[n] = aid;
+                }
+                n++;
+            }
+        }
+        states[b] = s;
+    }
+    return n;
+}
+
+// Teddy shift-AND filter over a flat corpus.
+// masks: [M*W*256] (m-major, then word, then byte).
+// Candidate bitmask word w at position i = AND over m of
+// masks[m][w][corpus[i-m]]; out-of-range m-offsets pass.
+// Emits candidate positions + their W bitmask words; returns true count.
+int64_t hstpu_teddy_filter(
+    const int32_t* masks, int32_t M, int32_t W,
+    const uint8_t* corpus, int64_t n,
+    int64_t* out_pos, int32_t* out_words, int64_t cap) {
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t any = 0;
+        int32_t words[8];
+        for (int32_t w = 0; w < W; w++) {
+            int32_t acc = ~0;
+            for (int32_t m = 0; m < M && m <= i; m++) {
+                acc &= masks[((int64_t)m * W + w) * 256 + corpus[i - m]];
+            }
+            words[w] = acc;
+            any |= acc;
+        }
+        if (any) {
+            if (cnt < cap) {
+                out_pos[cnt] = i;
+                for (int32_t w = 0; w < W; w++) {
+                    out_words[(int64_t)w * cap + cnt] = words[w];
+                }
+            }
+            cnt++;
+        }
+    }
+    return cnt;
+}
+
+// Single-buffer DFA scan collecting accept positions (window validation
+// inner loop; the caller handles per-window entry states and bounds).
+int64_t hstpu_dfa_scan_one(
+    const int32_t* trans, int32_t C,
+    const int32_t* b2c, const int32_t* accept_id,
+    const uint8_t* data, int64_t n, int32_t state,
+    int32_t* out_pos, int32_t* out_aid, int64_t cap, int32_t* final_state) {
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n; i++) {
+        state = trans[(int64_t)state * C + b2c[data[i]]];
+        const int32_t aid = accept_id[state];
+        if (aid) {
+            if (cnt < cap) {
+                out_pos[cnt] = (int32_t)i;
+                out_aid[cnt] = aid;
+            }
+            cnt++;
+        }
+    }
+    *final_state = state;
+    return cnt;
+}
+
+}  // extern "C"

@@ -30,6 +30,11 @@ def teddy_filter_host(
     n = corpus.shape[0]
     if n == 0:
         return (np.zeros(0, np.int64), np.zeros((W, 0), np.int32))
+    from ..native import teddy_filter_native
+
+    native = teddy_filter_native(corpus, masks)
+    if native is not None:
+        return native
     cand = np.empty((W, n), dtype=np.int32)
     for w in range(W):
         acc = masks[0, w][corpus].copy()
@@ -54,13 +59,17 @@ def dfa_scan_host(
     Mirrors ops.dfa.dfa_scan_batch but on host (reference: the smallwrite
     McClellan direct exec, src/runtime.c:303-311)."""
     B, L = data.shape
+    if init_states is None:
+        init_states = np.full(B, engine.start_state, dtype=np.int32)
+    from ..native import dfa_scan_batch_native
+
+    native = dfa_scan_batch_native(engine, data, lengths, init_states)
+    if native is not None:
+        return native
     trans = engine.trans
     b2c = engine.byte_to_class.astype(np.int64)
     accept_id = engine.accept_id
-    if init_states is None:
-        states = np.full(B, engine.start_state, dtype=np.int64)
-    else:
-        states = init_states.astype(np.int64).copy()
+    states = init_states.astype(np.int64).copy()
     hits: List[List[Tuple[int, int]]] = [[] for _ in range(B)]
     if L:
         cls = b2c[data]
