@@ -77,9 +77,17 @@ class _Flags:
 
 class _Parser:
     def __init__(self, pattern: str, flags: int, index: int = -1):
-        # Patterns are byte-oriented; accept str (latin-1 round trip) or bytes.
+        utf8 = bool(flags & HS_FLAG_UTF8)
+        # Byte-oriented by default (latin-1 round trip); in UTF-8 mode the
+        # parser walks codepoints and lowers them to byte sequences
+        # (reference: utf8_validate.cpp + UTF-8 Component lowering).
         if isinstance(pattern, bytes):
-            self.pat = pattern.decode("latin-1")
+            if utf8:
+                from .utf8 import validate_utf8
+
+                self.pat = validate_utf8(pattern, index)
+            else:
+                self.pat = pattern.decode("latin-1")
         else:
             self.pat = pattern
         self.n = len(self.pat)
@@ -94,10 +102,8 @@ class _Parser:
             utf8=bool(flags & HS_FLAG_UTF8),
             ucp=bool(flags & HS_FLAG_UCP),
         )
-        if self.flags.utf8:
-            # UTF-8 mode requires multi-byte expansion of classes; gated
-            # until the UTF-8 lowering pass lands.
-            raise CompileError("HS_FLAG_UTF8 not yet supported", index)
+        if self.flags.ucp:
+            raise CompileError("HS_FLAG_UCP not yet supported", index)
 
     # -- utilities -----------------------------------------------------
     def error(self, msg: str) -> CompileError:
@@ -138,6 +144,27 @@ class _Parser:
         if self.flags.caseless:
             cr = cr.make_caseless()
         return Pos(cr)
+
+    def _lit_cp(self, cp: int) -> Node:
+        """Literal codepoint: multi-byte UTF-8 sequence when needed."""
+        if cp < 0x80 or not self.flags.utf8:
+            if cp > 0xFF:
+                raise self.error(
+                    "codepoint above \\xFF requires HS_FLAG_UTF8"
+                )
+            return self._lit(cp)
+        from .utf8 import ranges_to_node
+
+        return ranges_to_node([(cp, cp)])
+
+    def _utf8_class_node(self, ranges, negate: bool = False) -> Node:
+        from .utf8 import complement_ranges, fold_ascii, ranges_to_node
+
+        if self.flags.caseless:
+            ranges = fold_ascii(ranges)
+        if negate:
+            ranges = complement_ranges(ranges)
+        return ranges_to_node(ranges)
 
     def _class_node(self, cr: CharReach) -> Node:
         if self.flags.caseless:
@@ -250,8 +277,14 @@ class _Parser:
         if c == "(":
             return self.parse_group()
         if c == "[":
+            if self.flags.utf8:
+                return self.parse_class_utf8()
             return self._class_node(self.parse_class())
         if c == ".":
+            if self.flags.utf8:
+                rs = [(0, 0x10FFFF)] if self.flags.dotall else \
+                    [(0, 0x09), (0x0B, 0x10FFFF)]
+                return self._utf8_class_node(rs)
             return Pos(DOT_ALL if self.flags.dotall else DOT_NO_NL)
         if c == "^":
             return Anchor(A_MLINE_BOS if self.flags.multiline else A_BOS)
@@ -274,7 +307,7 @@ class _Parser:
             return self._lit(ord("}"))
         if c == "]":
             return self._lit(ord("]"))
-        return self._lit(ord(c) & 0xFF)
+        return self._lit_cp(ord(c))
 
     def parse_group(self) -> Optional[Node]:
         if self.peek() == "?":
@@ -378,30 +411,70 @@ class _Parser:
         if c == "d":
             return Pos(DIGIT)
         if c == "D":
+            if self.flags.utf8:
+                return self._utf8_class_node([(0x30, 0x39)], negate=True)
             return Pos(~DIGIT)
         if c == "s":
             return Pos(SPACE)
         if c == "S":
+            if self.flags.utf8:
+                from .utf8 import charreach_to_ranges
+
+                return self._utf8_class_node(
+                    charreach_to_ranges(SPACE), negate=True
+                )
             return Pos(~SPACE)
         if c == "w":
             return Pos(WORD)
         if c == "W":
+            if self.flags.utf8:
+                from .utf8 import charreach_to_ranges
+
+                return self._utf8_class_node(
+                    charreach_to_ranges(WORD), negate=True
+                )
             return Pos(~WORD)
         if c == "v":
+            if self.flags.utf8:
+                from .utf8 import VERT_WS_CP
+
+                return self._utf8_class_node(list(VERT_WS_CP))
             return Pos(VERT_WS)
         if c == "V":
+            if self.flags.utf8:
+                from .utf8 import VERT_WS_CP
+
+                return self._utf8_class_node(list(VERT_WS_CP), negate=True)
             return Pos(~VERT_WS)
         if c == "h":
+            if self.flags.utf8:
+                from .utf8 import HORZ_WS_CP
+
+                return self._utf8_class_node(list(HORZ_WS_CP))
             return Pos(HORZ_WS)
         if c == "H":
+            if self.flags.utf8:
+                from .utf8 import HORZ_WS_CP
+
+                return self._utf8_class_node(list(HORZ_WS_CP), negate=True)
             return Pos(~HORZ_WS)
         if c == "R":
+            if self.flags.utf8:
+                from .utf8 import VERT_WS_CP
+
+                return alt(
+                    seq(Pos(CharReach.single(0x0D)),
+                        Pos(CharReach.single(0x0A))),
+                    self._utf8_class_node(list(VERT_WS_CP)),
+                )
             # \r\n | single NL byte
             return alt(
                 seq(Pos(CharReach.single(0x0D)), Pos(CharReach.single(0x0A))),
                 Pos(NL_BYTES),
             )
         if c == "N":
+            if self.flags.utf8:
+                return self._utf8_class_node([(0x0A, 0x0A)], negate=True)
             return Pos(DOT_NO_NL)
         if c == "A":
             return Anchor(A_BOS)
@@ -418,7 +491,7 @@ class _Parser:
         if c == "X":
             raise self.error("\\X is not supported")
         if c == "x":
-            return self._lit(self._parse_hex_escape())
+            return self._lit_cp(self._parse_hex_escape())
         if c == "c":
             if self.at_end():
                 raise self.error("malformed \\c escape")
@@ -448,8 +521,12 @@ class _Parser:
                 self.take()
             val = int(self.pat[start : self.i] or "0", 16)
             self.expect("}")
-            if val > 0xFF:
-                raise self.error("\\x{} value exceeds one byte (UTF-8 mode required)")
+            if val > 0xFF and not self.flags.utf8:
+                raise self.error(
+                    "\\x{} value exceeds one byte (UTF-8 mode required)"
+                )
+            if val > 0x10FFFF:
+                raise self.error("\\x{} value exceeds Unicode range")
             return val
         digits = ""
         while len(digits) < 2 and not self.at_end() and self.peek() in "0123456789abcdefABCDEF":
@@ -536,6 +613,102 @@ class _Parser:
         if negate:
             cr = ~cr
         return cr
+
+    def parse_class_utf8(self) -> Node:
+        """Character class over codepoints, lowered to byte sequences."""
+        from .utf8 import HORZ_WS_CP, VERT_WS_CP, charreach_to_ranges
+
+        negate = False
+        if self.peek() == "^":
+            self.take()
+            negate = True
+        ranges: List[tuple] = []
+        first = True
+        while True:
+            if self.at_end():
+                raise self.error("unterminated character class")
+            c = self.take()
+            if c == "]" and not first:
+                break
+            first = False
+            if c == "[" and self.peek() == ":":
+                save = self.i
+                self.take()
+                neg2 = False
+                if self.peek() == "^":
+                    self.take()
+                    neg2 = True
+                name = ""
+                while not self.at_end() and self.peek().isalpha():
+                    name += self.take()
+                if self.pat[self.i : self.i + 2] == ":]" and name in POSIX_CLASSES:
+                    self.i += 2
+                    rs = charreach_to_ranges(POSIX_CLASSES[name])
+                    if neg2:
+                        from .utf8 import complement_ranges
+
+                        rs = complement_ranges(rs)
+                    ranges += rs
+                    continue
+                self.i = save  # literal '['
+
+            lo_cp: Optional[int] = None
+            if c == "\\":
+                cls_rs, byte = self._class_escape_utf8(
+                    VERT_WS_CP, HORZ_WS_CP, charreach_to_ranges
+                )
+                if cls_rs is not None:
+                    ranges += cls_rs
+                    continue
+                lo_cp = byte
+            else:
+                lo_cp = ord(c)
+
+            if (
+                self.peek() == "-"
+                and self.i + 1 < self.n
+                and self.pat[self.i + 1] != "]"
+            ):
+                self.take()
+                c2 = self.take()
+                if c2 == "\\":
+                    cls_rs, hi_cp = self._class_escape_utf8(
+                        VERT_WS_CP, HORZ_WS_CP, charreach_to_ranges
+                    )
+                    if cls_rs is not None:
+                        raise self.error("invalid range endpoint in class")
+                else:
+                    hi_cp = ord(c2)
+                if hi_cp < lo_cp:
+                    raise self.error("range out of order in character class")
+                ranges.append((lo_cp, hi_cp))
+            else:
+                ranges.append((lo_cp, lo_cp))
+        return self._utf8_class_node(ranges, negate=negate)
+
+    def _class_escape_utf8(self, VERT_WS_CP, HORZ_WS_CP, charreach_to_ranges):
+        """Class escape in UTF-8 mode: (codepoint ranges, None) or
+        (None, codepoint)."""
+        from .utf8 import complement_ranges
+
+        if self.at_end():
+            raise self.error("pattern may not end with a backslash")
+        c = self.peek()
+        if c in "dDsSwWvVhH":
+            self.take()
+            base = {
+                "d": charreach_to_ranges(DIGIT),
+                "s": charreach_to_ranges(SPACE),
+                "w": charreach_to_ranges(WORD),
+                "v": list(VERT_WS_CP),
+                "h": list(HORZ_WS_CP),
+            }[c.lower()]
+            return (complement_ranges(base) if c.isupper() else base), None
+        cr, byte = self._class_escape()
+        if cr is not None:
+            # byte-class escape without a UTF-8 interpretation
+            return charreach_to_ranges(cr), None
+        return None, byte
 
     def _class_escape(self):
         """Returns (class, None) for class escapes or (None, byte)."""
