@@ -1,0 +1,184 @@
+"""hscollider — differential conformance harness.
+
+Reference: tools/hscollider (7.7k LoC): compiles patterns singly and
+together, scans corpora in every mode and alignment, and diffs match sets
+against ground truth. Here the ground truth is the AST oracle
+(GroundTruth/GraphTruth analogue) and the cross-checks are:
+
+  - block vs AST oracle (exact (id, to) sets)
+  - stream with random write splits vs block
+  - vectored vs block
+  - serialize/deserialize round trip
+  - multi-compile vs single-compile
+
+Usage:
+  python -m hyperscan_tpu.tools.hscollider patterns.txt [--corpus FILE]
+      [--seed N] [--iters K]
+
+Pattern file format: `id:/pattern/flags` or bare patterns (see hscheck).
+Without --corpus, corpora are generated from the patterns' own literal
+factors embedded in random noise (NfaGeneratedCorpora analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict, List, Set
+
+import numpy as np
+
+import hyperscan_tpu as hs
+from hyperscan_tpu.compiler.parser import parse
+from hyperscan_tpu.utils.oracle import ast_match_ends
+
+from .hscheck import parse_line
+
+ORACLE_SKIP = hs.HS_FLAG_COMBINATION | hs.HS_FLAG_PREFILTER
+
+
+def _gen_corpora(entries, rng, n=6) -> List[bytes]:
+    """Noise corpora seeded with fragments of the patterns themselves."""
+    from hyperscan_tpu.compiler.literals import extract_factors
+
+    frags: List[bytes] = []
+    for (_id, pat, flags) in entries:
+        try:
+            fs = extract_factors(parse(pat, flags))
+        except hs.HyperscanError:
+            continue
+        for fi in fs or []:
+            frags.append(bytes(a.value for a in fi.factor.atoms))
+    out = [b"", b"\x00" * 16]
+    for k in range(n):
+        blob = bytearray(rng.integers(32, 127, 512, dtype=np.uint8).tobytes())
+        for j, frag in enumerate(frags):
+            if (j + k) % 3 == 0:
+                off = int(rng.integers(0, max(1, len(blob) - len(frag))))
+                blob[off : off + len(frag)] = frag
+        out.append(bytes(blob))
+    return out
+
+
+def _splits(data: bytes, rng) -> List[List[bytes]]:
+    res = [[data]]
+    if len(data) > 2:
+        for _ in range(2):
+            k = int(rng.integers(1, min(6, len(data))))
+            cuts = sorted(rng.choice(len(data), size=k, replace=False).tolist())
+            parts, prev = [], 0
+            for c in cuts + [len(data)]:
+                parts.append(data[prev:c])
+                prev = c
+            res.append(parts)
+    return res
+
+
+def run(entries, corpora, rng, verbose=False) -> int:
+    exprs = [p for (_i, p, _f) in entries]
+    flags = [f for (_i, _p, f) in entries]
+    ids = [i for (i, _p, _f) in entries]
+
+    fails = 0
+
+    def report(kind, detail):
+        nonlocal fails
+        fails += 1
+        print(f"FAIL [{kind}] {detail}")
+
+    bdb = hs.compile_multi(exprs, flags=flags, ids=ids, mode=hs.HS_MODE_BLOCK)
+    sdb = hs.compile_multi(exprs, flags=flags, ids=ids, mode=hs.HS_MODE_STREAM)
+    vdb = hs.compile_multi(exprs, flags=flags, ids=ids,
+                           mode=hs.HS_MODE_VECTORED)
+    rdb = hs.deserialize_database(hs.serialize_database(bdb))
+
+    # per-pattern oracle databases (single-compile cross-check)
+    singles = {}
+    for (i, p, f) in entries:
+        singles[i] = hs.compile_multi([p], flags=[f], ids=[i])
+
+    for data in corpora:
+        block = hs.scan(bdb, data)
+        got: Dict[int, Set[int]] = {}
+        for (mid, _frm, to) in block:
+            got.setdefault(mid, set()).add(to)
+
+        # oracle diff (skip combination/prefilter patterns)
+        for (i, p, f) in entries:
+            if f & ORACLE_SKIP:
+                continue
+            ext_irrelevant = f & (hs.HS_FLAG_QUIET | hs.HS_FLAG_SINGLEMATCH)
+            if ext_irrelevant:
+                continue
+            want = ast_match_ends(parse(p, f), data)
+            if got.get(i, set()) != want:
+                report("oracle", f"id {i} pattern {p!r} corpus {data[:40]!r}: "
+                       f"{sorted(got.get(i, set()))} != {sorted(want)}")
+
+        # serialize round trip
+        if hs.scan(rdb, data) != block:
+            report("serialize", f"corpus {data[:40]!r}")
+
+        # single-compile equivalence
+        for (i, p, f) in entries:
+            if f & hs.HS_FLAG_COMBINATION:
+                continue
+            single = {(m, t) for (m, _fr, t) in hs.scan(singles[i], data)}
+            multi = {(i, t) for t in got.get(i, set())}
+            if single != multi:
+                report("single-vs-multi", f"id {i} corpus {data[:40]!r}")
+
+        # streaming splits
+        want_set = {(m, t) for (m, _fr, t) in block}
+        for parts in _splits(data, rng):
+            st = hs.open_stream(sdb)
+            ms = []
+            for part in parts:
+                ms.extend(hs.scan_stream(st, part))
+            ms.extend(hs.close_stream(st))
+            got_s = {(m, t) for (m, _fr, t) in ms}
+            if got_s != want_set:
+                report("stream", f"splits {[len(x) for x in parts]} corpus "
+                       f"{data[:40]!r}: {sorted(got_s)} != {sorted(want_set)}")
+            vect = {(m, t) for (m, _fr, t) in hs.scan_vector(vdb, parts)}
+            if vect != want_set:
+                report("vectored", f"splits {[len(x) for x in parts]}")
+
+    return fails
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("patterns")
+    ap.add_argument("--corpus", help="file scanned as one extra corpus")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    entries = []
+    with open(args.patterns, "r", errors="replace") as f:
+        for line in f:
+            parsed = parse_line(line)
+            if parsed:
+                entries.append(parsed)
+    if not entries:
+        print("no patterns")
+        return 2
+    rng = np.random.default_rng(args.seed)
+    corpora = _gen_corpora(entries, rng)
+    if args.corpus:
+        with open(args.corpus, "rb") as f:
+            corpora.append(f.read())
+
+    fails = run(entries, corpora, rng, verbose=args.verbose)
+    total_checks = len(corpora) * (3 + 2 * len(entries))
+    if fails:
+        print(f"COLLIDER: {fails} failures")
+        return 1
+    print(f"COLLIDER: all consistent ({len(entries)} patterns x "
+          f"{len(corpora)} corpora, ~{total_checks} checks)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
