@@ -21,6 +21,7 @@ from ..flags import (
     HS_FLAG_CASELESS,
     HS_FLAG_DOTALL,
     HS_FLAG_MULTILINE,
+    HS_FLAG_PREFILTER,
     HS_FLAG_UCP,
     HS_FLAG_UTF8,
 )
@@ -70,6 +71,7 @@ class _Flags:
     extended: bool
     utf8: bool
     ucp: bool
+    prefilter: bool = False
 
     def copy(self) -> "_Flags":
         return dataclasses.replace(self)
@@ -101,6 +103,7 @@ class _Parser:
             extended=False,
             utf8=bool(flags & HS_FLAG_UTF8),
             ucp=bool(flags & HS_FLAG_UCP),
+            prefilter=bool(flags & HS_FLAG_PREFILTER),
         )
         if self.flags.ucp:
             raise CompileError("HS_FLAG_UCP not yet supported", index)
@@ -322,11 +325,24 @@ class _Parser:
                 self.expect(")")
                 return Empty()
             elif c in "=!":
+                if self.flags.prefilter:
+                    # prefilter mode over-approximates: a lookaround is a
+                    # zero-width constraint, dropping it yields a superset
+                    # (reference: src/parser/prefilter.cpp)
+                    self.take()
+                    self.parse_alt()
+                    self.expect(")")
+                    return Empty()
                 raise self.error("lookahead assertions are not supported")
             elif c == "<":
                 self.take()
                 c2 = self.peek()
                 if c2 in "=!":
+                    if self.flags.prefilter:
+                        self.take()
+                        self.parse_alt()
+                        self.expect(")")
+                        return Empty()
                     raise self.error("lookbehind assertions are not supported")
                 # named group (?<name>...)
                 while not self.at_end() and self.peek() != ">":
@@ -343,7 +359,10 @@ class _Parser:
                 else:
                     raise self.error("subroutine references are not supported")
             elif c == ">":
-                raise self.error("atomic groups are not supported")
+                if self.flags.prefilter:
+                    self.take()  # treat as a plain group (superset)
+                else:
+                    raise self.error("atomic groups are not supported")
             elif c in "imsx-":
                 # inline flags, possibly scoped: (?i) (?i:...) (?-i) ...
                 newf = self.flags.copy()
@@ -500,12 +519,24 @@ class _Parser:
         if c == "0":
             return self._lit(self._parse_octal_after_zero())
         if c.isdigit():
+            if self.flags.prefilter:
+                # a backreference matches *some* string; .* is its superset
+                return Rep(Pos(DOT_ALL), 0, None)
             raise self.error("backreferences are not supported")
         if c == "Q":
             return self._parse_quoted()
         if c == "E":
             return Empty()
         if c == "k" or c == "g":
+            if self.flags.prefilter:
+                if self.peek() in "<{'":
+                    opener = self.take()
+                    closer = {"<": ">", "{": "}", "'": "'"}[opener]
+                    while not self.at_end() and self.peek() != closer:
+                        self.take()
+                    if not self.at_end():
+                        self.take()
+                return Rep(Pos(DOT_ALL), 0, None)
             raise self.error("backreferences are not supported")
         if c == "p" or c == "P":
             raise self.error("unicode properties require UCP mode (not yet supported)")

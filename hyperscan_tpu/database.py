@@ -63,6 +63,7 @@ class PatternInfo:
     flags: int
     min_offset: int = 0
     max_offset: int = UNBOUNDED
+    min_length: int = 0  # ext param: minimum match length (0 = off)
     min_width: int = 0
     max_width: Optional[int] = None  # None = unbounded
     # logical-combination AST in jsonable form (reference: CombInfo,
@@ -532,20 +533,16 @@ def compile_patterns(
                 "expression matches an empty buffer; use HS_FLAG_ALLOWEMPTY", i
             )
         min_w, max_w = _nfa_widths(g)
-        if e.min_length:
-            # exact without SOM only when every match has width ≥ min_length
-            if min_w < e.min_length:
-                raise CompileError(
-                    "min_length below pattern min width requires SOM "
-                    "(not yet supported)",
-                    i,
-                )
+        # min_length needs per-match length knowledge (leftmost back-scan)
+        # unless every match is already long enough
+        need_minlen = bool(e.min_length) and min_w < e.min_length
         patterns.append(
             PatternInfo(
                 external_id=ids[i],
                 flags=f,
                 min_offset=e.min_offset,
                 max_offset=e.max_offset,
+                min_length=e.min_length if need_minlen else 0,
                 min_width=min_w,
                 max_width=max_w,
             )
@@ -554,7 +551,7 @@ def compile_patterns(
         # route: literal path (Teddy + confirm + window validation) when a
         # bounded mandatory factor set exists; otherwise general engines
         routed = False
-        want_som = bool(f & HS_FLAG_SOM_LEFTMOST)
+        want_som = bool(f & HS_FLAG_SOM_LEFTMOST) or need_minlen
         if not g.is_vacuous() and not fuzzy:  # fuzzed factors can be edited
             # away, so fuzzy patterns always use the general engines
             lr = _try_literal_route(node, g, i)
@@ -609,7 +606,7 @@ def compile_patterns(
         if not routed:
             if want_som:
                 raise CompileError(
-                    "HS_FLAG_SOM_LEFTMOST currently requires a pattern "
+                    "SOM / min_length currently require a pattern "
                     "with a bounded literal factor", i
                 )
             general_nfas.append(g)

@@ -23,6 +23,7 @@ from ..errors import DbModeError, InvalidError, ScratchInUseError
 from ..flags import (
     HS_FLAG_QUIET,
     HS_FLAG_SINGLEMATCH,
+    HS_FLAG_SOM_LEFTMOST,
     HS_MODE_BLOCK,
     UNBOUNDED,
     base_mode,
@@ -290,8 +291,13 @@ def finalize_reports(
         eidx, to = rec[0], rec[1]
         frm = rec[2] if len(rec) > 2 else 0
         p = db.patterns[eidx]
-        if p.min_offset <= to <= p.max_offset:
-            recs.append((eidx, to, frm))
+        if not (p.min_offset <= to <= p.max_offset):
+            continue
+        if p.min_length and to - frm < p.min_length:
+            # frm is the leftmost start, so to-frm is the longest match
+            # length ending here (reference: min_length ext param)
+            continue
+        recs.append((eidx, to, frm))
 
     # stage 2: logical combinations
     if db.combos():
@@ -314,10 +320,13 @@ def finalize_reports(
             if eidx in seen_single:
                 continue
             seen_single.add(eidx)
-        m = (p.external_id, frm, to)
+        # `from` is only reported under SOM_LEFTMOST (it may be tracked
+        # internally for min_length without being reported)
+        rep_frm = frm if (p.flags & HS_FLAG_SOM_LEFTMOST) else 0
+        m = (p.external_id, rep_frm, to)
         out.append(m)
         if callback is not None:
-            if callback(p.external_id, frm, to, 0):
+            if callback(p.external_id, rep_frm, to, 0):
                 return out, True
     return out, False
 

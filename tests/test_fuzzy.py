@@ -137,3 +137,25 @@ def test_fuzzy_streaming():
     got = {t for (_i, _f, t) in ms}
     want = _edit_oracle([b"attack"], b"zz attck zz", 1)
     assert got == want
+
+
+def test_min_length_filters_short_matches():
+    # admin[0-9]{1,3}: widths 6..8; min_length 8 keeps only 3-digit matches
+    db = hs.compile_ext_multi(
+        [r"admin[0-9]{1,3}"], ids=[1], ext=[ExprExt(min_length=8)],
+    )
+    got = {t for (_i, _f, t) in hs.scan(db, b"admin1 admin22 admin333")}
+    assert got == {23}
+
+
+def test_min_length_noop_when_covered():
+    db = hs.compile_ext_multi(
+        [r"attack"], ids=[1], ext=[ExprExt(min_length=3)],
+    )
+    assert [t for (_i, _f, t) in hs.scan(db, b"attack")] == [6]
+
+
+def test_prefilter_superset():
+    db = hs.compile(r"foo(?=bar)", flags=hs.HS_FLAG_PREFILTER)
+    got = {t for (_i, _f, t) in hs.scan(db, b"foobar fooqqq")}
+    assert got == {3, 10}  # superset: lookahead dropped
