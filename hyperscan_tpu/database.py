@@ -80,6 +80,10 @@ class DfaEngine:
     trans: np.ndarray  # [S, C] int32
     start_state: int
     float_state: int  # pure-floating rest state (mid-buffer entry)
+    # max match width over the engine's patterns; None = unbounded. A
+    # bounded engine has bounded scan memory, enabling exact chunk-halo
+    # parallel scanning (ops/dfa_kernel.py)
+    max_depth: "Optional[int]"
     accept_id: np.ndarray  # [S] int32
     accept_eod_id: np.ndarray  # [S] int32
     # accept-set expansion: set k covers reports
@@ -95,7 +99,7 @@ class DfaEngine:
         return int(self.trans.shape[0])
 
     @classmethod
-    def from_scan_dfa(cls, d: ScanDFA) -> "DfaEngine":
+    def from_scan_dfa(cls, d: ScanDFA, max_depth: "Optional[int]" = None) -> "DfaEngine":
         offsets = [0]
         exprs: List[int] = []
         adjusts: List[int] = []
@@ -109,6 +113,7 @@ class DfaEngine:
             trans=d.trans.astype(np.int32),
             start_state=int(d.start_state),
             float_state=int(d.float_state),
+            max_depth=max_depth,
             accept_id=d.accept_id.astype(np.int32),
             accept_eod_id=d.accept_eod_id.astype(np.int32),
             set_offsets=np.asarray(offsets, dtype=np.int32),
@@ -205,15 +210,18 @@ class Database:
         return {
             "start_state": e.start_state,
             "float_state": e.float_state,
+            "max_depth": e.max_depth,
             "start_reports": e.start_reports,
         }
 
     @classmethod
     def _unpack_engine(cls, em: dict, prefix: str, z) -> DfaEngine:
         kw = {name: z[f"{prefix}_{name}"] for name in cls._ENGINE_ARRAYS}
+        md = em.get("max_depth")
         return DfaEngine(
             start_state=int(em["start_state"]),
             float_state=int(em.get("float_state", 0)),
+            max_depth=None if md is None else int(md),
             start_reports=[tuple(r) for r in em["start_reports"]],
             **kw,
         )
@@ -421,14 +429,47 @@ def _try_literal_route(node, g, i):
     return fs, lit_equiv
 
 
+# engines deeper than this cannot use chunk-halo device scanning
+MAX_HALO_DEPTH = 257
+
+
 def _build_engines(
-    nfas: List[NFAGraph], expr_idx: List[int], max_states: int
+    nfas: List[NFAGraph], expr_idx: List[int], max_states: int,
+    max_widths: Optional[List[Optional[int]]] = None,
 ) -> List[DfaEngine]:
-    """Determinize, partitioning the pattern set on state explosion
-    (the analogue of Rose assigning patterns to separate engines)."""
+    """Partition bounded-width vs unbounded patterns into separate
+    engines (bounded ones scan chunk-halo parallel on device), then
+    determinize each group, splitting on state explosion (the analogue of
+    Rose assigning patterns to separate engines)."""
+    if max_widths is None:
+        max_widths = [None] * len(nfas)
+    bounded = [
+        i for i, w in enumerate(max_widths)
+        if w is not None and w <= MAX_HALO_DEPTH
+    ]
+    unbounded = [i for i in range(len(nfas)) if i not in set(bounded)]
+    out: List[DfaEngine] = []
+    for group in (bounded, unbounded):
+        if not group:
+            continue
+        widths = [max_widths[i] for i in group]
+        depth = None
+        if all(w is not None and w <= MAX_HALO_DEPTH for w in widths):
+            depth = max(widths)
+        out += _build_engine_group(
+            [nfas[i] for i in group], [expr_idx[i] for i in group],
+            max_states, depth,
+        )
+    return out
+
+
+def _build_engine_group(
+    nfas: List[NFAGraph], expr_idx: List[int], max_states: int,
+    depth: Optional[int],
+) -> List[DfaEngine]:
     try:
         d = determinize(nfas, expr_idx, max_states=max_states)
-        return [DfaEngine.from_scan_dfa(d)]
+        return [DfaEngine.from_scan_dfa(d, max_depth=depth)]
     except DfaLimitExceeded:
         if len(nfas) == 1:
             raise CompileError(
@@ -437,9 +478,9 @@ def _build_engines(
                 expr_idx[0],
             )
         mid = len(nfas) // 2
-        return _build_engines(nfas[:mid], expr_idx[:mid], max_states) + _build_engines(
-            nfas[mid:], expr_idx[mid:], max_states
-        )
+        return _build_engine_group(
+            nfas[:mid], expr_idx[:mid], max_states, depth
+        ) + _build_engine_group(nfas[mid:], expr_idx[mid:], max_states, depth)
 
 
 def compile_patterns(
@@ -465,6 +506,7 @@ def compile_patterns(
     patterns: List[PatternInfo] = []
     general_nfas: List[NFAGraph] = []
     general_idx: List[int] = []
+    general_widths: List[Optional[int]] = []
     factor_ids: Dict[Tuple, int] = {}
     factor_atoms: List[Tuple[Tuple[int, int], ...]] = []
     factor_refs: List[List[Tuple[int, int, int, bool]]] = []
@@ -611,6 +653,7 @@ def compile_patterns(
                 )
             general_nfas.append(g)
             general_idx.append(i)
+            general_widths.append(max_w)
 
     # validate + attach combination ASTs (referenced ids must name ordinary
     # sub-expressions in this database; reference: parseLogicalCombination)
@@ -632,7 +675,7 @@ def compile_patterns(
             patterns[i].combination = to_jsonable(ast)
 
     engines = (
-        _build_engines(general_nfas, general_idx, max_states)
+        _build_engines(general_nfas, general_idx, max_states, general_widths)
         if general_nfas
         else []
     )

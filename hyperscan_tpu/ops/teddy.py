@@ -92,62 +92,68 @@ def _jit_filter(M: int, W: int, n_cells: int, capacity: int, cap_chunks: int,
             ),
         )(rows_all, body, masks)
         outs = outs if isinstance(outs, tuple) else (outs,)
-
-        # Two-level sparse extraction. A flat cumsum+scatter over the whole
-        # plane costs ~1.3s/128MB on TPU (scatter serializes); instead:
-        # cheap per-chunk candidate counts (dense reduction), gather only
-        # the chunks that hit, then rank→position via searchsorted (pure
-        # gathers) inside the small gathered set.
         N = n_cells * R * 128
-        flats = [o.reshape(N) for o in outs]
-        nz = flats[0]
-        for f in flats[1:]:
-            nz = nz | f
-
-        CHUNK = 1024
-        nchunk = N // CHUNK
-        # per-chunk candidate counts (dense reduction, fuses with the OR —
-        # no [N]-sized intermediate materialized beyond the filter outputs).
-        # Whole chunks past n_valid are zeroed here; stragglers inside the
-        # boundary chunk are rejected by the host confirm's bounds check.
-        chunk_counts = (nz != 0).astype(jnp.int32).reshape(nchunk, CHUNK).sum(axis=1)
-        chunk_idx = jnp.arange(nchunk, dtype=jnp.int32)
-        chunk_counts = jnp.where(chunk_idx * CHUNK < n_valid, chunk_counts, 0)
-        total = jnp.sum(chunk_counts)
-        hit = (chunk_counts > 0).astype(jnp.int32)
-        n_hit = jnp.sum(hit)
-        chit = jnp.cumsum(hit)
-        # j-th hit chunk index (clamped for j >= n_hit)
-        sel = jnp.minimum(
-            jnp.searchsorted(chit, jnp.arange(cap_chunks, dtype=jnp.int32),
-                             side="right"),
-            nchunk - 1,
+        return sparse_extract(
+            [o.reshape(N) for o in outs], n_valid, capacity, cap_chunks
         )
-        gidx = sel[:, None] * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-        valid_sel = jnp.arange(cap_chunks, dtype=jnp.int32) < n_hit
-        gnz = jnp.take(nz, gidx.reshape(-1), axis=0).reshape(cap_chunks, CHUNK)
-        gmask = (gnz != 0).astype(jnp.int32) * valid_sel[:, None].astype(jnp.int32)
-        gm_flat = gmask.reshape(-1)
-        cum = jnp.cumsum(gm_flat)
-        # slot j holds the (j+1)-th candidate's index within the gathered set
-        slot_src = jnp.minimum(
-            jnp.searchsorted(cum, jnp.arange(capacity, dtype=jnp.int32),
-                             side="right"),
-            cap_chunks * CHUNK - 1,
-        )
-        have = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(total, capacity)
-        src_global = jnp.take(gidx.reshape(-1), slot_src, axis=0)
-        pos = jnp.where(have, src_global, 0)
-        words = [
-            jnp.where(have, jnp.take(f, src_global, axis=0), 0) for f in flats
-        ]
-        # pack everything into two buffers to minimize host fetches (each
-        # device->host read through the dev tunnel costs a full RTT)
-        meta = jnp.stack([total, n_hit])
-        packed = jnp.stack([pos] + words)  # [1+W, capacity]
-        return meta, packed
 
     return jax.jit(run)
+
+
+def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int):
+    """Two-level sparse extraction of nonzero entries from flat planes.
+
+    A flat cumsum+scatter over the whole plane costs ~1.3s/128MB on TPU
+    (scatter serializes); instead: cheap per-chunk candidate counts (dense
+    reduction), gather only the chunks that hit, then rank→position via
+    searchsorted (pure gathers) inside the small gathered set.
+
+    Returns (meta [2]=(total, n_hit_chunks), packed [1+len(flats),
+    capacity] = (positions, values...)), packed into two buffers to
+    minimize host fetch round trips. Whole chunks past n_valid are
+    zeroed; stragglers inside the boundary chunk are rejected by the
+    callers' bounds checks.
+    """
+    nz = flats[0]
+    for f in flats[1:]:
+        nz = nz | f
+    N = nz.shape[0]
+    CHUNK = 1024
+    nchunk = N // CHUNK
+    chunk_counts = (nz != 0).astype(jnp.int32).reshape(nchunk, CHUNK).sum(axis=1)
+    chunk_idx = jnp.arange(nchunk, dtype=jnp.int32)
+    chunk_counts = jnp.where(chunk_idx * CHUNK < n_valid, chunk_counts, 0)
+    total = jnp.sum(chunk_counts)
+    hit = (chunk_counts > 0).astype(jnp.int32)
+    n_hit = jnp.sum(hit)
+    chit = jnp.cumsum(hit)
+    # j-th hit chunk index (clamped for j >= n_hit)
+    sel = jnp.minimum(
+        jnp.searchsorted(chit, jnp.arange(cap_chunks, dtype=jnp.int32),
+                         side="right"),
+        nchunk - 1,
+    )
+    gidx = sel[:, None] * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    valid_sel = jnp.arange(cap_chunks, dtype=jnp.int32) < n_hit
+    gnz = jnp.take(nz, gidx.reshape(-1), axis=0).reshape(cap_chunks, CHUNK)
+    gmask = (gnz != 0).astype(jnp.int32) * valid_sel[:, None].astype(jnp.int32)
+    gm_flat = gmask.reshape(-1)
+    cum = jnp.cumsum(gm_flat)
+    # slot j holds the (j+1)-th candidate's index within the gathered set
+    slot_src = jnp.minimum(
+        jnp.searchsorted(cum, jnp.arange(capacity, dtype=jnp.int32),
+                         side="right"),
+        cap_chunks * CHUNK - 1,
+    )
+    have = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(total, capacity)
+    src_global = jnp.take(gidx.reshape(-1), slot_src, axis=0)
+    pos = jnp.where(have, src_global, 0)
+    vals = [
+        jnp.where(have, jnp.take(f, src_global, axis=0), 0) for f in flats
+    ]
+    meta = jnp.stack([total, n_hit])
+    packed = jnp.stack([pos] + vals)  # [1+W, capacity]
+    return meta, packed
 
 
 def teddy_scan_rows(

@@ -147,42 +147,47 @@ def scan_blocks_raw(
             _order_records(per_block[bi], int(lengths[bi])) for bi in range(B)
         ]
 
-    L = _bucket_len(maxlen)
-    data = np.zeros((B, L), dtype=np.uint8)
-    lengths = np.zeros((B,), dtype=np.int32)
-    for i, blk in enumerate(blocks):
-        data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
-        lengths[i] = len(blk)
-    data_d = jnp.asarray(data)
-    len_d = jnp.asarray(lengths)
+    from ..database import MAX_HALO_DEPTH
+    from ..ops.dfa_kernel import dfa_scan_corpus_device
 
+    lengths = np.asarray([len(b) for b in blocks], dtype=np.int32)
+    blocks_b = [bytes(b) for b in blocks]
+    host_engines = []
     for engine in db.engines:
-        trans, b2c, acc, acce, ss = _engine_device_arrays(engine)
-        cap = capacity
-        while True:
-            run = _jit_engine_scan(cap)
-            total, set_ids, blks, tos, eod_sets = run(
-                trans, b2c, acc, acce, ss, data_d, len_d
-            )
-            total = int(total)
-            if total <= cap:
-                break
-            cap = _bucket_len(total)
-        k = min(total, cap)
-        set_ids = np.asarray(set_ids[:k])
-        blks = np.asarray(blks[:k])
-        tos = np.asarray(tos[:k])
-        for j in range(k):
-            for (eid, adj) in engine.expand_set(int(set_ids[j])):
-                per_block[int(blks[j])].add((eid, int(tos[j]) + adj, 0))
-        # EOD accepts
-        eod_sets = np.asarray(eod_sets)
+        if engine.max_depth is None or engine.max_depth > MAX_HALO_DEPTH:
+            host_engines.append(engine)
+            continue
+        # bounded-width engine: exact chunk-halo parallel device scan
+        recs, finals = dfa_scan_corpus_device(
+            engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
+        )
+        for (bi, pos, sid) in recs:
+            for (eid, adj) in engine.expand_set(sid):
+                per_block[bi].add((eid, pos + 1 + adj, 0))
         for bi in range(B):
-            sid = int(eod_sets[bi])
+            sid = int(engine.accept_eod_id[finals[bi]])
             if sid:
                 for (eid, adj) in engine.expand_set(sid):
                     per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
         _add_start_reports(engine, per_block, lengths)
+
+    if host_engines:
+        # unbounded-width engines carry state across the whole buffer and
+        # cannot halo-parallelize; the native host runtime scans them
+        data = np.zeros((B, max(1, maxlen)), dtype=np.uint8)
+        for i, blk in enumerate(blocks_b):
+            data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
+        for engine in host_engines:
+            hits, finals = dfa_scan_host(engine, data, lengths)
+            for bi in range(B):
+                for (t, sid) in hits[bi]:
+                    for (eid, adj) in engine.expand_set(sid):
+                        per_block[bi].add((eid, t + 1 + adj, 0))
+                sid = int(engine.accept_eod_id[finals[bi]])
+                if sid:
+                    for (eid, adj) in engine.expand_set(sid):
+                        per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
+            _add_start_reports(engine, per_block, lengths)
 
     return [_order_records(per_block[bi], int(lengths[bi])) for bi in range(B)]
 

@@ -95,33 +95,24 @@ def _engine_pass(db, streams, chunks, recs_abs):
     """Advance general engines over this write's chunks (batched lanes)."""
     if not db.engines:
         return
-    import jax.numpy as jnp
-
-    from ..ops.dfa import dfa_scan_batch
-    from .scan import _bucket_len, _engine_device_arrays
+    from .smallwrite import dfa_scan_host
 
     B = len(streams)
     maxlen = max(len(c) for c in chunks)
-    total_bytes = sum(len(c) for c in chunks)
-    from .smallwrite import HOST_SCAN_LIMIT, dfa_scan_host
-
-    host = total_bytes <= HOST_SCAN_LIMIT
-    L = max(1, maxlen) if host else _bucket_len(max(1, maxlen))
-    data = np.zeros((B, L), dtype=np.uint8)
+    data = np.zeros((B, max(1, maxlen)), dtype=np.uint8)
     lengths = np.zeros((B,), dtype=np.int32)
     for i, c in enumerate(chunks):
         a = np.frombuffer(c, dtype=np.uint8)
         data[i, : len(a)] = a
         lengths[i] = len(a)
-    if not host:
-        data_d = jnp.asarray(data)
-        len_d = jnp.asarray(lengths)
-
     for ei, engine in enumerate(db.engines):
         init_np = np.asarray(
             [st.engine_states[ei] for st in streams], dtype=np.int32
         )
-        if host:
+        if True:
+            # general engines carry per-stream state byte-serially; the
+            # native host runtime handles this (device chunk-halo scanning
+            # applies to the literal path and block mode)
             hits, finals = dfa_scan_host(engine, data, lengths, init_np)
             for bi, st in enumerate(streams):
                 for (t, sid) in hits[bi]:
@@ -131,21 +122,6 @@ def _engine_pass(db, streams, chunks, recs_abs):
                             recs_abs[bi].add((eidx, to_abs, 0))
                 st.engine_states[ei] = int(finals[bi])
             _vacuous_stream_reports(engine, streams, chunks, recs_abs)
-            continue
-        trans, b2c, acc, acce, _ss = _engine_device_arrays(engine)
-        init = jnp.asarray(init_np)
-        accepts, finals = dfa_scan_batch(trans, b2c, acc, init, data_d, len_d)
-        accepts = np.asarray(accepts)
-        finals = np.asarray(finals)
-        for bi, st in enumerate(streams):
-            nz = np.flatnonzero(accepts[bi])
-            for i in nz:
-                for (eidx, adj) in engine.expand_set(int(accepts[bi, i])):
-                    to_abs = st.offset + int(i) + 1 + adj
-                    if to_abs >= 0:
-                        recs_abs[bi].add((eidx, to_abs, 0))
-            st.engine_states[ei] = int(finals[bi])
-        _vacuous_stream_reports(engine, streams, chunks, recs_abs)
 
 
 def _vacuous_stream_reports(engine, streams, chunks, recs_abs) -> None:

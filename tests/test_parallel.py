@@ -20,11 +20,11 @@ from hyperscan_tpu.runtime.scan import scan_batch
 
 @pytest.fixture(scope="module")
 def db():
-    # all three lack a bounded literal factor, so they stay on the general
-    # DFA engine path these tests exercise (the literal path has its own
-    # tests in test_literal_path.py)
+    # all three lack a bounded literal factor AND are unbounded-width, so
+    # they land in a single general DFA engine these tests exercise (the
+    # literal path has its own tests in test_literal_path.py)
     db = hs.compile_multi(
-        [r"foo[a-z]+bar", r"[0-9]{3}-[0-9]{4}", r"er+or"],
+        [r"foo[a-z]+bar", r"x[0-9]+y", r"er+or"],
         ids=[10, 20, 30],
     )
     assert db.lit is None and len(db.engines) == 1
@@ -33,12 +33,12 @@ def db():
 
 def _blocks():
     return [
-        b"xx fooqqbar yy 123-4567",
+        b"xx fooqqbar yy x123y",
         b"error and errors",
         b"nothing in here at all",
         b"fooabar" * 3,
         b"",
-        b"555-1212",
+        b"x88y erroor",
     ]
 
 
