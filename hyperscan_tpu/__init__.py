@@ -60,7 +60,18 @@ from .api import (  # noqa: F401
     valid_platform,
     version,
 )
+from .api import (  # noqa: F401
+    populate_platform,
+    set_allocator,
+    set_database_allocator,
+    set_misc_allocator,
+    set_scratch_allocator,
+    set_stream_allocator,
+    hs_populate_platform,
+    hs_set_allocator,
+)
 from .database import Database, PatternInfo  # noqa: F401
+from .grey import Grey  # noqa: F401
 from .errors import (  # noqa: F401
     CompileError,
     DbModeError,

@@ -51,6 +51,48 @@ def version() -> str:
     return ".".join(map(str, DB_VERSION)) + " hyperscan-tpu"
 
 
+# --- allocator hooks (reference: hs_set_allocator, src/hs_common.h:325-439)
+# Host memory is managed by Python/numpy and device memory by the XLA
+# runtime, so these are compatibility no-ops that record the hooks for
+# introspection, mirroring the reference's pluggable malloc/free domains.
+
+_allocators = {}
+
+
+def set_allocator(alloc=None, free=None) -> None:
+    for domain in ("database", "misc", "scratch", "stream"):
+        _allocators[domain] = (alloc, free)
+
+
+def set_database_allocator(alloc=None, free=None) -> None:
+    _allocators["database"] = (alloc, free)
+
+
+def set_misc_allocator(alloc=None, free=None) -> None:
+    _allocators["misc"] = (alloc, free)
+
+
+def set_scratch_allocator(alloc=None, free=None) -> None:
+    _allocators["scratch"] = (alloc, free)
+
+
+def set_stream_allocator(alloc=None, free=None) -> None:
+    _allocators["stream"] = (alloc, free)
+
+
+def populate_platform() -> dict:
+    """reference: hs_populate_platform (src/hs_compile.h): describes the
+    current execution target."""
+    import jax
+
+    devs = jax.devices()
+    return {
+        "platform": devs[0].platform if devs else "none",
+        "device_kind": devs[0].device_kind if devs else "none",
+        "num_devices": len(devs),
+    }
+
+
 def valid_platform() -> bool:
     """True if a JAX backend is available (reference: hs_valid_platform)."""
     try:
@@ -196,6 +238,12 @@ def expression_ext_info(expression: str, flags: int = 0,
 
 # --- C-style aliases ---------------------------------------------------------
 
+hs_set_allocator = set_allocator
+hs_set_database_allocator = set_database_allocator
+hs_set_misc_allocator = set_misc_allocator
+hs_set_scratch_allocator = set_scratch_allocator
+hs_set_stream_allocator = set_stream_allocator
+hs_populate_platform = populate_platform
 hs_open_stream = open_stream
 hs_scan_stream = scan_stream
 hs_close_stream = close_stream

@@ -248,12 +248,13 @@ def _analyze(node: Node) -> _Res:
     return _Res(wmin, wmax, best[1], best[0])
 
 
-def extract_factors(node: Node) -> Optional[List[FactorInfo]]:
+def extract_factors(node: Node, min_len: int = MIN_FACTOR_LEN
+                    ) -> Optional[List[FactorInfo]]:
     """Best mandatory factor set for a pattern, or None if the pattern has
-    no factor of length ≥ MIN_FACTOR_LEN (route to general engines)."""
+    no factor of length ≥ min_len (route to general engines)."""
     r = _analyze(node)
     if not r.factors:
         return None
-    if min(len(fi.factor) for fi in r.factors) < MIN_FACTOR_LEN:
+    if min(len(fi.factor) for fi in r.factors) < min_len:
         return None
     return r.factors

@@ -405,7 +405,7 @@ def _has_anchor(node) -> bool:
     return False
 
 
-def _try_literal_route(node, g, i):
+def _try_literal_route(node, g, i, grey):
     """Literal-path eligibility: (factor_infos, literal_equiv) or None.
 
     Eligible when a mandatory factor set exists with finite window bounds
@@ -413,13 +413,15 @@ def _try_literal_route(node, g, i):
     to an outfix engine)."""
     from .compiler.literals import extract_factors
 
-    fs = extract_factors(node)
+    if not grey.allow_teddy:
+        return None
+    fs = extract_factors(node, min_len=grey.min_factor_len)
     if fs is None:
         return None
     for fi in fs:
         if fi.max_start_to_fend is None or fi.max_fend_to_end is None:
             return None
-        if fi.max_start_to_fend + fi.max_fend_to_end > MAX_WINDOW:
+        if fi.max_start_to_fend + fi.max_fend_to_end > grey.max_window:
             return None
     lit_equiv = (not _has_anchor(node)) and all(
         fi.min_start_to_fend == fi.max_start_to_fend == len(fi.factor)
@@ -490,9 +492,16 @@ def compile_patterns(
     mode: int = HS_MODE_BLOCK,
     ext: Optional[Sequence[Optional[ExprExt]]] = None,
     literal: bool = False,
-    max_states: int = 60000,
+    max_states: Optional[int] = None,
+    grey=None,
 ) -> Database:
     """Core compile driver (reference: hs_compile_multi_int, src/hs.cpp:168)."""
+    from .grey import DEFAULT_GREY
+
+    if grey is None:
+        grey = DEFAULT_GREY
+    if max_states is None:
+        max_states = grey.max_dfa_states
     validate_mode(mode)
     n = len(expressions)
     if n == 0:
@@ -596,13 +605,16 @@ def compile_patterns(
         want_som = bool(f & HS_FLAG_SOM_LEFTMOST) or need_minlen
         if not g.is_vacuous() and not fuzzy:  # fuzzed factors can be edited
             # away, so fuzzy patterns always use the general engines
-            lr = _try_literal_route(node, g, i)
+            lr = _try_literal_route(node, g, i, grey)
             if lr is not None:
                 fs, lit_equiv = lr
                 ok = True
-                if not lit_equiv or want_som:
+                if (not lit_equiv or want_som) and not grey.allow_validators:
+                    ok = False
+                elif not lit_equiv or want_som:
                     try:
-                        d = determinize([g], [i], max_states=VALIDATOR_MAX_STATES)
+                        d = determinize([g], [i],
+                                        max_states=grey.validator_max_states)
                         validators[i] = DfaEngine.from_scan_dfa(d)
                         if want_som:
                             from .compiler.dfa import reverse_graph
@@ -612,14 +624,14 @@ def compile_patterns(
                                 rev_a = DfaEngine.from_scan_dfa(
                                     determinize(
                                         [reverse_graph(g, eod=False)], [i],
-                                        max_states=VALIDATOR_MAX_STATES,
+                                        max_states=grey.validator_max_states,
                                     )
                                 )
                             if g.accept_eod:
                                 rev_e = DfaEngine.from_scan_dfa(
                                     determinize(
                                         [reverse_graph(g, eod=True)], [i],
-                                        max_states=VALIDATOR_MAX_STATES,
+                                        max_states=grey.validator_max_states,
                                     )
                                 )
                             rev_validators[i] = (rev_a, rev_e)

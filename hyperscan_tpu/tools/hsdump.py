@@ -1,0 +1,85 @@
+"""hsdump — compiled database introspection (reference: tools/hsdump).
+
+Prints the engine assignment and table statistics of a database compiled
+from a pattern file (or deserialized from a .db file).
+
+Usage:
+  python -m hyperscan_tpu.tools.hsdump patterns.txt [--mode stream]
+  python -m hyperscan_tpu.tools.hsdump --db database.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import hyperscan_tpu as hs
+
+from .hscheck import MODES, parse_line
+
+
+def dump(db) -> None:
+    print(f"Database: mode={db.mode:#x} patterns={db.num_patterns} "
+          f"size={hs.database_size(db)}B")
+    print(f"Info: {hs.database_info(db)}")
+    for i, p in enumerate(db.patterns):
+        kind = "combination" if p.combination is not None else "pattern"
+        print(f"  expr {i}: id={p.external_id} flags={p.flags:#x} {kind} "
+              f"width=[{p.min_width},"
+              f"{'inf' if p.max_width is None else p.max_width}]")
+    if db.lit is not None:
+        lit = db.lit
+        M, W, _ = lit.masks.shape
+        print(f"Literal engine: {lit.num_factors} factors, "
+              f"{len(lit.bucket_factors)} buckets, M={M}, words={W}")
+        print(f"  validators: {sorted(lit.validators)}")
+        print(f"  som/min_length reverse validators: "
+              f"{sorted(lit.rev_validators)}")
+        for fid, atoms in enumerate(lit.factor_atoms[:40]):
+            txt = "".join(
+                chr(v) if 32 <= v < 127 and m == 0xFF else f"<{v:02x}&{m:02x}>"
+                for (v, m) in atoms
+            )
+            refs = [e for (e, *_r) in lit.factor_refs[fid]]
+            print(f"  factor {fid}: {txt!r} -> exprs {refs}")
+        if lit.num_factors > 40:
+            print(f"  ... {lit.num_factors - 40} more factors")
+    for ei, e in enumerate(db.engines):
+        exprs = sorted(set(e.set_exprs.tolist()))
+        depth = "unbounded" if e.max_depth is None else str(e.max_depth)
+        print(f"DFA engine {ei}: states={e.num_states} "
+              f"classes={e.trans.shape[1]} depth={depth} exprs={exprs}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("patterns", nargs="?")
+    ap.add_argument("--db")
+    ap.add_argument("--mode", choices=sorted(MODES), default="block")
+    args = ap.parse_args(argv)
+
+    if args.db:
+        with open(args.db, "rb") as f:
+            db = hs.deserialize_database(f.read())
+    elif args.patterns:
+        entries = []
+        with open(args.patterns, "r", errors="replace") as f:
+            for line in f:
+                p = parse_line(line)
+                if p:
+                    entries.append(p)
+        db = hs.compile_multi(
+            [p for (_i, p, _f) in entries],
+            flags=[f for (_i, _p, f) in entries],
+            ids=[i for (i, _p, _f) in entries],
+            mode=MODES[args.mode],
+        )
+    else:
+        print("need a pattern file or --db")
+        return 2
+    dump(db)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

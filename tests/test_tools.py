@@ -54,3 +54,30 @@ def test_hsbench_runs(patfile, corpusfile, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "Overall throughput" in out and "Matches" in out
+
+
+def test_hsdump(patfile, capsys):
+    from hyperscan_tpu.tools import hsdump
+    assert hsdump.main([patfile]) == 0
+    out = capsys.readouterr().out
+    assert "Literal engine" in out and "DFA engine" in out
+
+
+def test_grey_overrides():
+    from hyperscan_tpu.grey import Grey
+    from hyperscan_tpu.database import compile_patterns
+
+    g = Grey().apply_overrides("allow_teddy:0;max_dfa_states:1000")
+    assert not g.allow_teddy and g.max_dfa_states == 1000
+    db = compile_patterns([r"attack"], ids=[1], grey=g)
+    # teddy disabled: even a pure literal lands on the general engines
+    assert db.lit is None and db.engines
+    import hyperscan_tpu as hs
+    assert hs.scan(db, b"an attack!") == [(1, 0, 9)]
+
+
+def test_platform_and_allocators():
+    import hyperscan_tpu as hs
+    info = hs.populate_platform()
+    assert info["num_devices"] >= 1
+    hs.set_allocator(lambda n: bytearray(n), lambda b: None)
