@@ -35,11 +35,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_BLOCK = 8      # time steps per grid cell (static unroll)
+T_BLOCK = 4      # time steps per grid cell (static unroll)
 # chunk rows per grid cell: large planes amortize the ~70ns/vreg gather
 # cost and the per-op dependency latency (measured: [128,128] planes are
 # latency-bound ~1000x slower; [1024,128] planes reach gather throughput)
-GROUP_ROWS = 1024
+GROUP_ROWS = 512  # 64K chunks per cell; fits VMEM with double buffering
 MAX_HALO = 256    # engines deeper than this use the host path
 
 

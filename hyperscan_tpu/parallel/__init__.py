@@ -4,4 +4,5 @@ from .sharded import (  # noqa: F401
     pad_batch_for_mesh,
     sharded_scan_counts,
     sharded_scan_matches,
+    sharded_teddy_count,
 )

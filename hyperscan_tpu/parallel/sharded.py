@@ -116,6 +116,93 @@ def sharded_scan_counts(engine, data: np.ndarray, lengths: np.ndarray,
     return int(out)
 
 
+def sharded_teddy_count(corpus: np.ndarray, masks: np.ndarray,
+                        mesh: Mesh) -> int:
+    """Literal-filter candidate count over a corpus sharded across the
+    mesh: masks replicated, corpus segments data-parallel with one
+    halo row carried from the previous segment, counts psum'd
+    (BASELINE config 3: Teddy multi-literal with counts allreduced)."""
+    import jax
+
+    from ..ops.teddy import ROWS_PER_CELL, _make_kernel
+
+    D = mesh.devices.size
+    M, W = int(masks.shape[0]), int(masks.shape[1])
+    R = ROWS_PER_CELL
+    cell_bytes = R * 128
+    n = corpus.shape[0]
+    seg = max(cell_bytes, -(-n // (D * cell_bytes)) * cell_bytes)
+    cells_per = seg // cell_bytes
+
+    rows = np.zeros((D, 1 + cells_per * R, 128), dtype=np.uint8)
+    n_valid = np.zeros((D, 1, 1), dtype=np.int32)
+    for d in range(D):
+        lo, hi = d * seg, min(n, (d + 1) * seg)
+        if hi > lo:
+            part = corpus[lo:hi]
+            rows[d, 1 : 1 + (-(-len(part) // 128))].reshape(-1)[: len(part)] \
+                = part
+            n_valid[d, 0, 0] = len(part)
+        if lo > 0:  # halo: last 128 bytes of the previous segment
+            rows[d, 0] = np.frombuffer(
+                corpus[lo - 128 : lo].tobytes().rjust(128, b"\0"), np.uint8
+            )
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = jax.default_backend() == "cpu"
+
+    def per_device(rows_d, masks_d, nv_d):
+        rows_d = rows_d[0]
+        outs = pl.pallas_call(
+            _make_kernel(M, W, R),
+            interpret=interpret,
+            grid=(cells_per,),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((cells_per * R, 128), jnp.int32)
+                for _ in range(W)
+            ),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(W)
+            ),
+        )(rows_d, rows_d[1:], masks_d)
+        outs = outs if isinstance(outs, tuple) else (outs,)
+        nz = outs[0]
+        for o in outs[1:]:
+            nz = nz | o
+        posn = jnp.arange(cells_per * R * 128, dtype=jnp.int32).reshape(
+            cells_per * R, 128
+        )
+        local = jnp.sum(
+            ((nz != 0) & (posn < nv_d[0, 0, 0])).astype(jnp.int32)
+        )
+        return jax.lax.psum(local, SHARD_AXIS)
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(
+        jnp.asarray(rows), jnp.asarray(masks), jnp.asarray(n_valid)
+    )
+    return int(out)
+
+
 def sharded_scan_matches(engine, data: np.ndarray, lengths: np.ndarray,
                          mesh: Mesh, capacity: int = 4096):
     """Match tuples of one engine over a sharded block batch.

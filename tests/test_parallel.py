@@ -110,3 +110,25 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_teddy_count():
+    import numpy as np
+
+    from hyperscan_tpu.runtime.smallwrite import teddy_filter_host
+
+    db2 = hs.compile_multi([r"attack", r"needle", r"hayst"], ids=[1, 2, 3])
+    assert db2.lit is not None
+    rng = np.random.default_rng(5)
+    corpus = bytearray(rng.integers(32, 127, 3 * 512 * 128 + 777,
+                                    dtype=np.uint8).tobytes())
+    for off in (100, 70000, 150000, len(corpus) - 10):
+        corpus[off:off + 6] = b"attack"
+    corpus = np.frombuffer(bytes(corpus), np.uint8)
+
+    from hyperscan_tpu.parallel import make_mesh, sharded_teddy_count
+
+    mesh = make_mesh()
+    got = sharded_teddy_count(corpus, db2.lit.masks, mesh)
+    pos, _w = teddy_filter_host(corpus, db2.lit.masks)
+    assert got == len(pos) and got >= 4
