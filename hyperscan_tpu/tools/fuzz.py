@@ -1,0 +1,123 @@
+"""fuzz — random pattern/corpus generation for differential testing.
+
+Reference: tools/fuzz/*.py (aristocrats/heuristocrats generators feeding
+hscheck/hscollider). Generates random PCRE-subset patterns from a small
+grammar plus corpora seeded with pattern fragments, then diffs the engine
+against the AST oracle.
+
+Usage: python -m hyperscan_tpu.tools.fuzz [--rounds N] [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+import numpy as np
+
+import hyperscan_tpu as hs
+from hyperscan_tpu.compiler.parser import parse
+from hyperscan_tpu.utils.oracle import ast_match_ends
+
+_CHARS = "abcxyz019"
+_CLASSES = ["[a-c]", "[^x]", r"\d", r"\w", "[xy0-3]", "."]
+_ANCHORS_L = ["", "", "", "^"]
+_ANCHORS_R = ["", "", "", "$"]
+
+
+def gen_pattern(rng) -> str:
+    def atom() -> str:
+        k = rng.integers(0, 10)
+        if k < 5:
+            return _CHARS[rng.integers(0, len(_CHARS))]
+        if k < 8:
+            return _CLASSES[rng.integers(0, len(_CLASSES))]
+        inner = "".join(
+            _CHARS[rng.integers(0, len(_CHARS))]
+            for _ in range(rng.integers(1, 4))
+        )
+        return f"({inner})"
+
+    def quant(a: str) -> str:
+        k = rng.integers(0, 10)
+        if k < 6:
+            return a
+        if k == 6:
+            return a + "?"
+        if k == 7:
+            lo = int(rng.integers(0, 3))
+            hi = lo + int(rng.integers(0, 3))
+            return a + f"{{{lo},{hi}}}"
+        if k == 8 and a not in ("$", "^"):
+            return a + "*"
+        return a + "+"
+
+    def branch() -> str:
+        return "".join(quant(atom()) for _ in range(rng.integers(1, 6)))
+
+    body = "|".join(branch() for _ in range(rng.integers(1, 3)))
+    return (_ANCHORS_L[rng.integers(0, 4)] + body
+            + _ANCHORS_R[rng.integers(0, 4)])
+
+
+def gen_corpus(rng, frags: List[bytes]) -> bytes:
+    blob = bytearray(
+        rng.choice(np.frombuffer(_CHARS.encode() + b" ", np.uint8),
+                   size=rng.integers(0, 120)).tobytes()
+    )
+    for frag in frags:
+        if len(blob) and rng.integers(0, 2):
+            off = int(rng.integers(0, len(blob)))
+            blob[off:off] = frag
+    return bytes(blob)
+
+
+def fuzz_round(rng, n_patterns: int = 8, n_corpora: int = 6) -> List[str]:
+    """Returns a list of failure descriptions (empty = consistent)."""
+    pats = []
+    while len(pats) < n_patterns:
+        p = gen_pattern(rng)
+        try:
+            db = hs.compile(p, flags=hs.HS_FLAG_ALLOWEMPTY)
+        except hs.CompileError:
+            continue
+        pats.append((p, db))
+
+    fails = []
+    frags = [p.encode("latin-1", "ignore").replace(b"\\", b"")[:6]
+             for (p, _db) in pats]
+    for _ in range(n_corpora):
+        data = gen_corpus(rng, frags)
+        for (p, db) in pats:
+            want = ast_match_ends(parse(p, hs.HS_FLAG_ALLOWEMPTY), data)
+            got = {t for (_i, _f, t) in hs.scan(db, data)}
+            if got != want:
+                fails.append(
+                    f"pattern {p!r} corpus {data!r}: "
+                    f"{sorted(got)} != {sorted(want)}"
+                )
+    return fails
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    rng = np.random.default_rng(args.seed)
+    total_fails = 0
+    for r in range(args.rounds):
+        fails = fuzz_round(rng)
+        for f in fails:
+            print(f"FAIL round {r}: {f}")
+        total_fails += len(fails)
+    if total_fails:
+        print(f"FUZZ: {total_fails} failures")
+        return 1
+    print(f"FUZZ: {args.rounds} rounds consistent")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,3 +81,13 @@ def test_platform_and_allocators():
     info = hs.populate_platform()
     assert info["num_devices"] >= 1
     hs.set_allocator(lambda n: bytearray(n), lambda b: None)
+
+
+def test_fuzz_rounds():
+    import numpy as np
+
+    from hyperscan_tpu.tools.fuzz import fuzz_round
+
+    rng = np.random.default_rng(99)
+    for _ in range(3):
+        assert fuzz_round(rng, n_patterns=5, n_corpora=4) == []
