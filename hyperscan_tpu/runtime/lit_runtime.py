@@ -46,35 +46,38 @@ def confirm_candidates(
     n = pos.shape[0]
     if n == 0:
         return out
-    # block containing each candidate position
-    blk = np.searchsorted(block_starts, pos, side="right") - 1
-    bstart = block_starts[blk]
     clen = corpus.shape[0]
-    for j in range(n):
-        p = int(pos[j])
-        if p >= clen:  # candidate in the padded tail beyond the corpus
+    pos = np.asarray(pos, dtype=np.int64)
+    inb = pos < clen  # drop candidates in the padded tail
+    blk = np.searchsorted(block_starts, np.minimum(pos, max(clen - 1, 0)),
+                          side="right") - 1
+    bstart = block_starts[blk]
+    # vectorized per factor: gather each candidate's window and compare
+    # all atoms at once (the reference's confirm loop is scalar C; numpy
+    # batches it per bucket instead)
+    for bucket, fids in enumerate(lit.bucket_factors):
+        if not fids:
             continue
-        bs = int(bstart[j])
-        for w in range(words.shape[0]):
-            bits = int(np.uint32(words[w, j]))
-            while bits:
-                low = bits & (-bits)
-                bits ^= low
-                bucket = w * 32 + low.bit_length() - 1
-                for fid in lit.bucket_factors[bucket]:
-                    atoms = lit.factor_atoms[fid]
-                    flen = len(atoms)
-                    start = p - flen + 1
-                    if start < bs:
-                        continue
-                    seg = corpus[start : p + 1]
-                    ok = True
-                    for k, (value, mask) in enumerate(atoms):
-                        if (int(seg[k]) & mask) != value:
-                            ok = False
-                            break
-                    if ok:
-                        out.append((fid, p))
+        w, bit = divmod(bucket, 32)
+        sel = np.flatnonzero(((words[w] >> bit) & 1).astype(bool) & inb)
+        if sel.size == 0:
+            continue
+        p_sel = pos[sel]
+        bs_sel = bstart[sel]
+        for fid in fids:
+            atoms = lit.factor_atoms[fid]
+            flen = len(atoms)
+            starts = p_sel - flen + 1
+            okb = starts >= bs_sel
+            if not okb.any():
+                continue
+            idx = np.flatnonzero(okb)
+            win = corpus[starts[idx][:, None] + np.arange(flen)]
+            vals = np.asarray([v for (v, _m) in atoms], np.uint8)
+            msks = np.asarray([m for (_v, m) in atoms], np.uint8)
+            hit = np.all((win & msks) == vals, axis=1)
+            for j in np.flatnonzero(hit):
+                out.append((fid, int(p_sel[idx[j]])))
     return out
 
 

@@ -28,8 +28,6 @@ from ..flags import (
     UNBOUNDED,
     base_mode,
 )
-from ..ops.dfa import dfa_scan_batch
-from ..ops.match import extract_matches
 
 Match = Tuple[int, int, int]  # (external id, from, to)
 
@@ -59,22 +57,6 @@ class Scratch:
 
     def clone(self) -> "Scratch":
         return Scratch(capacity=self.capacity)
-
-
-@functools.lru_cache(maxsize=256)
-def _jit_engine_scan(capacity: int):
-    """Jitted: scan one engine over a batch and extract matches."""
-
-    @jax.jit
-    def run(trans, b2c, accept_id, accept_eod_id, start_state, data, lengths):
-        accepts, finals = dfa_scan_batch(
-            trans, b2c, accept_id, start_state, data, lengths
-        )
-        total, set_ids, blocks, tos = extract_matches(accepts, capacity)
-        eod_sets = accept_eod_id[finals]
-        return total, set_ids, blocks, tos, eod_sets
-
-    return run
 
 
 def _engine_device_arrays(engine: DfaEngine):
