@@ -80,16 +80,18 @@ def fuzz_round(rng, n_patterns: int = 8, n_corpora: int = 6) -> List[str]:
         p = gen_pattern(rng)
         try:
             db = hs.compile(p, flags=hs.HS_FLAG_ALLOWEMPTY)
+            sdb = hs.compile(p, flags=hs.HS_FLAG_ALLOWEMPTY,
+                             mode=hs.HS_MODE_STREAM)
         except hs.CompileError:
             continue
-        pats.append((p, db))
+        pats.append((p, db, sdb))
 
     fails = []
     frags = [p.encode("latin-1", "ignore").replace(b"\\", b"")[:6]
-             for (p, _db) in pats]
+             for (p, _db, _s) in pats]
     for _ in range(n_corpora):
         data = gen_corpus(rng, frags)
-        for (p, db) in pats:
+        for (p, db, sdb) in pats:
             want = ast_match_ends(parse(p, hs.HS_FLAG_ALLOWEMPTY), data)
             got = {t for (_i, _f, t) in hs.scan(db, data)}
             if got != want:
@@ -97,6 +99,26 @@ def fuzz_round(rng, n_patterns: int = 8, n_corpora: int = 6) -> List[str]:
                     f"pattern {p!r} corpus {data!r}: "
                     f"{sorted(got)} != {sorted(want)}"
                 )
+                continue
+            # streaming under a random write split must agree with block
+            if len(data) > 1:
+                k = int(rng.integers(1, min(5, len(data)) + 1))
+                cuts = sorted(
+                    rng.choice(len(data), size=k, replace=False).tolist()
+                )
+                st = hs.open_stream(sdb)
+                ms = []
+                prev = 0
+                for c in cuts + [len(data)]:
+                    ms.extend(hs.scan_stream(st, data[prev:c]))
+                    prev = c
+                ms.extend(hs.close_stream(st))
+                got_s = {t for (_i, _f, t) in ms}
+                if got_s != want:
+                    fails.append(
+                        f"STREAM pattern {p!r} corpus {data!r} cuts {cuts}: "
+                        f"{sorted(got_s)} != {sorted(want)}"
+                    )
     return fails
 
 
