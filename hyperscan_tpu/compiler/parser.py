@@ -105,8 +105,6 @@ class _Parser:
             ucp=bool(flags & HS_FLAG_UCP),
             prefilter=bool(flags & HS_FLAG_PREFILTER),
         )
-        if self.flags.ucp:
-            raise CompileError("HS_FLAG_UCP not yet supported", index)
 
     # -- utilities -----------------------------------------------------
     def error(self, msg: str) -> CompileError:
@@ -156,18 +154,59 @@ class _Parser:
                     "codepoint above \\xFF requires HS_FLAG_UTF8"
                 )
             return self._lit(cp)
-        from .utf8 import ranges_to_node
-
-        return ranges_to_node([(cp, cp)])
+        # route through the class builder so CASELESS(+UCP) folding applies
+        return self._utf8_class_node([(cp, cp)])
 
     def _utf8_class_node(self, ranges, negate: bool = False) -> Node:
         from .utf8 import complement_ranges, fold_ascii, ranges_to_node
 
         if self.flags.caseless:
-            ranges = fold_ascii(ranges)
+            if self.flags.ucp:
+                from .ucp import fold_case
+
+                ranges = fold_case(ranges)
+            else:
+                ranges = fold_ascii(ranges)
         if negate:
             ranges = complement_ranges(ranges)
         return ranges_to_node(ranges)
+
+    def _ucp_class(self, ranges, negate: bool = False) -> Node:
+        """Unicode-property class in the current mode: byte-clipped in
+        8-bit mode, UTF-8 expanded otherwise."""
+        if self.flags.utf8:
+            return self._utf8_class_node(ranges, negate=negate)
+        from .utf8 import complement_ranges
+
+        if negate:
+            ranges = complement_ranges(ranges)
+        cr = CharReach.none()
+        import numpy as _np
+
+        bits = _np.zeros(256, dtype=bool)
+        for (lo, hi) in ranges:
+            if lo > 255:
+                break
+            bits[lo : min(hi, 255) + 1] = True
+        cr = CharReach(bits)
+        if self.flags.caseless:
+            cr = cr.make_caseless()
+        return Pos(cr)
+
+    def _parse_prop_name(self) -> str:
+        """Parse the name of \\p{...} / \\pX (requires UCP mode)."""
+        if not self.flags.ucp:
+            raise self.error("\\p requires HS_FLAG_UCP")
+        if self.peek() == "{":
+            self.take()
+            name = ""
+            while not self.at_end() and self.peek() != "}":
+                name += self.take()
+            self.expect("}")
+            return name
+        if self.at_end():
+            raise self.error("malformed \\p escape")
+        return self.take()
 
     def _class_node(self, cr: CharReach) -> Node:
         if self.flags.caseless:
@@ -428,14 +467,30 @@ class _Parser:
         if c in self._SIMPLE_ESCAPES:
             return self._lit(self._SIMPLE_ESCAPES[c])
         if c == "d":
+            if self.flags.ucp:
+                from .ucp import digit_ranges
+
+                return self._ucp_class(digit_ranges())
             return Pos(DIGIT)
         if c == "D":
+            if self.flags.ucp:
+                from .ucp import digit_ranges
+
+                return self._ucp_class(digit_ranges(), negate=True)
             if self.flags.utf8:
                 return self._utf8_class_node([(0x30, 0x39)], negate=True)
             return Pos(~DIGIT)
         if c == "s":
+            if self.flags.ucp:
+                from .ucp import space_ranges
+
+                return self._ucp_class(space_ranges())
             return Pos(SPACE)
         if c == "S":
+            if self.flags.ucp:
+                from .ucp import space_ranges
+
+                return self._ucp_class(space_ranges(), negate=True)
             if self.flags.utf8:
                 from .utf8 import charreach_to_ranges
 
@@ -444,8 +499,16 @@ class _Parser:
                 )
             return Pos(~SPACE)
         if c == "w":
+            if self.flags.ucp:
+                from .ucp import word_ranges
+
+                return self._ucp_class(word_ranges())
             return Pos(WORD)
         if c == "W":
+            if self.flags.ucp:
+                from .ucp import word_ranges
+
+                return self._ucp_class(word_ranges(), negate=True)
             if self.flags.utf8:
                 from .utf8 import charreach_to_ranges
 
@@ -502,8 +565,18 @@ class _Parser:
         if c == "z":
             return Anchor(A_EOS)
         if c == "b":
+            if self.flags.ucp:
+                raise self.error(
+                    "\\b under UCP needs codepoint context (not yet "
+                    "supported)"
+                )
             return Anchor(A_WORDB)
         if c == "B":
+            if self.flags.ucp:
+                raise self.error(
+                    "\\B under UCP needs codepoint context (not yet "
+                    "supported)"
+                )
             return Anchor(A_NWORDB)
         if c == "G":
             raise self.error("\\G is not supported")
@@ -539,7 +612,12 @@ class _Parser:
                 return Rep(Pos(DOT_ALL), 0, None)
             raise self.error("backreferences are not supported")
         if c == "p" or c == "P":
-            raise self.error("unicode properties require UCP mode (not yet supported)")
+            from .ucp import category_ranges
+
+            name = self._parse_prop_name()
+            return self._ucp_class(
+                category_ranges(name, self.index), negate=(c == "P")
+            )
         if c.isalpha():
             raise self.error(f"unrecognized escape \\{c}")
         return self._lit(ord(c) & 0xFF)
@@ -725,15 +803,28 @@ class _Parser:
         if self.at_end():
             raise self.error("pattern may not end with a backslash")
         c = self.peek()
+        if c in "pP":
+            self.take()
+            from .ucp import category_ranges
+
+            name = self._parse_prop_name()
+            rs = category_ranges(name, self.index)
+            return (complement_ranges(rs) if c == "P" else rs), None
         if c in "dDsSwWvVhH":
             self.take()
-            base = {
-                "d": charreach_to_ranges(DIGIT),
-                "s": charreach_to_ranges(SPACE),
-                "w": charreach_to_ranges(WORD),
-                "v": list(VERT_WS_CP),
-                "h": list(HORZ_WS_CP),
-            }[c.lower()]
+            if self.flags.ucp and c.lower() in "dsw":
+                from .ucp import digit_ranges, space_ranges, word_ranges
+
+                base = {"d": digit_ranges(), "s": space_ranges(),
+                        "w": word_ranges()}[c.lower()]
+            else:
+                base = {
+                    "d": charreach_to_ranges(DIGIT),
+                    "s": charreach_to_ranges(SPACE),
+                    "w": charreach_to_ranges(WORD),
+                    "v": list(VERT_WS_CP),
+                    "h": list(HORZ_WS_CP),
+                }[c.lower()]
             return (complement_ranges(base) if c.isupper() else base), None
         cr, byte = self._class_escape()
         if cr is not None:
@@ -748,17 +839,47 @@ class _Parser:
         c = self.take()
         if c in self._SIMPLE_ESCAPES:
             return None, self._SIMPLE_ESCAPES[c]
+        if c in "pP" and self.flags.ucp:
+            from .ucp import category_ranges
+
+            name = self._parse_prop_name()
+            cr = _ranges_to_charreach(category_ranges(name, self.index))
+            return (~cr if c == "P" else cr), None
         if c == "d":
+            if self.flags.ucp:
+                from .ucp import digit_ranges
+
+                return _ranges_to_charreach(digit_ranges()), None
             return DIGIT, None
         if c == "D":
+            if self.flags.ucp:
+                from .ucp import digit_ranges
+
+                return ~_ranges_to_charreach(digit_ranges()), None
             return ~DIGIT, None
         if c == "s":
+            if self.flags.ucp:
+                from .ucp import space_ranges
+
+                return _ranges_to_charreach(space_ranges()), None
             return SPACE, None
         if c == "S":
+            if self.flags.ucp:
+                from .ucp import space_ranges
+
+                return ~_ranges_to_charreach(space_ranges()), None
             return ~SPACE, None
         if c == "w":
+            if self.flags.ucp:
+                from .ucp import word_ranges
+
+                return _ranges_to_charreach(word_ranges()), None
             return WORD, None
         if c == "W":
+            if self.flags.ucp:
+                from .ucp import word_ranges
+
+                return ~_ranges_to_charreach(word_ranges()), None
             return ~WORD, None
         if c == "v":
             return VERT_WS, None
@@ -789,6 +910,18 @@ class _Parser:
         if c.isalpha():
             raise self.error(f"unrecognized escape \\{c} in class")
         return None, ord(c) & 0xFF
+
+
+def _ranges_to_charreach(ranges) -> CharReach:
+    """Clip codepoint ranges to the byte alphabet (UCP without UTF8)."""
+    import numpy as _np
+
+    bits = _np.zeros(256, dtype=bool)
+    for (lo, hi) in ranges:
+        if lo > 255:
+            break
+        bits[lo : min(hi, 255) + 1] = True
+    return CharReach(bits)
 
 
 def parse(pattern, flags: int = 0, index: int = -1) -> Node:

@@ -1,0 +1,87 @@
+"""UCP mode: Unicode-property character classes.
+
+Reference: HS_FLAG_UCP (src/hs_compile.h:929) + the parser's ucp_table.cpp
+property tables. Here the property sets are derived from Python's
+unicodedata at first use and cached as codepoint ranges; \\w, \\d, \\s and
+\\p{...}/\\P{...} switch to Unicode semantics, and CASELESS closes classes
+under simple case folding. Word-boundary assertions under UCP need
+codepoint-level context and are rejected this round (documented gap).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import unicodedata
+from typing import Dict, List, Tuple
+
+from ..errors import CompileError
+from .utf8 import MAX_CP, normalize_ranges
+
+Range = Tuple[int, int]
+
+
+@functools.lru_cache(maxsize=1)
+def _category_map() -> Dict[str, List[Range]]:
+    """category (major or full) -> codepoint ranges, one pass over the
+    Unicode space (cached per process)."""
+    out: Dict[str, List[Range]] = {}
+    prev_cat = None
+    start = 0
+    def flush(cat, lo, hi):
+        if cat is None:
+            return
+        for key in (cat, cat[0]):
+            out.setdefault(key, []).append((lo, hi))
+    for cp in range(MAX_CP + 1):
+        cat = unicodedata.category(chr(cp))
+        if cat != prev_cat:
+            flush(prev_cat, start, cp - 1)
+            prev_cat, start = cat, cp
+    flush(prev_cat, start, MAX_CP)
+    return out
+
+
+def category_ranges(name: str, index: int = -1) -> List[Range]:
+    """Ranges for a \\p{...} property name (general categories)."""
+    cmap = _category_map()
+    if name not in cmap:
+        raise CompileError(f"unknown unicode property {name!r}", index)
+    return list(cmap[name])
+
+
+@functools.lru_cache(maxsize=1)
+def word_ranges() -> List[Range]:
+    """UCP \\w = [\\p{L}\\p{N}_] (reference: ucp \\w semantics)."""
+    cmap = _category_map()
+    return normalize_ranges(cmap["L"] + cmap["N"] + [(0x5F, 0x5F)])
+
+
+@functools.lru_cache(maxsize=1)
+def digit_ranges() -> List[Range]:
+    """UCP \\d = \\p{Nd}."""
+    return list(_category_map()["Nd"])
+
+
+@functools.lru_cache(maxsize=1)
+def space_ranges() -> List[Range]:
+    """UCP \\s = Unicode whitespace."""
+    out = [(cp, cp) for cp in range(0x3000 + 1) if chr(cp).isspace()]
+    return normalize_ranges(out)
+
+
+def fold_case(ranges: List[Range]) -> List[Range]:
+    """Close codepoint ranges under simple case folding (CASELESS+UCP;
+    reference: UCP caseless uses Unicode case equivalence)."""
+    extra: List[Range] = []
+    for (lo, hi) in ranges:
+        if hi - lo > 0x20000:  # huge ranges are effectively case-closed
+            continue
+        for cp in range(lo, hi + 1):
+            c = chr(cp)
+            for v in (c.lower(), c.upper()):
+                for ch in v:
+                    o = ord(ch)
+                    if not (lo <= o <= hi):
+                        extra.append((o, o))
+    return normalize_ranges(ranges + extra)

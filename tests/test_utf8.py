@@ -67,9 +67,10 @@ def test_invalid_utf8_pattern_rejected():
         hs.compile(b"\xff\xfe", flags=U)
 
 
-def test_ucp_still_rejected():
+def test_ucp_word_boundary_rejected():
+    # UCP \b needs codepoint-level context — still a documented gap
     with pytest.raises(CompileError):
-        hs.compile(r"\w+", flags=U | hs.HS_FLAG_UCP)
+        hs.compile(r"\bfoo\b", flags=U | hs.HS_FLAG_UCP)
 
 
 def test_non_utf8_rejects_wide_codepoint():
