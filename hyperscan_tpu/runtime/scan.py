@@ -76,8 +76,9 @@ def scan_blocks_raw(
     db: Database, blocks: Sequence[bytes], capacity: int
 ) -> List[List[Tuple[int, int]]]:
     """Scan a batch of independent blocks; returns per-block lists of
-    internal (expr_index, to) records (pre report-processing), deduped and
-    sorted. Retries with doubled capacity on overflow."""
+    internal (expr_index, to, from) records (pre report-processing),
+    deduped and sorted. Capacity overflow retries happen inside the
+    device kernel wrappers (teddy_scan_rows / dfa_scan_corpus_device)."""
     B = len(blocks)
     per_block: List[set] = [set() for _ in range(B)]
 
@@ -109,22 +110,7 @@ def scan_blocks_raw(
 
     if total_bytes <= HOST_SCAN_LIMIT:
         # small-write path (reference: runSmallWriteEngine): host numpy
-        data = np.zeros((B, max(1, maxlen)), dtype=np.uint8)
-        lengths = np.zeros((B,), dtype=np.int32)
-        for i, blk in enumerate(blocks):
-            data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
-            lengths[i] = len(blk)
-        for engine in db.engines:
-            hits, finals = dfa_scan_host(engine, data, lengths)
-            for bi in range(B):
-                for (t, sid) in hits[bi]:
-                    for (eid, adj) in engine.expand_set(sid):
-                        per_block[bi].add((eid, t + 1 + adj, 0))
-                sid = int(engine.accept_eod_id[finals[bi]])
-                if sid:
-                    for (eid, adj) in engine.expand_set(sid):
-                        per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
-            _add_start_reports(engine, per_block, lengths)
+        lengths = _host_engine_scan(db.engines, blocks, per_block)
         return [
             _order_records(per_block[bi], int(lengths[bi])) for bi in range(B)
         ]
@@ -156,22 +142,35 @@ def scan_blocks_raw(
     if host_engines:
         # unbounded-width engines carry state across the whole buffer and
         # cannot halo-parallelize; the native host runtime scans them
-        data = np.zeros((B, max(1, maxlen)), dtype=np.uint8)
-        for i, blk in enumerate(blocks_b):
-            data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
-        for engine in host_engines:
-            hits, finals = dfa_scan_host(engine, data, lengths)
-            for bi in range(B):
-                for (t, sid) in hits[bi]:
-                    for (eid, adj) in engine.expand_set(sid):
-                        per_block[bi].add((eid, t + 1 + adj, 0))
-                sid = int(engine.accept_eod_id[finals[bi]])
-                if sid:
-                    for (eid, adj) in engine.expand_set(sid):
-                        per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
-            _add_start_reports(engine, per_block, lengths)
+        _host_engine_scan(host_engines, blocks_b, per_block)
 
     return [_order_records(per_block[bi], int(lengths[bi])) for bi in range(B)]
+
+
+def _host_engine_scan(engines, blocks, per_block) -> np.ndarray:
+    """Scan engines over a block batch with the host runtime, collecting
+    accept / EOD / vacuous records into per_block. Returns lengths."""
+    from .smallwrite import dfa_scan_host
+
+    B = len(blocks)
+    maxlen = max((len(b) for b in blocks), default=0)
+    data = np.zeros((B, max(1, maxlen)), dtype=np.uint8)
+    lengths = np.zeros((B,), dtype=np.int32)
+    for i, blk in enumerate(blocks):
+        data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
+        lengths[i] = len(blk)
+    for engine in engines:
+        hits, finals = dfa_scan_host(engine, data, lengths)
+        for bi in range(B):
+            for (t, sid) in hits[bi]:
+                for (eid, adj) in engine.expand_set(sid):
+                    per_block[bi].add((eid, t + 1 + adj, 0))
+            sid = int(engine.accept_eod_id[finals[bi]])
+            if sid:
+                for (eid, adj) in engine.expand_set(sid):
+                    per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
+        _add_start_reports(engine, per_block, lengths)
+    return lengths
 
 
 def _add_start_reports(engine, per_block, lengths) -> None:

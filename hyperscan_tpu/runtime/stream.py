@@ -30,7 +30,7 @@ import numpy as np
 from ..database import Database
 from ..errors import DbModeError, InvalidError, ScanTerminated
 from ..flags import HS_MODE_STREAM, HS_MODE_VECTORED, base_mode
-from .lit_runtime import WINDOW_SLACK, finish_literal_scan
+from .lit_runtime import WINDOW_SLACK
 from .scan import Match, finalize_reports
 
 STREAM_MAGIC = b"HSTPUST1"
@@ -109,19 +109,18 @@ def _engine_pass(db, streams, chunks, recs_abs):
         init_np = np.asarray(
             [st.engine_states[ei] for st in streams], dtype=np.int32
         )
-        if True:
-            # general engines carry per-stream state byte-serially; the
-            # native host runtime handles this (device chunk-halo scanning
-            # applies to the literal path and block mode)
-            hits, finals = dfa_scan_host(engine, data, lengths, init_np)
-            for bi, st in enumerate(streams):
-                for (t, sid) in hits[bi]:
-                    for (eidx, adj) in engine.expand_set(sid):
-                        to_abs = st.offset + t + 1 + adj
-                        if to_abs >= 0:
-                            recs_abs[bi].add((eidx, to_abs, 0))
-                st.engine_states[ei] = int(finals[bi])
-            _vacuous_stream_reports(engine, streams, chunks, recs_abs)
+        # general engines carry per-stream state byte-serially; the
+        # native host runtime handles this (device chunk-halo scanning
+        # applies to the literal path and block mode)
+        hits, finals = dfa_scan_host(engine, data, lengths, init_np)
+        for bi, st in enumerate(streams):
+            for (t, sid) in hits[bi]:
+                for (eidx, adj) in engine.expand_set(sid):
+                    to_abs = st.offset + t + 1 + adj
+                    if to_abs >= 0:
+                        recs_abs[bi].add((eidx, to_abs, 0))
+            st.engine_states[ei] = int(finals[bi])
+        _vacuous_stream_reports(engine, streams, chunks, recs_abs)
 
 
 def _vacuous_stream_reports(engine, streams, chunks, recs_abs) -> None:
