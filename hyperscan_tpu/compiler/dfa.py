@@ -157,7 +157,7 @@ def determinize(
         sid = states.get(key)
         if sid is None:
             sid = len(order)
-            if sid > max_states:
+            if sid >= max_states:
                 raise DfaLimitExceeded(
                     f"DFA exceeds {max_states} states; partition the pattern set"
                 )

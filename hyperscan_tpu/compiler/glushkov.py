@@ -393,7 +393,7 @@ class _Resolver:
                 self.extra_edges.append((w, ACCEOD, uf_a, None, adj_a))
         return w
 
-    def eliminate(self, pid: int, edges: List[_Edge], is_assert) -> List[_Edge]:
+    def eliminate(self, pid: int, edges: List[_Edge]) -> List[_Edge]:
         kind = self.b.leaves[pid].kind  # type: ignore[union-attr]
         rects = _assert_rects(kind)
         preds = [e for e in edges if e[1] == pid]
@@ -496,7 +496,7 @@ def build_nfa(node: Node) -> NFAGraph:
         ]
         if not ready:
             raise CompileError("cyclic assertion structure is not supported")
-        edges = resolver.eliminate(ready[0], edges, is_assert)
+        edges = resolver.eliminate(ready[0], edges)
         edges.extend(resolver.extra_edges)
         resolver.extra_edges = []
     else:

@@ -894,6 +894,8 @@ class _Parser:
         if c == "x":
             return None, self._parse_hex_escape()
         if c == "c":
+            if self.at_end():
+                raise self.error("malformed \\c escape")
             ch = self.take()
             return None, ord(ch.upper()) ^ 0x40
         if c == "0":
