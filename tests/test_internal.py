@@ -1,0 +1,138 @@
+"""Internal-component unit tests (reference: unit/internal — each kernel
+and table builder gets a direct brute-force reference check)."""
+
+import numpy as np
+import pytest
+
+import hyperscan_tpu as hs
+
+
+def test_utf8_range_split_bruteforce():
+    """Byte-sequence alternations must cover exactly the codepoint set."""
+    from hyperscan_tpu.compiler.utf8 import cp_ranges_to_seqs
+
+    cases = [
+        [(0x41, 0x5A)],
+        [(0x7E, 0x84)],            # 1/2-byte boundary straddle
+        [(0x7F0, 0x812)],          # 2/3-byte boundary straddle
+        [(0xD7FA, 0xE005)],        # surrogate gap straddle
+        [(0xFFF0, 0x10010)],       # 3/4-byte boundary straddle
+        [(0x3B1, 0x3C9), (0x10400, 0x10427)],
+    ]
+    for ranges in cases:
+        seqs = cp_ranges_to_seqs(ranges)
+
+        def covered(bs: bytes) -> bool:
+            return any(
+                len(bs) == len(seq)
+                and all(lo <= b <= hi for (b, (lo, hi)) in zip(bs, seq))
+                for seq in seqs
+            )
+
+        for (lo, hi) in ranges:
+            for cp in range(max(0, lo - 2), hi + 3):
+                if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                    continue
+                want = any(l <= cp <= h for (l, h) in ranges)
+                got = covered(chr(cp).encode("utf-8"))
+                assert got == want, f"cp {cp:#x} in {ranges}"
+
+
+def test_ucp_category_ranges_sanity():
+    import unicodedata
+
+    from hyperscan_tpu.compiler.ucp import category_ranges, word_ranges
+
+    lu = category_ranges("Lu")
+    assert any(lo <= ord("A") <= hi for (lo, hi) in lu)
+    assert not any(lo <= ord("a") <= hi for (lo, hi) in lu)
+    w = word_ranges()
+    for ch in "aZ9_δ漢":
+        assert any(lo <= ord(ch) <= hi for (lo, hi) in w), ch
+    assert not any(lo <= ord("-") <= hi for (lo, hi) in w)
+
+
+def test_sparse_extract_vs_nonzero():
+    import jax.numpy as jnp
+
+    from hyperscan_tpu.ops.teddy import sparse_extract
+
+    rng = np.random.default_rng(0)
+    for density, n in [(0.0, 1 << 14), (0.001, 1 << 14), (0.3, 1 << 13)]:
+        plane = np.where(
+            rng.random(n) < density, rng.integers(1, 99, n), 0
+        ).astype(np.int32)
+        nvalid = n - 100
+        meta, packed = sparse_extract(
+            [jnp.asarray(plane)], jnp.int32(nvalid), 1 << 13, 1 << 9
+        )
+        total, n_hit = (int(x) for x in np.asarray(meta))
+        # reference: nonzero positions, whole trailing chunks masked
+        CHUNK = 1024
+        keep = plane.copy()
+        nchunk = n // CHUNK
+        for c in range(nchunk):
+            if c * CHUNK >= nvalid:
+                keep[c * CHUNK : (c + 1) * CHUNK] = 0
+        want_pos = np.flatnonzero(keep)
+        assert total == len(want_pos)
+        if total <= (1 << 13):
+            got = np.asarray(packed[:, :total])
+            assert np.array_equal(got[0], want_pos)
+            assert np.array_equal(got[1], keep[want_pos])
+
+
+def test_teddy_plan_masks_cover_factors():
+    from hyperscan_tpu.compiler.literals import Factor, LitAtom
+    from hyperscan_tpu.compiler.teddy import build_teddy
+
+    rng = np.random.default_rng(1)
+    factors = [
+        Factor(tuple(LitAtom(int(b), 0xFF)
+                     for b in rng.integers(97, 123, rng.integers(3, 10))))
+        for _ in range(200)
+    ]
+    plan = build_teddy(factors)
+    M = plan.m
+    for fid, f in enumerate(factors):
+        b = plan.bucket_of[fid]
+        w, bit = divmod(b, 32)
+        for m in range(M):
+            byte = f.atoms[-1 - m].value if m < len(f) else None
+            if byte is not None:
+                assert plan.masks[m, w, byte] & (1 << bit), (fid, m)
+
+
+def test_fuzzy_graph_width_accounting():
+    from hyperscan_tpu.compiler.fuzzy import fuzzy_graph
+    from hyperscan_tpu.compiler.glushkov import build_nfa
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.utils.oracle import nfa_match_ends
+
+    g = build_nfa(parse("abcd", 0))
+    fz = fuzzy_graph(g, edit=1, hamming=0)
+    # direct NFA simulation: one deletion/subst/insert each
+    assert 3 in nfa_match_ends(fz, b"abd")    # deletion
+    assert 4 in nfa_match_ends(fz, b"abxd")   # substitution
+    assert 5 in nfa_match_ends(fz, b"abxcd")  # insertion
+    assert nfa_match_ends(fz, b"ad") == set()  # two deletions exceed k
+
+
+def test_reverse_graph_som_roundtrip():
+    from hyperscan_tpu.compiler.dfa import determinize, reverse_graph
+    from hyperscan_tpu.compiler.glushkov import build_nfa
+    from hyperscan_tpu.compiler.parser import parse
+
+    g = build_nfa(parse("a{1,3}bc", 0))
+    rev = determinize([reverse_graph(g, eod=False)], [0])
+    # scan "aaabc" backwards from the end: starts at offsets 2, 1, 0
+    data = b"aaabc"
+    s = rev.start_state
+    starts = set()
+    for j in range(len(data) - 1, -1, -1):
+        s = int(rev.trans[s, rev.byte_to_class[data[j]]])
+        aid = int(rev.accept_id[s])
+        if aid:
+            for (_e, adj) in rev.accept_sets[aid]:
+                starts.add(j + adj)
+    assert starts == {0, 1, 2}
