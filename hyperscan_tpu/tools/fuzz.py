@@ -75,24 +75,27 @@ def gen_corpus(rng, frags: List[bytes]) -> bytes:
 
 def fuzz_round(rng, n_patterns: int = 8, n_corpora: int = 6) -> List[str]:
     """Returns a list of failure descriptions (empty = consistent)."""
+    flag_pool = [0, hs.HS_FLAG_CASELESS, hs.HS_FLAG_DOTALL,
+                 hs.HS_FLAG_MULTILINE,
+                 hs.HS_FLAG_CASELESS | hs.HS_FLAG_MULTILINE]
     pats = []
     while len(pats) < n_patterns:
         p = gen_pattern(rng)
+        fl = hs.HS_FLAG_ALLOWEMPTY | flag_pool[int(rng.integers(0, 5))]
         try:
-            db = hs.compile(p, flags=hs.HS_FLAG_ALLOWEMPTY)
-            sdb = hs.compile(p, flags=hs.HS_FLAG_ALLOWEMPTY,
-                             mode=hs.HS_MODE_STREAM)
+            db = hs.compile(p, flags=fl)
+            sdb = hs.compile(p, flags=fl, mode=hs.HS_MODE_STREAM)
         except hs.CompileError:
             continue
-        pats.append((p, db, sdb))
+        pats.append((p, fl, db, sdb))
 
     fails = []
     frags = [p.encode("latin-1", "ignore").replace(b"\\", b"")[:6]
-             for (p, _db, _s) in pats]
+             for (p, _fl, _db, _s) in pats]
     for _ in range(n_corpora):
         data = gen_corpus(rng, frags)
-        for (p, db, sdb) in pats:
-            want = ast_match_ends(parse(p, hs.HS_FLAG_ALLOWEMPTY), data)
+        for (p, fl, db, sdb) in pats:
+            want = ast_match_ends(parse(p, fl), data)
             got = {t for (_i, _f, t) in hs.scan(db, data)}
             if got != want:
                 fails.append(
