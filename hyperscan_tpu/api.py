@@ -10,9 +10,10 @@ the reference should find every entry point they know:
   hs_database_info / hs_serialized_database_info
   hs_alloc_scratch / hs_clone_scratch
   hs_expression_info / hs_expression_ext_info
-  hs_version / hs_valid_platform
-
-Streaming (hs_open_stream …) lives in runtime/stream.py once built.
+  hs_version / hs_valid_platform / hs_populate_platform
+  hs_open/scan/close/reset/copy_stream, hs_compress/expand_stream
+  hs_scan_vector
+  hs_set_allocator (+ per-domain variants)
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from .compiler.glushkov import build_nfa
 from .compiler.parser import parse as _parse
 from .database import DB_VERSION, Database, PatternInfo, compile_patterns, _nfa_widths
 from .errors import *  # noqa: F401,F403 — error codes are part of the API
-from .errors import CompileError, InvalidError
+from .errors import InvalidError
 from .flags import (
     ExprExt,
     HS_MODE_BLOCK,

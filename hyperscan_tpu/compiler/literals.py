@@ -25,7 +25,6 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 from .ast import Alt, Anchor, Empty, Node, Pos, Rep, Seq
-from .charclass import CharReach
 
 # Factors shorter than this are not worth prefiltering with (they flood the
 # candidate stream); patterns without a factor of at least this length fall

@@ -17,8 +17,7 @@ per offset).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import FrozenSet, List, Set, Tuple, Union
+from typing import List, Set, Tuple, Union
 
 from ..errors import CompileError
 

@@ -11,7 +11,6 @@ codepoint-level context and are rejected this round (documented gap).
 from __future__ import annotations
 
 import functools
-import sys
 import unicodedata
 from typing import Dict, List, Tuple
 

@@ -22,8 +22,6 @@ All functions are jit-compatible with static shapes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ the analogue of scratch-resize).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -11,10 +11,8 @@ dedupe, ordering, SINGLEMATCH/QUIET handling, and callback delivery
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
