@@ -130,6 +130,19 @@ class DfaEngine:
 
 
 @dataclasses.dataclass
+class ChainInfo:
+    """One LEFT <gap> RIGHT decomposition (reference: Rose prefix→infix→
+    suffix roles, restricted to a single-class infix; ng_violet.cpp)."""
+
+    gap_bits: np.ndarray  # [256] bool — the infix character class
+    gap_lo: int
+    gap_hi: Optional[int]  # None = unbounded
+    pre: DfaEngine   # left-part scanning DFA (reports prefix ends)
+    suf: DfaEngine   # right-part scanning DFA (reports match ends)
+    suf_rev: DfaEngine  # reverse DFA of the right part (suffix starts)
+
+
+@dataclasses.dataclass
 class LiteralEngine:
     """Teddy prefilter + confirm tables + per-pattern window validators.
 
@@ -142,14 +155,17 @@ class LiteralEngine:
     masks: np.ndarray  # [M, W, 256] int32 (teddy tables)
     factor_atoms: List[Tuple[Tuple[int, int], ...]]  # fid -> ((value,mask)..)
     bucket_factors: List[List[int]]  # bucket -> factor ids
-    # fid -> [(pattern_idx, max_start_to_fend, max_fend_to_end, literal_equiv)]
-    factor_refs: List[List[Tuple[int, int, int, bool]]]
+    # fid -> [(pattern_idx, max_start_to_fend, max_fend_to_end, kind)]
+    # kind: "equiv" (factor == whole match), "win" (window validation),
+    # "pre"/"suf" (chain roles; reference: Rose literal roles)
+    factor_refs: List[List[Tuple[int, int, int, str]]]
     validators: Dict[int, DfaEngine]  # pattern_idx -> window DFA
     # SOM back-scan DFAs (reference: ng_som reverse NFAs): pattern_idx ->
     # (reverse-from-accepts, reverse-from-EOD-accepts); either may be None
     rev_validators: Dict[int, Tuple[Optional[DfaEngine], Optional[DfaEngine]]] = (
         dataclasses.field(default_factory=dict)
     )
+    chains: Dict[int, ChainInfo] = dataclasses.field(default_factory=dict)
 
     @property
     def num_factors(self) -> int:
@@ -245,6 +261,16 @@ class Database:
                     self._pack_engine(ra, f"ra{k}", arrays) if ra else None,
                     self._pack_engine(re, f"re{k}", arrays) if re else None,
                 ]
+            ch_meta = {}
+            for k, ch in self.lit.chains.items():
+                arrays[f"chg{k}"] = ch.gap_bits
+                ch_meta[str(k)] = {
+                    "gap_lo": ch.gap_lo,
+                    "gap_hi": ch.gap_hi,
+                    "pre": self._pack_engine(ch.pre, f"cp{k}", arrays),
+                    "suf": self._pack_engine(ch.suf, f"cs{k}", arrays),
+                    "suf_rev": self._pack_engine(ch.suf_rev, f"cr{k}", arrays),
+                }
             meta["lit"] = {
                 "factor_atoms": [
                     [list(a) for a in atoms] for atoms in self.lit.factor_atoms
@@ -256,6 +282,7 @@ class Database:
                     for k, v in self.lit.validators.items()
                 },
                 "rev_validators": rv_meta,
+                "chains": ch_meta,
             }
         buf = io.BytesIO()
         np.savez(buf, meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -312,6 +339,18 @@ class Database:
                             cls._unpack_engine(re, f"re{k}", z) if re else None,
                         )
                         for k, (ra, re) in lm.get("rev_validators", {}).items()
+                    },
+                    chains={
+                        int(k): ChainInfo(
+                            gap_bits=z[f"chg{k}"],
+                            gap_lo=int(cm["gap_lo"]),
+                            gap_hi=cm["gap_hi"],
+                            pre=cls._unpack_engine(cm["pre"], f"cp{k}", z),
+                            suf=cls._unpack_engine(cm["suf"], f"cs{k}", z),
+                            suf_rev=cls._unpack_engine(
+                                cm["suf_rev"], f"cr{k}", z),
+                        )
+                        for k, cm in lm.get("chains", {}).items()
                     },
                 )
         return cls(
@@ -435,6 +474,19 @@ def _try_literal_route(node, g, i, grey):
 MAX_HALO_DEPTH = 257
 
 
+def _register_factor(factor_ids, factor_atoms, factor_refs, factor_objs,
+                     fi, ref) -> None:
+    key = fi.factor.key()
+    fid = factor_ids.get(key)
+    if fid is None:
+        fid = len(factor_atoms)
+        factor_ids[key] = fid
+        factor_atoms.append(key)
+        factor_refs.append([])
+        factor_objs.append(fi.factor)
+    factor_refs[fid].append(ref)
+
+
 def _build_engines(
     nfas: List[NFAGraph], expr_idx: List[int], max_states: int,
     max_widths: Optional[List[Optional[int]]] = None,
@@ -522,6 +574,7 @@ def compile_patterns(
     factor_objs = []
     validators: Dict[int, DfaEngine] = {}
     rev_validators: Dict[int, Tuple] = {}
+    chains: Dict[int, ChainInfo] = {}
     combination_specs: List[Tuple[int, object, set]] = []
     for i, expr in enumerate(expressions):
         f = flags[i]
@@ -640,21 +693,60 @@ def compile_patterns(
                         ok = False
                 if ok:
                     for fi in fs:
-                        key = fi.factor.key()
-                        fid = factor_ids.get(key)
-                        if fid is None:
-                            fid = len(factor_atoms)
-                            factor_ids[key] = fid
-                            factor_atoms.append(key)
-                            factor_refs.append([])
-                            factor_objs.append(fi.factor)
-                        factor_refs[fid].append(
-                            (
-                                i,
-                                int(fi.max_start_to_fend),
-                                int(fi.max_fend_to_end),
-                                lit_equiv,
-                            )
+                        _register_factor(
+                            factor_ids, factor_atoms, factor_refs,
+                            factor_objs, fi,
+                            (i, int(fi.max_start_to_fend),
+                             int(fi.max_fend_to_end),
+                             "equiv" if lit_equiv else "win"),
+                        )
+                    routed = True
+            if not routed and not want_som and base_mode(mode) == HS_MODE_BLOCK:
+                # chain decomposition: LEFT <gap> RIGHT (Rose roles;
+                # streaming support for chains is a later round — those
+                # patterns keep the general engines there)
+                from .compiler.chains import detect_chain
+
+                cs = detect_chain(node, grey.min_factor_len, grey.max_window)
+                if cs is not None:
+                    try:
+                        lg = build_nfa(cs.left)
+                        rg = build_nfa(cs.right)
+                        if rg.accept_eod or lg.is_vacuous() or rg.is_vacuous():
+                            raise DfaLimitExceeded("chain side unsupported")
+                        from .compiler.dfa import reverse_graph
+
+                        pre_d = DfaEngine.from_scan_dfa(determinize(
+                            [lg], [i], max_states=grey.validator_max_states))
+                        suf_d = DfaEngine.from_scan_dfa(determinize(
+                            [rg], [i], max_states=grey.validator_max_states))
+                        rev_d = DfaEngine.from_scan_dfa(determinize(
+                            [reverse_graph(rg, eod=False)], [i],
+                            max_states=grey.validator_max_states))
+                    except DfaLimitExceeded:
+                        cs = None
+                if cs is not None:
+                    chains[i] = ChainInfo(
+                        gap_bits=cs.gap_bits,
+                        gap_lo=cs.gap_lo,
+                        gap_hi=cs.gap_hi,
+                        pre=pre_d,
+                        suf=suf_d,
+                        suf_rev=rev_d,
+                    )
+                    for fi in cs.left_factors:
+                        _register_factor(
+                            factor_ids, factor_atoms, factor_refs,
+                            factor_objs, fi,
+                            (i, int(fi.max_start_to_fend),
+                             int(fi.max_fend_to_end), "pre"),
+                        )
+                    for fi in cs.right_factors:
+                        _register_factor(
+                            factor_ids, factor_atoms, factor_refs,
+                            factor_objs, fi,
+                            (i, int(fi.max_start_to_fend),
+                             int(fi.max_fend_to_end), "suf"),
                         )
                     routed = True
         if not routed:
@@ -703,5 +795,6 @@ def compile_patterns(
             factor_refs=factor_refs,
             validators=validators,
             rev_validators=rev_validators,
+            chains=chains,
         )
     return Database(mode=mode, patterns=patterns, engines=engines, lit=lit)

@@ -253,18 +253,25 @@ def finish_literal_scan(
 
     blk_of = lambda p: int(np.searchsorted(block_starts, p, side="right") - 1)
     windows: Dict[int, List[Tuple[int, int, int]]] = {}
+    pre_windows: Dict[int, List[Tuple[int, int, int]]] = {}
+    suf_windows: Dict[int, List[Tuple[int, int, int]]] = {}
     for (fid, p) in confirmed:
         fe = p + 1  # factor end offset (exclusive), flat
         b = blk_of(p)
         bs, be = int(block_starts[b]), int(block_ends[b])
-        for (eidx, max_s2f, max_f2e, lit_equiv) in lit.factor_refs[fid]:
-            if lit_equiv:
+        for (eidx, max_s2f, max_f2e, kind) in lit.factor_refs[fid]:
+            if kind == "equiv":
                 if not eod_only:
                     recs.add((b, eidx, fe - bs, 0))
-            else:
-                ws = max(bs, fe - max_s2f - WINDOW_SLACK)
-                we = min(be, fe + max_f2e + WINDOW_SLACK)
+                continue
+            ws = max(bs, fe - max_s2f - WINDOW_SLACK)
+            we = min(be, fe + max_f2e + WINDOW_SLACK)
+            if kind == "win":
                 windows.setdefault(eidx, []).append((ws, we, b))
+            elif kind == "pre":
+                pre_windows.setdefault(eidx, []).append((ws, we, b))
+            else:  # "suf"
+                suf_windows.setdefault(eidx, []).append((ws, we, b))
 
     for eidx, spans in windows.items():
         v = lit.validators[eidx]
@@ -273,4 +280,123 @@ def finish_literal_scan(
             block_anchored, block_final, eod_only=eod_only,
             som_rev=lit.rev_validators.get(eidx),
         )
+
+    if suf_windows and not eod_only:
+        recs |= _resolve_chains(
+            lit, corpus, block_starts, block_ends, block_anchored,
+            block_final, pre_windows, suf_windows,
+        )
+    return recs
+
+
+def _collect_starts(rev, row: np.ndarray, upto: int) -> List[int]:
+    """All match starts (window-relative) for a suffix match whose
+    consumed end is `upto` (reverse-DFA scan collecting every accept)."""
+    s = int(rev.start_state)
+    dead = int(rev.float_state)
+    trans = rev.trans
+    b2c = rev.byte_to_class
+    aidv = rev.accept_id
+    out: List[int] = []
+    for j in range(upto - 1, -1, -1):
+        s = int(trans[s, int(b2c[int(row[j])])])
+        aid = int(aidv[s])
+        if aid:
+            for (_e, adj) in rev.expand_set(aid):
+                out.append(j + adj)
+        if s == dead:
+            break
+    return out
+
+
+def _resolve_chains(
+    lit, corpus: np.ndarray, block_starts: np.ndarray,
+    block_ends: np.ndarray, block_anchored: np.ndarray,
+    block_final: np.ndarray,
+    pre_windows: Dict[int, List[Tuple[int, int, int]]],
+    suf_windows: Dict[int, List[Tuple[int, int, int]]],
+) -> Set[Record]:
+    """LEFT <gap> RIGHT resolution (reference: Rose role chaining).
+
+    prefix ends come from window-validating the left part; suffix match
+    ends + their possible starts from the right part (+ reverse DFA); the
+    gap is checked with a vectorized last-bad-byte scan: bytes [p, s) are
+    all in the gap class iff p > lastbad[s-1]."""
+    recs: Set[Record] = set()
+    lastbad_cache: Dict[bytes, np.ndarray] = {}
+    n = corpus.shape[0]
+    idx = None
+
+    for eidx, spans in suf_windows.items():
+        ch = lit.chains[eidx]
+        # prefix ends (flat, sorted) per block
+        pre_ends: Dict[int, np.ndarray] = {}
+        pre_recs = validate_windows(
+            ch.pre, eidx, corpus, pre_windows.get(eidx, []),
+            block_starts, block_ends, block_anchored,
+            np.zeros_like(block_final),  # prefix never uses EOD accepts
+        )
+        tmp: Dict[int, List[int]] = {}
+        for (b, _e, to_local, _f) in pre_recs:
+            tmp.setdefault(b, []).append(int(block_starts[b]) + to_local)
+        for b, ends in tmp.items():
+            pre_ends[b] = np.asarray(sorted(set(ends)), dtype=np.int64)
+        if not pre_ends:
+            continue
+
+        key = ch.gap_bits.tobytes()
+        if key not in lastbad_cache:
+            if idx is None:
+                idx = np.arange(n, dtype=np.int64)
+            bad = ~ch.gap_bits[corpus]
+            lastbad_cache[key] = np.maximum.accumulate(
+                np.where(bad, idx, -1)
+            )
+        lastbad = lastbad_cache[key]
+
+        # suffix ends + starts per merged window
+        spans = _merge_spans(list(spans))
+        for (ws, we, b) in spans:
+            bs = int(block_starts[b])
+            ends_here = pre_ends.get(b)
+            if ends_here is None:
+                continue
+            win = corpus[ws:we]
+            cls = ch.suf.byte_to_class.astype(np.int64)[win]
+            st = int(ch.suf.float_state)
+            trans = ch.suf.trans
+            aidv = ch.suf.accept_id
+            for t in range(we - ws):
+                st = int(trans[st, cls[t]])
+                aid = int(aidv[st])
+                if not aid:
+                    continue
+                for (_e2, adj) in ch.suf.expand_set(aid):
+                    e_flat = ws + t + 1 + adj
+                    if not (bs <= e_flat <= int(block_ends[b])):
+                        continue
+                    for s0 in _collect_starts(ch.suf_rev, win, t + 1):
+                        sflat = ws + s0
+                        if sflat < bs:
+                            continue
+                        # gap byte run constraint: p in [p_low, p_high]
+                        p_high = sflat - ch.gap_lo
+                        p_low = bs
+                        if sflat > 0:
+                            p_low = max(p_low, int(lastbad[sflat - 1]) + 1)
+                        if ch.gap_hi is not None:
+                            p_low = max(p_low, sflat - ch.gap_hi)
+                        # empty gap (p == sflat) has no byte constraint
+                        if ch.gap_lo == 0:
+                            p_high = sflat
+                            if sflat > 0 and int(lastbad[sflat - 1]) == sflat - 1:
+                                # only p == sflat possible
+                                p_low = max(p_low, sflat)
+                        if p_high < p_low:
+                            continue
+                        lo_i = np.searchsorted(ends_here, p_low, side="left")
+                        hi_i = np.searchsorted(ends_here, p_high, side="right")
+                        if hi_i > lo_i:
+                            recs.add((b, eidx, e_flat - bs, 0))
+                            break
     return recs

@@ -54,7 +54,14 @@ def gen_pattern(rng) -> str:
         return a + "+"
 
     def branch() -> str:
-        return "".join(quant(atom()) for _ in range(rng.integers(1, 6)))
+        n = rng.integers(1, 6)
+        parts = [quant(atom()) for _ in range(n)]
+        if rng.integers(0, 4) == 0 and n >= 2:
+            # chain shape: LEFT <unbounded gap> RIGHT
+            gap = ["[a-c]*", ".*", "[^x]+", "b*"][rng.integers(0, 4)]
+            k = int(rng.integers(1, n))
+            parts.insert(k, gap)
+        return "".join(parts)
 
     body = "|".join(branch() for _ in range(rng.integers(1, 3)))
     return (_ANCHORS_L[rng.integers(0, 4)] + body

@@ -56,11 +56,12 @@ def lit_db():
 
 
 def test_routing(lit_db):
-    # most patterns have a bounded mandatory factor; `union\s+select` has an
-    # unbounded gap and `xyz{2,4}w` only 2-byte runs, so they stay general
+    # `union\s+select` decomposes as a chain (unbounded gap); only
+    # `xyz{2,4}w` (2-byte runs) stays on the general engines
     assert lit_db.lit.num_factors >= 10
+    assert 5 in lit_db.lit.chains
     general = {e for eng in lit_db.engines for e in set(eng.set_exprs.tolist())}
-    assert general == {5, 9}
+    assert general == {9}
 
 
 def test_differential_vs_oracle(lit_db):

@@ -20,11 +20,11 @@ from hyperscan_tpu.runtime.scan import scan_batch
 
 @pytest.fixture(scope="module")
 def db():
-    # all three lack a bounded literal factor AND are unbounded-width, so
+    # none of these has a chainable factor pair or bounded factor, so
     # they land in a single general DFA engine these tests exercise (the
     # literal path has its own tests in test_literal_path.py)
     db = hs.compile_multi(
-        [r"foo[a-z]+bar", r"x[0-9]+y", r"er+or"],
+        [r"f[o0]+[a-z]+bar", r"x[0-9]+y", r"er+or"],
         ids=[10, 20, 30],
     )
     assert db.lit is None and len(db.engines) == 1
