@@ -701,10 +701,9 @@ def compile_patterns(
                              "equiv" if lit_equiv else "win"),
                         )
                     routed = True
-            if not routed and not want_som and base_mode(mode) == HS_MODE_BLOCK:
-                # chain decomposition: LEFT <gap> RIGHT (Rose roles;
-                # streaming support for chains is a later round — those
-                # patterns keep the general engines there)
+            if not routed and not want_som:
+                # chain decomposition: LEFT <gap> RIGHT (Rose roles);
+                # streams carry prefix-end evidence across writes
                 from .compiler.chains import detect_chain
 
                 cs = detect_chain(node, grey.min_factor_len, grey.max_window)

@@ -211,6 +211,7 @@ def scan_literal_path(
     capacity: int = 1 << 14,
     block_anchored: np.ndarray = None, block_final: np.ndarray = None,
     eod_only: bool = False,
+    chain_ctx: Dict = None, chain_out: Dict = None,
 ) -> Set[Record]:
     """Full literal pipeline for one flat corpus of concatenated blocks."""
     lit = db.lit
@@ -229,7 +230,7 @@ def scan_literal_path(
     return finish_literal_scan(
         db, corpus, block_starts, block_ends, pos, words,
         block_anchored=block_anchored, block_final=block_final,
-        eod_only=eod_only,
+        eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
     )
 
 
@@ -238,6 +239,7 @@ def finish_literal_scan(
     pos: np.ndarray, words: np.ndarray,
     block_anchored: np.ndarray = None, block_final: np.ndarray = None,
     eod_only: bool = False,
+    chain_ctx: Dict = None, chain_out: Dict = None,
 ) -> Set[Record]:
     """Host stages after the device filter: confirm → windows → validate."""
     lit = db.lit
@@ -281,10 +283,12 @@ def finish_literal_scan(
             som_rev=lit.rev_validators.get(eidx),
         )
 
-    if suf_windows and not eod_only:
+    if (suf_windows or (chain_out is not None and pre_windows)) \
+            and not eod_only:
         recs |= _resolve_chains(
             lit, corpus, block_starts, block_ends, block_anchored,
             block_final, pre_windows, suf_windows,
+            chain_ctx=chain_ctx, chain_out=chain_out,
         )
     return recs
 
@@ -315,6 +319,7 @@ def _resolve_chains(
     block_final: np.ndarray,
     pre_windows: Dict[int, List[Tuple[int, int, int]]],
     suf_windows: Dict[int, List[Tuple[int, int, int]]],
+    chain_ctx: Dict = None, chain_out: Dict = None,
 ) -> Set[Record]:
     """LEFT <gap> RIGHT resolution (reference: Rose role chaining).
 
@@ -327,7 +332,11 @@ def _resolve_chains(
     n = corpus.shape[0]
     idx = None
 
-    for eidx, spans in suf_windows.items():
+    active = set(suf_windows) | (
+        set(pre_windows) & set(lit.chains) if chain_out is not None else set()
+    )
+    for eidx in sorted(active):
+        spans = suf_windows.get(eidx, [])
         ch = lit.chains[eidx]
         # prefix ends (flat, sorted) per block
         pre_ends: Dict[int, np.ndarray] = {}
@@ -341,7 +350,9 @@ def _resolve_chains(
             tmp.setdefault(b, []).append(int(block_starts[b]) + to_local)
         for b, ends in tmp.items():
             pre_ends[b] = np.asarray(sorted(set(ends)), dtype=np.int64)
-        if not pre_ends:
+            if chain_out is not None:
+                chain_out[(b, eidx)] = pre_ends[b]
+        if not pre_ends and chain_ctx is None:
             continue
 
         key = ch.gap_bits.tobytes()
@@ -359,8 +370,11 @@ def _resolve_chains(
         for (ws, we, b) in spans:
             bs = int(block_starts[b])
             ends_here = pre_ends.get(b)
-            if ends_here is None:
+            carried = chain_ctx.get((b, eidx)) if chain_ctx else None
+            if ends_here is None and carried is None:
                 continue
+            if ends_here is None:
+                ends_here = np.zeros(0, dtype=np.int64)
             win = corpus[ws:we]
             cls = ch.suf.byte_to_class.astype(np.int64)[win]
             st = int(ch.suf.float_state)
@@ -392,11 +406,34 @@ def _resolve_chains(
                             if sflat > 0 and int(lastbad[sflat - 1]) == sflat - 1:
                                 # only p == sflat possible
                                 p_low = max(p_low, sflat)
-                        if p_high < p_low:
-                            continue
-                        lo_i = np.searchsorted(ends_here, p_low, side="left")
-                        hi_i = np.searchsorted(ends_here, p_high, side="right")
-                        if hi_i > lo_i:
+                        found = False
+                        if p_high >= p_low:
+                            lo_i = np.searchsorted(ends_here, p_low,
+                                                   side="left")
+                            hi_i = np.searchsorted(ends_here, p_high,
+                                                   side="right")
+                            found = hi_i > lo_i
+                        if not found and carried is not None:
+                            # carried prefix evidence from before this
+                            # extent: usable only when the gap run reaches
+                            # back through the whole extent prefix
+                            c_ends, c_run, base_abs = carried
+                            no_bad = sflat == bs or (
+                                sflat > 0 and int(lastbad[sflat - 1]) < bs
+                            )
+                            if no_bad and ch.gap_lo <= (
+                                base_abs + (sflat - bs)
+                            ) - (c_ends[0] if len(c_ends) else 1 << 62):
+                                s_abs = base_abs + (sflat - bs)
+                                pl = c_run
+                                if ch.gap_hi is not None:
+                                    pl = max(pl, s_abs - ch.gap_hi)
+                                ph = s_abs - ch.gap_lo
+                                li = np.searchsorted(c_ends, pl, side="left")
+                                hi2 = np.searchsorted(c_ends, ph,
+                                                      side="right")
+                                found = hi2 > li
+                        if found:
                             recs.add((b, eidx, e_flat - bs, 0))
                             break
     return recs

@@ -33,7 +33,7 @@ from ..flags import HS_MODE_STREAM, HS_MODE_VECTORED, base_mode
 from .lit_runtime import WINDOW_SLACK
 from .scan import Match, finalize_reports
 
-STREAM_MAGIC = b"HSTPUST1"
+STREAM_MAGIC = b"HSTPUST2"
 
 
 def history_required(db: Database) -> int:
@@ -66,6 +66,12 @@ class Stream:
     # (expr_idx, to_abs) reported near the last write boundary, used to
     # dedupe the literal path's history rescan
     recent: Set[Tuple[int, int]] = dataclasses.field(default_factory=set)
+    # chain evidence (reference analogue: rose role state): per chain
+    # pattern idx -> (sorted absolute prefix-end offsets within the live
+    # gap run, absolute start of that run)
+    chain_state: Dict[int, Tuple[List[int], int]] = dataclasses.field(
+        default_factory=dict
+    )
 
     def _init_states(self) -> None:
         self.engine_states = [e.start_state for e in self.db.engines]
@@ -88,6 +94,8 @@ def copy_stream(stream: Stream) -> Stream:
         seen_single=set(stream.seen_single),
         combo_matched=set(stream.combo_matched),
         recent=set(stream.recent),
+        chain_state={k: (list(v[0]), v[1])
+                     for k, v in stream.chain_state.items()},
     )
 
 
@@ -121,6 +129,32 @@ def _engine_pass(db, streams, chunks, recs_abs):
                         recs_abs[bi].add((eidx, to_abs, 0))
             st.engine_states[ei] = int(finals[bi])
         _vacuous_stream_reports(engine, streams, chunks, recs_abs)
+
+
+def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
+    """Advance per-stream chain evidence: merge newly validated prefix
+    ends, restart gap runs at bad bytes, prune dead evidence (reference
+    analogue: saving rose role state per stream)."""
+    CAP = 4096  # evidence cap per (stream, chain)
+    for bi, st in enumerate(streams):
+        base_abs = st.offset - len(st.history)
+        ext = np.frombuffer(exts[bi], np.uint8)
+        for eidx, ch in db.lit.chains.items():
+            c_ends, c_run = st.chain_state.get(eidx, ([], 0))
+            bad = np.flatnonzero(~ch.gap_bits[ext]) if len(ext) else                 np.zeros(0, np.int64)
+            if len(bad):
+                c_run = max(c_run, base_abs + int(bad[-1]) + 1)
+            new = chain_out.get((bi, eidx))
+            merged = set(p for p in c_ends if p >= c_run)
+            if new is not None:
+                fs = int(flat_starts[bi])
+                for p in np.asarray(new).tolist():
+                    p_abs = base_abs + (int(p) - fs)
+                    if p_abs >= c_run:
+                        merged.add(p_abs)
+            ends = sorted(merged)[-CAP:]
+            if ends or c_run:
+                st.chain_state[eidx] = (ends, c_run)
 
 
 def _vacuous_stream_reports(engine, streams, chunks, recs_abs) -> None:
@@ -181,9 +215,27 @@ def scan_streams(
         final = np.zeros(B, dtype=bool)
         from .lit_runtime import scan_literal_path
 
+        # chain role state: carried prefix-end evidence per (stream, chain)
+        chain_ctx = {}
+        chain_out = {}
+        has_chains = bool(db.lit.chains)
+        if has_chains:
+            for bi, st in enumerate(streams):
+                base_abs = st.offset - len(st.history)
+                for eidx, (c_ends, c_run) in st.chain_state.items():
+                    # only evidence from before this extent is "carried";
+                    # in-extent prefixes are re-derived by the rescan
+                    older = [p for p in c_ends if p < base_abs]
+                    if older:
+                        chain_ctx[(bi, eidx)] = (
+                            np.asarray(older, dtype=np.int64), c_run,
+                            base_abs,
+                        )
         for (bi, eidx, to_local, frm) in scan_literal_path(
             db, corpus, starts, ends,
             block_anchored=anchored, block_final=final,
+            chain_ctx=chain_ctx if has_chains else None,
+            chain_out=chain_out if has_chains else None,
         ):
             st = streams[bi]
             base = st.offset - len(st.history)
@@ -194,6 +246,9 @@ def scan_streams(
                 to_abs == st.offset and (eidx, to_abs) not in st.recent
             ):
                 recs_abs[bi].add((eidx, to_abs, base + frm))
+
+        if has_chains:
+            _update_chain_state(db, streams, exts, starts, chain_out)
 
     _engine_pass(db, streams, chunks, recs_abs)
 
@@ -314,6 +369,7 @@ def reset_stream(
     stream.seen_single = set()
     stream.combo_matched = set()
     stream.recent = set()
+    stream.chain_state = {}
     stream._init_states()
     return ms
 
@@ -348,6 +404,11 @@ def compress_stream(stream: Stream) -> bytes:
     parts.append(struct.pack("<I", len(rr)))
     for (e, t) in rr:
         parts.append(struct.pack("<iq", e, t))
+    cs = sorted(stream.chain_state.items())
+    parts.append(struct.pack("<I", len(cs)))
+    for (eidx, (ends, run_start)) in cs:
+        parts.append(struct.pack("<iqI", eidx, run_start, len(ends)))
+        parts.append(struct.pack(f"<{len(ends)}q", *ends))
     return b"".join(parts)
 
 
@@ -377,6 +438,15 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
         e, t = struct.unpack_from("<iq", buf, off)
         off += struct.calcsize("<iq")
         recent.add((e, t))
+    (ncs,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    chain_state = {}
+    for _ in range(ncs):
+        ceidx, run_start, n_ends = struct.unpack_from("<iqI", buf, off)
+        off += struct.calcsize("<iqI")
+        c_ends = list(struct.unpack_from(f"<{n_ends}q", buf, off))
+        off += 8 * n_ends
+        chain_state[ceidx] = (c_ends, run_start)
     if ne != len(db.engines):
         raise InvalidError("stream state does not match database")
     s = open_stream(db)
@@ -388,6 +458,7 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     s.seen_single = seen
     s.combo_matched = cmatched
     s.recent = recent
+    s.chain_state = chain_state
     return s
 
 

@@ -78,11 +78,70 @@ def test_chain_with_min_gap():
     assert got == {18}
 
 
-def test_chain_streaming_falls_back_to_general():
+def test_chain_streaming_basic():
     d = hs.compile(r"foo[a-z]+bar", mode=hs.HS_MODE_STREAM)
-    assert not (d.lit and d.lit.chains)
+    assert d.lit.chains
     st = hs.open_stream(d)
     ms = hs.scan_stream(st, b"fooqq")
     ms += hs.scan_stream(st, b"qbar")
     ms += hs.close_stream(st)
     assert ms == [(0, 0, 9)]
+
+
+def test_chain_streaming_long_gap_carried_evidence():
+    # the prefix leaves the history window entirely; the carried chain
+    # state must keep the evidence alive across the gap
+    d = hs.compile(r"foo[a-z]+bar", mode=hs.HS_MODE_STREAM)
+    st = hs.open_stream(d)
+    ms = hs.scan_stream(st, b"xx fooq")
+    for _ in range(5):
+        ms += hs.scan_stream(st, b"q" * 100)
+    ms += hs.scan_stream(st, b"qbar")
+    ms += hs.close_stream(st)
+    assert ms == [(0, 0, 511)]
+
+
+def test_chain_streaming_gap_break_kills_evidence():
+    d = hs.compile(r"foo[a-z]+bar", mode=hs.HS_MODE_STREAM)
+    st = hs.open_stream(d)
+    ms = hs.scan_stream(st, b"xx fooqqq")
+    ms += hs.scan_stream(st, b"q" * 60 + b"!" + b"q" * 10)  # '!' breaks gap
+    ms += hs.scan_stream(st, b"qbar")
+    ms += hs.close_stream(st)
+    assert ms == []
+
+
+def test_chain_streaming_compress_roundtrip():
+    d = hs.compile(r"foo.*bar", mode=hs.HS_MODE_STREAM)
+    st = hs.open_stream(d)
+    hs.scan_stream(st, b"foo then a lot " + b"x" * 80)
+    buf = hs.compress_stream(st)
+    st2 = hs.expand_stream(d, buf)
+    a = hs.scan_stream(st, b" and bar") + hs.close_stream(st)
+    b = hs.scan_stream(st2, b" and bar") + hs.close_stream(st2)
+    assert a == b and len(a) == 1
+
+
+def test_chain_stream_equals_block_random_splits():
+    pats = [r"foo[a-z]+bar", r"abc\s+def"]
+    bdb = hs.compile_multi(pats, ids=[1, 2])
+    sdb = hs.compile_multi(pats, ids=[1, 2], mode=hs.HS_MODE_STREAM)
+    rng = np.random.default_rng(9)
+    corpora = [
+        b"fooqbar abc def",
+        b"foo" + b"m" * 200 + b"bar xyz abc \t def",
+        b"fooq barq fooabar abcdef abc  def",
+    ]
+    for data in corpora:
+        want = {(m, t) for (m, _f, t) in hs.scan(bdb, data)}
+        for _ in range(4):
+            k = int(rng.integers(1, 6))
+            cuts = sorted(rng.choice(len(data), size=k, replace=False).tolist())
+            st = hs.open_stream(sdb)
+            ms, prev = [], 0
+            for c in cuts + [len(data)]:
+                ms.extend(hs.scan_stream(st, data[prev:c]))
+                prev = c
+            ms.extend(hs.close_stream(st))
+            got = {(m, t) for (m, _f, t) in ms}
+            assert got == want, f"{data!r} cuts={cuts}: {sorted(got)} != {sorted(want)}"
