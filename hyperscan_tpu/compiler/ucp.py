@@ -79,8 +79,11 @@ def fold_case(ranges: List[Range]) -> List[Range]:
         for cp in range(lo, hi + 1):
             c = chr(cp)
             for v in (c.lower(), c.upper()):
-                for ch in v:
-                    o = ord(ch)
-                    if not (lo <= o <= hi):
-                        extra.append((o, o))
+                # simple one-to-one case folding only: multi-character
+                # expansions (e.g. U+00DF -> "SS") would over-match
+                if len(v) != 1:
+                    continue
+                o = ord(v)
+                if not (lo <= o <= hi):
+                    extra.append((o, o))
     return normalize_ranges(ranges + extra)

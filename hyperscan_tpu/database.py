@@ -470,8 +470,11 @@ def _try_literal_route(node, g, i, grey):
     return fs, lit_equiv
 
 
-# engines deeper than this cannot use chunk-halo device scanning
-MAX_HALO_DEPTH = 257
+# engines deeper than this cannot use chunk-halo device scanning.
+# The halo invariant needs d-1 <= H (floating entry re-derives the state)
+# AND d <= CS (anchored matches must end inside the first chunk body);
+# with H capped at 256 and H+CS = 512 that bounds d at 256.
+MAX_HALO_DEPTH = 256
 
 
 def _register_factor(factor_ids, factor_atoms, factor_refs, factor_objs,

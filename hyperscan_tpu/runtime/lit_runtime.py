@@ -326,7 +326,19 @@ def _resolve_chains(
     prefix ends come from window-validating the left part; suffix match
     ends + their possible starts from the right part (+ reverse DFA); the
     gap is checked with a vectorized last-bad-byte scan: bytes [p, s) are
-    all in the gap class iff p > lastbad[s-1]."""
+    all in the gap class iff p > lastbad[s-1].
+
+    `chain_ctx[(b, eidx)]` (streaming) holds ALL live carried prefix ends
+    as `(ends_abs, run_start_abs, base_abs)` in absolute coordinates —
+    ends whose gap run was unbroken up to the end of the previous write
+    (runtime/stream.py prunes at bad bytes). Ends at or after `base_abs`
+    (the extent start) map into flat coordinates and merge directly with
+    the re-derived in-extent ends — this covers prefix ends whose factor
+    bytes were trimmed out of history and cannot be re-derived; the
+    lastbad check then rejects any whose run broke inside the extent.
+    Ends before the extent are checked separately: they are usable iff no
+    bad byte occurs in [extent start, suffix start), by the pruning
+    invariant."""
     recs: Set[Record] = set()
     lastbad_cache: Dict[bytes, np.ndarray] = {}
     n = corpus.shape[0]
@@ -352,7 +364,23 @@ def _resolve_chains(
             pre_ends[b] = np.asarray(sorted(set(ends)), dtype=np.int64)
             if chain_out is not None:
                 chain_out[(b, eidx)] = pre_ends[b]
-        if not pre_ends and chain_ctx is None:
+        # b -> (sorted abs ends before the extent, run_start, base_abs)
+        carried_pre: Dict[int, Tuple[np.ndarray, int, int]] = {}
+        if chain_ctx:
+            for (b, ce), (c_ends, c_run, base_abs) in chain_ctx.items():
+                if ce != eidx:
+                    continue
+                c_ends = np.asarray(c_ends, dtype=np.int64)
+                bs = int(block_starts[b])
+                in_ext = c_ends[c_ends >= base_abs] - base_abs + bs
+                if len(in_ext):
+                    cur = pre_ends.get(b)
+                    pre_ends[b] = np.unique(in_ext) if cur is None else \
+                        np.unique(np.concatenate([cur, in_ext]))
+                older = c_ends[c_ends < base_abs]
+                if len(older):
+                    carried_pre[b] = (older, c_run, base_abs)
+        if not pre_ends and not carried_pre:
             continue
 
         key = ch.gap_bits.tobytes()
@@ -370,7 +398,7 @@ def _resolve_chains(
         for (ws, we, b) in spans:
             bs = int(block_starts[b])
             ends_here = pre_ends.get(b)
-            carried = chain_ctx.get((b, eidx)) if chain_ctx else None
+            carried = carried_pre.get(b)
             if ends_here is None and carried is None:
                 continue
             if ends_here is None:

@@ -165,13 +165,18 @@ def _vacuous_stream_reports(engine, streams, chunks, recs_abs) -> None:
             if eod:
                 continue  # EOD start reports fire at close
             if anchored:
-                if st.offset == 0:
+                # st.recent suppresses the re-report when a zero-length
+                # first write already delivered this (offset stays 0)
+                if st.offset == 0 and (eid, adj) not in st.recent:
                     recs_abs[bi].add((eid, adj, 0))
             else:
                 lo = 0 if st.offset == 0 else st.offset + 1
                 for e in range(lo, st.offset + n + 1):
-                    if e + adj >= 0:
-                        recs_abs[bi].add((eid, e + adj, 0))
+                    if e + adj < 0:
+                        continue
+                    if e == st.offset and (eid, e + adj) in st.recent:
+                        continue  # boundary offset already reported
+                    recs_abs[bi].add((eid, e + adj, 0))
 
 
 def scan_streams(
@@ -223,12 +228,13 @@ def scan_streams(
             for bi, st in enumerate(streams):
                 base_abs = st.offset - len(st.history)
                 for eidx, (c_ends, c_run) in st.chain_state.items():
-                    # only evidence from before this extent is "carried";
-                    # in-extent prefixes are re-derived by the rescan
-                    older = [p for p in c_ends if p < base_abs]
-                    if older:
+                    # carry ALL live evidence: in-extent ends whose factor
+                    # bytes were trimmed out of history are not
+                    # re-derivable by the rescan (lit_runtime merges and
+                    # dedupes them against re-derived ends)
+                    if c_ends:
                         chain_ctx[(bi, eidx)] = (
-                            np.asarray(older, dtype=np.int64), c_run,
+                            np.asarray(c_ends, dtype=np.int64), c_run,
                             base_abs,
                         )
         for (bi, eidx, to_local, frm) in scan_literal_path(
@@ -262,7 +268,12 @@ def scan_streams(
         )
         st.terminated = st.terminated or terminated
         new_off = st.offset + len(chunks[bi])
-        st.recent = {(e, t) for (e, t, _f) in recs_abs[bi] if t >= new_off}
+        # preserve prior boundary dedupe entries when the boundary does
+        # not advance (zero-length write), else they are re-reported by
+        # the next history rescan
+        st.recent = {(e, t) for (e, t, _f) in recs_abs[bi]
+                     if t >= new_off} | {
+            (e, t) for (e, t) in st.recent if t >= new_off}
         ext = st.history + chunks[bi]
         st.history = ext[-hist_req:] if hist_req else b""
         st.offset = new_off

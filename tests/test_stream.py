@@ -171,3 +171,53 @@ def test_batched_scan_streams(dbs):
         st = hs.open_stream(sdb)
         want = hs.scan_stream(st, c1) + hs.scan_stream(st, c2) + hs.close_stream(st)
         assert combined[i] == want, f"stream {i}"
+
+
+# --- regression tests for round-1 advisor findings --------------------------
+
+
+def _match_set(ms):
+    return sorted(tuple(m) for m in ms)
+
+
+def test_chain_prefix_trimmed_from_history():
+    """Prefix factor ends inside the extent whose bytes were trimmed out
+    of history must still confirm the chain (advisor: stream.py carried
+    evidence filter)."""
+    sdb = hs.compile_multi([r"foo.*bar"], mode=hs.HS_MODE_STREAM)
+    bdb = hs.compile_multi([r"foo.*bar"], mode=hs.HS_MODE_BLOCK)
+    for fill in range(0, 14):
+        data = b"foo" + b"z" * fill + b"bar"
+        want = _match_set(hs.scan(bdb, data))
+        got = _match_set(
+            _stream_scan(sdb, [b"foo" + b"z" * fill, b"bar"]))
+        assert got == want, f"fill={fill}: {got} != {want}"
+
+
+def test_anchored_width_256_device_halo():
+    """Anchored match ending exactly at the halo-depth bound must not be
+    dropped by the device chunk-halo path (advisor: MAX_HALO_DEPTH)."""
+    db = hs.compile_multi([r"^[ab]{255}c"], mode=hs.HS_MODE_BLOCK)
+    data = b"a" * 255 + b"c" + b"x" * (200 * 1024 - 256)
+    got = _match_set(hs.scan(db, data))
+    assert got == [(0, 0, 256)], got
+
+
+def test_zero_length_write_does_not_clear_dedupe():
+    """A zero-length write must not clear the boundary dedupe set
+    (advisor: st.recent rebuilt from current write only)."""
+    sdb = hs.compile_multi([r"abcdef"], mode=hs.HS_MODE_STREAM)
+    got = _match_set(_stream_scan(sdb, [b"xxabcdef", b"", b""]))
+    assert got == [(0, 0, 8)], got
+
+
+def test_vacuous_empty_first_write_not_duplicated():
+    """Empty first write + data write must report the offset-0 empty
+    match exactly once (advisor: _vacuous_stream_reports lo=0)."""
+    sdb = hs.compile_multi(
+        [r"x*"], flags=[hs.HS_FLAG_ALLOWEMPTY], mode=hs.HS_MODE_STREAM)
+    want = _match_set(_stream_scan(sdb, [b"ab"]))
+    got = _match_set(_stream_scan(sdb, [b"", b"ab"]))
+    assert got == want, f"{got} != {want}"
+    got2 = _match_set(_stream_scan(sdb, [b"", b"", b"ab"]))
+    assert got2 == want, f"{got2} != {want}"
