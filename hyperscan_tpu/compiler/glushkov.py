@@ -662,3 +662,56 @@ def _prune(g: NFAGraph) -> NFAGraph:
         start_accepts=set(g.start_accepts),
         prev_hops=rs(g.prev_hops),
     )
+
+
+def reduce_graph(g: NFAGraph) -> NFAGraph:
+    """Remove floating-start-redundant skip positions (leading `.*`-class).
+
+    A non-accepting position p whose exits all land on float-enterable
+    positions (follow(p) \\ {p} ⊆ float_first) is simulation-dominated by
+    the floating start SD: any accepting run through p re-enters the graph
+    at a float-first position, which SD — self-looping on every byte —
+    can enter directly at the same offset, so removing p preserves the
+    (id, to) match set. This bounds the width of `.*a.{18}b`-class
+    patterns, unlocking position-parallel device scanning and the bit-NFA
+    engine for subset-construction blowups (reference analogue: startDs
+    dominance in the redundancy passes, src/nfagraph/ng_redundancy.cpp).
+
+    NOT valid under SOM/min_length semantics: leading skips extend the
+    leftmost match start. Callers gate on that.
+    """
+    P = g.num_positions
+    removed: Set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for p in range(P):
+            if p in removed or p in g.accept or p in g.accept_eod:
+                continue
+            exits = {v for v in g.follow[p] if v != p and v not in removed}
+            if exits <= g.float_first:
+                removed.add(p)
+                changed = True
+    if not removed:
+        return g
+    keep = np.ones(P, dtype=bool)
+    for p in removed:
+        keep[p] = False
+    remap = -np.ones(P, dtype=np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+
+    def rs(s):
+        return {int(remap[p]) for p in s if keep[p]}
+
+    return _prune(NFAGraph(
+        reach=g.reach[keep],
+        anchored_first=rs(g.anchored_first),
+        float_first=rs(g.float_first),
+        follow=[rs(g.follow[p]) for p in range(P) if keep[p]],
+        accept={int(remap[p]): a for p, a in g.accept.items() if keep[p]},
+        accept_eod={
+            int(remap[p]): a for p, a in g.accept_eod.items() if keep[p]
+        },
+        start_accepts=set(g.start_accepts),
+        prev_hops=rs(g.prev_hops),
+    ))

@@ -128,6 +128,112 @@ class DfaEngine:
             (int(self.set_exprs[i]), int(self.set_adjusts[i])) for i in range(lo, hi)
         ]
 
+    def eod_set(self, state: int) -> int:
+        """EOD accept set id for `state` (uniform interface with
+        NfaEngine, whose states are position bitmasks)."""
+        return int(self.accept_eod_id[int(state)])
+
+
+@dataclasses.dataclass
+class NfaEngine:
+    """Bit-parallel NFA engine for subset-construction blowups — the
+    LimEx analogue (reference: src/nfa/limex_internal.h:71-160, selected
+    by src/nfagraph/ng_limex.cpp when determinization is infeasible).
+
+    State = one bit per Glushkov position, carried as a Python int
+    ``mask | (is_start << P)``. Accept hits carry a *bitmask* over accept
+    set ids (bit g-1 = set id g active), so ``expand_set`` takes a mask
+    where DfaEngine takes a single id — the record plumbing is shared.
+    """
+
+    byte_to_class: np.ndarray  # [256] int32
+    class_reach: np.ndarray  # [C, P] bool
+    follow: np.ndarray  # [P, P] bool
+    float_mask: np.ndarray  # [P] bool
+    anch_mask: np.ndarray  # [P] bool
+    accept_gid: np.ndarray  # [P] int32 (0 = none)
+    accept_eod_gid: np.ndarray  # [P] int32
+    set_offsets: np.ndarray  # [num_sets+1] int32
+    set_exprs: np.ndarray  # [total] int32
+    set_adjusts: np.ndarray  # [total] int32
+    start_reports: List[Tuple[bool, bool, int, int]]
+    max_depth: Optional[int]  # bounded match width or None
+    acyclic: bool
+    topo_order: np.ndarray  # [P] int32 evaluation order when acyclic
+
+    @property
+    def num_positions(self) -> int:
+        return int(self.follow.shape[0])
+
+    @property
+    def num_sets(self) -> int:
+        return int(self.set_offsets.shape[0]) - 1
+
+    @property
+    def start_state(self) -> int:
+        return 1 << self.num_positions  # empty mask + anchored context
+
+    @property
+    def float_state(self) -> int:
+        return 0
+
+    @property
+    def num_states(self) -> int:
+        return self.num_positions  # diagnostic: state bits, not subsets
+
+    @classmethod
+    def from_bitnfa(cls, nfa, max_depth: Optional[int]) -> "NfaEngine":
+        offsets = [0]
+        exprs: List[int] = []
+        adjusts: List[int] = []
+        for s in nfa.accept_sets:
+            for (eid, adj) in sorted(s):
+                exprs.append(eid)
+                adjusts.append(adj)
+            offsets.append(len(exprs))
+        return cls(
+            byte_to_class=nfa.byte_to_class.astype(np.int32),
+            class_reach=nfa.class_reach,
+            follow=nfa.follow,
+            float_mask=nfa.float_mask,
+            anch_mask=nfa.anch_mask,
+            accept_gid=nfa.accept_gid,
+            accept_eod_gid=nfa.accept_eod_gid,
+            set_offsets=np.asarray(offsets, dtype=np.int32),
+            set_exprs=np.asarray(exprs, dtype=np.int32),
+            set_adjusts=np.asarray(adjusts, dtype=np.int32),
+            start_reports=list(nfa.start_reports),
+            max_depth=max_depth,
+            acyclic=bool(nfa.acyclic),
+            topo_order=nfa.topo_order.astype(np.int32),
+        )
+
+    def expand_set(self, bits: int) -> List[Tuple[int, int]]:
+        """Union of report sets named by the bitmask (bit g-1 = set g)."""
+        out: set = set()
+        bits = int(bits)
+        while bits:
+            low = bits & (-bits)
+            g = low.bit_length()  # bit index + 1 = set id
+            lo, hi = int(self.set_offsets[g]), int(self.set_offsets[g + 1])
+            for i in range(lo, hi):
+                out.add((int(self.set_exprs[i]), int(self.set_adjusts[i])))
+            bits ^= low
+        return sorted(out)
+
+    def eod_set(self, state: int) -> int:
+        """Bitmask of EOD accept sets active in `state`."""
+        mask = int(state) & ((1 << self.num_positions) - 1)
+        bits = 0
+        while mask:
+            low = mask & (-mask)
+            p = low.bit_length() - 1
+            g = int(self.accept_eod_gid[p])
+            if g:
+                bits |= 1 << (g - 1)
+            mask ^= low
+        return bits
+
 
 @dataclasses.dataclass
 class ChainInfo:
@@ -218,9 +324,31 @@ class Database:
         "set_exprs",
         "set_adjusts",
     )
+    _NFA_ENGINE_ARRAYS = (
+        "byte_to_class",
+        "class_reach",
+        "follow",
+        "float_mask",
+        "anch_mask",
+        "accept_gid",
+        "accept_eod_gid",
+        "set_offsets",
+        "set_exprs",
+        "set_adjusts",
+        "topo_order",
+    )
 
     @classmethod
-    def _pack_engine(cls, e: DfaEngine, prefix: str, arrays: Dict) -> dict:
+    def _pack_engine(cls, e, prefix: str, arrays: Dict) -> dict:
+        if isinstance(e, NfaEngine):
+            for name in cls._NFA_ENGINE_ARRAYS:
+                arrays[f"{prefix}_{name}"] = getattr(e, name)
+            return {
+                "kind": "nfa",
+                "max_depth": e.max_depth,
+                "acyclic": e.acyclic,
+                "start_reports": e.start_reports,
+            }
         for name in cls._ENGINE_ARRAYS:
             arrays[f"{prefix}_{name}"] = getattr(e, name)
         return {
@@ -231,9 +359,17 @@ class Database:
         }
 
     @classmethod
-    def _unpack_engine(cls, em: dict, prefix: str, z) -> DfaEngine:
-        kw = {name: z[f"{prefix}_{name}"] for name in cls._ENGINE_ARRAYS}
+    def _unpack_engine(cls, em: dict, prefix: str, z):
         md = em.get("max_depth")
+        if em.get("kind") == "nfa":
+            kw = {name: z[f"{prefix}_{name}"] for name in cls._NFA_ENGINE_ARRAYS}
+            return NfaEngine(
+                max_depth=None if md is None else int(md),
+                acyclic=bool(em["acyclic"]),
+                start_reports=[tuple(r) for r in em["start_reports"]],
+                **kw,
+            )
+        kw = {name: z[f"{prefix}_{name}"] for name in cls._ENGINE_ARRAYS}
         return DfaEngine(
             start_state=int(em["start_state"]),
             float_state=int(em.get("float_state", 0)),
@@ -490,14 +626,22 @@ def _register_factor(factor_ids, factor_atoms, factor_refs, factor_objs,
     factor_refs[fid].append(ref)
 
 
+# at most this many distinct accept report-sets fit the bit-NFA's
+# bitmask-over-sets hit encoding (int64 on the host path)
+NFA_MAX_ACCEPT_SETS = 63
+
+
 def _build_engines(
     nfas: List[NFAGraph], expr_idx: List[int], max_states: int,
     max_widths: Optional[List[Optional[int]]] = None,
-) -> List[DfaEngine]:
+    allow_limex: bool = True,
+) -> List:
     """Partition bounded-width vs unbounded patterns into separate
     engines (bounded ones scan chunk-halo parallel on device), then
     determinize each group, splitting on state explosion (the analogue of
-    Rose assigning patterns to separate engines)."""
+    Rose assigning patterns to separate engines). Single patterns that
+    still blow up become bit-parallel NFA engines (the LimEx fallback,
+    reference: src/nfagraph/ng_limex.cpp)."""
     if max_widths is None:
         max_widths = [None] * len(nfas)
     bounded = [
@@ -505,39 +649,59 @@ def _build_engines(
         if w is not None and w <= MAX_HALO_DEPTH
     ]
     unbounded = [i for i in range(len(nfas)) if i not in set(bounded)]
-    out: List[DfaEngine] = []
+    out: List = []
     for group in (bounded, unbounded):
         if not group:
             continue
-        widths = [max_widths[i] for i in group]
-        depth = None
-        if all(w is not None and w <= MAX_HALO_DEPTH for w in widths):
-            depth = max(widths)
         out += _build_engine_group(
             [nfas[i] for i in group], [expr_idx[i] for i in group],
-            max_states, depth,
+            [max_widths[i] for i in group], max_states, allow_limex,
         )
     return out
 
 
 def _build_engine_group(
-    nfas: List[NFAGraph], expr_idx: List[int], max_states: int,
-    depth: Optional[int],
-) -> List[DfaEngine]:
+    nfas: List[NFAGraph], expr_idx: List[int],
+    widths: List[Optional[int]], max_states: int, allow_limex: bool,
+) -> List:
+    depth = None
+    if all(w is not None and w <= MAX_HALO_DEPTH for w in widths):
+        depth = max(widths)
     try:
         d = determinize(nfas, expr_idx, max_states=max_states)
         return [DfaEngine.from_scan_dfa(d, max_depth=depth)]
     except DfaLimitExceeded:
         if len(nfas) == 1:
-            raise CompileError(
-                "single pattern exceeds DFA state budget "
-                f"({max_states}); not yet supported without NFA engines",
-                expr_idx[0],
-            )
+            return [_build_bitnfa_engine(
+                nfas[0], expr_idx[0], widths[0], max_states, allow_limex
+            )]
         mid = len(nfas) // 2
         return _build_engine_group(
-            nfas[:mid], expr_idx[:mid], max_states, depth
-        ) + _build_engine_group(nfas[mid:], expr_idx[mid:], max_states, depth)
+            nfas[:mid], expr_idx[:mid], widths[:mid], max_states, allow_limex
+        ) + _build_engine_group(
+            nfas[mid:], expr_idx[mid:], widths[mid:], max_states, allow_limex
+        )
+
+
+def _build_bitnfa_engine(
+    g: NFAGraph, eidx: int, width: Optional[int], max_states: int,
+    allow_limex: bool,
+) -> NfaEngine:
+    """LimEx-analogue fallback when one pattern blows the DFA budget."""
+    if not allow_limex:
+        raise CompileError(
+            f"single pattern exceeds DFA state budget ({max_states}) "
+            "and the bit-NFA engine is disabled (grey allow_limex)", eidx
+        )
+    from .compiler.bitnfa import build_bitnfa
+
+    nfa = build_bitnfa([g], [eidx])
+    if len(nfa.accept_sets) - 1 > NFA_MAX_ACCEPT_SETS:
+        raise CompileError(
+            "pattern exceeds the bit-NFA accept-set limit "
+            f"({NFA_MAX_ACCEPT_SETS})", eidx
+        )
+    return NfaEngine.from_bitnfa(nfa, max_depth=width)
 
 
 def compile_patterns(
@@ -635,6 +799,17 @@ def compile_patterns(
             from .compiler.fuzzy import fuzzy_graph
 
             g = fuzzy_graph(g, e.edit_distance, e.hamming_distance)
+        if (
+            grey.reduce_graphs
+            and not (f & HS_FLAG_SOM_LEFTMOST)
+            and not e.min_length
+        ):
+            # strip floating-start-redundant skips (`.*foo` -> `foo`):
+            # bounds widths, shrinks DFAs, and keeps SOM-free semantics
+            # exact (reference: startDs dominance redundancy)
+            from .compiler.glushkov import reduce_graph
+
+            g = reduce_graph(g)
         if g.is_vacuous() and not (f & HS_FLAG_ALLOWEMPTY):
             raise CompileError(
                 "expression matches an empty buffer; use HS_FLAG_ALLOWEMPTY", i
@@ -781,7 +956,8 @@ def compile_patterns(
             patterns[i].combination = to_jsonable(ast)
 
     engines = (
-        _build_engines(general_nfas, general_idx, max_states, general_widths)
+        _build_engines(general_nfas, general_idx, max_states, general_widths,
+                       allow_limex=grey.allow_limex)
         if general_nfas
         else []
     )

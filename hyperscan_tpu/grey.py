@@ -16,6 +16,9 @@ class Grey:
     # engine enables
     allow_teddy: bool = True            # literal prefilter path
     allow_validators: bool = True       # window validation DFAs
+    allow_limex: bool = True            # bit-NFA fallback for DFA blowups
+    # graph passes
+    reduce_graphs: bool = True          # floating-start redundancy pass
     # decomposition thresholds (compiler/literals.py)
     min_factor_len: int = 3
     max_factor_len: int = 16

@@ -24,6 +24,7 @@ _tried = False
 _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_U64P = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
 
 
 def _build() -> Optional[ctypes.CDLL]:
@@ -68,6 +69,13 @@ def _build() -> Optional[ctypes.CDLL]:
         _U8P, ctypes.c_int64, ctypes.c_int32,
         _I32P, _I32P, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hstpu_bitnfa_scan_batch.restype = ctypes.c_int64
+    lib.hstpu_bitnfa_scan_batch.argtypes = [
+        _U64P, _U64P, _I32P, _I32P, _U64P, _U64P, _U64P,
+        ctypes.c_int32, ctypes.c_int32,
+        _U8P, ctypes.c_int64, ctypes.c_int64, _I32P,
+        _U64P, _U8P, _I32P, _I32P, _I64P, ctypes.c_int64,
     ]
     return lib
 
@@ -131,6 +139,54 @@ def dfa_scan_batch_native(engine, data, lengths, init_states):
     for j in range(int(n)):
         hits[int(out_row[j])].append((int(out_pos[j]), int(out_aid[j])))
     return hits, states_run
+
+
+def bitnfa_scan_batch_native(engine, data, lengths, init_states):
+    """Returns (hits per row [(pos, set_bitmask)...], final ints) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..runtime.nfa_host import _int_to_words, _words_to_int, pack_words
+
+    follow_w, reach_w, float_w, anch_w, acc_any, KW = pack_words(engine)
+    if KW > 64:  # native scratch word cap (P <= 4096)
+        return None
+    P = engine.num_positions
+    B, L = data.shape
+    data = np.ascontiguousarray(data)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    gid = np.ascontiguousarray(engine.accept_gid, dtype=np.int32)
+    b2c = np.ascontiguousarray(engine.byte_to_class, dtype=np.int32)
+    start_bit = 1 << P
+    states0 = np.zeros((B, KW), np.uint64)
+    starts0 = np.zeros(B, np.uint8)
+    for b, s in enumerate(init_states):
+        s = int(s)
+        starts0[b] = 1 if s & start_bit else 0
+        states0[b] = _int_to_words(s & (start_bit - 1), KW)
+    cap = 4096
+    while True:
+        out_row = np.empty(cap, np.int32)
+        out_pos = np.empty(cap, np.int32)
+        out_bits = np.empty(cap, np.int64)
+        states = states0.copy()
+        starts = starts0.copy()
+        n = lib.hstpu_bitnfa_scan_batch(
+            follow_w, reach_w, b2c, gid, acc_any, float_w, anch_w,
+            P, KW, data, B, L, lengths, states, starts,
+            out_row, out_pos, out_bits, cap,
+        )
+        if n <= cap:
+            break
+        cap = 1 << int(n - 1).bit_length()
+    hits = [[] for _ in range(B)]
+    for j in range(int(n)):
+        hits[int(out_row[j])].append((int(out_pos[j]), int(out_bits[j])))
+    finals = [
+        _words_to_int(states[b]) | (start_bit if starts[b] else 0)
+        for b in range(B)
+    ]
+    return hits, finals
 
 
 def teddy_filter_native(corpus, masks):

@@ -103,4 +103,76 @@ int64_t hstpu_dfa_scan_one(
     return cnt;
 }
 
+// Bit-parallel NFA batch scan (LimEx analogue; reference:
+// src/nfa/limex_runtime_impl.h step: OR follower masks of active bits,
+// AND the byte class's reach). States are [B, KW] uint64 words plus a
+// per-row "anchored context" flag consumed by the first live byte.
+// Hits are (row, pos, accept-set bitmask) where bit g-1 marks accept
+// set id g (accept_gid[p]); returns the true hit count (may exceed cap).
+int64_t hstpu_bitnfa_scan_batch(
+    const uint64_t* follow,      // [P * KW] row u = successor mask of u
+    const uint64_t* reach,       // [C * KW] class c = positions matching c
+    const int32_t* b2c,          // [256]
+    const int32_t* accept_gid,   // [P]
+    const uint64_t* accept_any,  // [KW]
+    const uint64_t* float_mask,  // [KW]
+    const uint64_t* anch_mask,   // [KW]
+    int32_t P, int32_t KW,
+    const uint8_t* data, int64_t B, int64_t L, const int32_t* lengths,
+    uint64_t* states,            // [B * KW] in/out
+    uint8_t* is_start,           // [B] in/out
+    int32_t* out_row, int32_t* out_pos, int64_t* out_bits, int64_t cap) {
+    int64_t n = 0;
+    uint64_t cur[64], nxt[64];  // KW <= 64 (P <= 4096)
+    for (int64_t b = 0; b < B; b++) {
+        const uint8_t* row = data + b * L;
+        const int64_t len = lengths[b] < L ? lengths[b] : L;
+        uint64_t* st = states + b * KW;
+        for (int32_t k = 0; k < KW; k++) cur[k] = st[k];
+        uint8_t start = is_start[b];
+        for (int64_t i = 0; i < len; i++) {
+            for (int32_t k = 0; k < KW; k++) {
+                nxt[k] = float_mask[k] | (start ? anch_mask[k] : 0);
+            }
+            for (int32_t k = 0; k < KW; k++) {
+                uint64_t m = cur[k];
+                while (m) {
+                    const int32_t u = k * 64 + __builtin_ctzll(m);
+                    const uint64_t* fr = follow + (int64_t)u * KW;
+                    for (int32_t w = 0; w < KW; w++) nxt[w] |= fr[w];
+                    m &= m - 1;
+                }
+            }
+            const uint64_t* rc = reach + (int64_t)b2c[row[i]] * KW;
+            uint64_t any_acc = 0;
+            for (int32_t k = 0; k < KW; k++) {
+                nxt[k] &= rc[k];
+                cur[k] = nxt[k];
+                any_acc |= nxt[k] & accept_any[k];
+            }
+            start = 0;
+            if (any_acc) {
+                int64_t bits = 0;
+                for (int32_t k = 0; k < KW; k++) {
+                    uint64_t m = cur[k] & accept_any[k];
+                    while (m) {
+                        const int32_t p = k * 64 + __builtin_ctzll(m);
+                        bits |= (int64_t)1 << (accept_gid[p] - 1);
+                        m &= m - 1;
+                    }
+                }
+                if (n < cap) {
+                    out_row[n] = (int32_t)b;
+                    out_pos[n] = (int32_t)i;
+                    out_bits[n] = bits;
+                }
+                n++;
+            }
+        }
+        for (int32_t k = 0; k < KW; k++) st[k] = cur[k];
+        is_start[b] = start;
+    }
+    return n;
+}
+
 }  // extern "C"

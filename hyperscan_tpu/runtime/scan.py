@@ -113,13 +113,32 @@ def scan_blocks_raw(
             _order_records(per_block[bi], int(lengths[bi])) for bi in range(B)
         ]
 
-    from ..database import MAX_HALO_DEPTH
+    from ..database import MAX_HALO_DEPTH, NfaEngine
     from ..ops.dfa_kernel import dfa_scan_corpus_device
 
     lengths = np.asarray([len(b) for b in blocks], dtype=np.int32)
     blocks_b = [bytes(b) for b in blocks]
     host_engines = []
     for engine in db.engines:
+        if isinstance(engine, NfaEngine):
+            from ..ops.nfa_kernel import nfa_device_eligible, nfa_scan_corpus_device
+
+            if not nfa_device_eligible(engine):
+                host_engines.append(engine)
+                continue
+            # acyclic bit-NFA: layered position-parallel device scan
+            recs, eod_bits = nfa_scan_corpus_device(
+                engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
+            )
+            for (bi, pos, bits) in recs:
+                for (eid, adj) in engine.expand_set(bits):
+                    per_block[bi].add((eid, pos + 1 + adj, 0))
+            for bi in range(B):
+                if eod_bits[bi]:
+                    for (eid, adj) in engine.expand_set(int(eod_bits[bi])):
+                        per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
+            _add_start_reports(engine, per_block, lengths)
+            continue
         if engine.max_depth is None or engine.max_depth > MAX_HALO_DEPTH:
             host_engines.append(engine)
             continue
@@ -145,11 +164,26 @@ def scan_blocks_raw(
     return [_order_records(per_block[bi], int(lengths[bi])) for bi in range(B)]
 
 
+def engine_scan_host(engine, data, lengths, init_states=None):
+    """Dispatch a host batch scan to the engine's runtime (DFA byte loop
+    or bit-NFA word loop). Returns (hits per row [(pos, set_id_or_bits)],
+    finals) with carried-state semantics."""
+    from ..database import NfaEngine
+
+    if isinstance(engine, NfaEngine):
+        from .nfa_host import nfa_scan_host
+
+        if init_states is None:
+            init_states = [engine.start_state] * data.shape[0]
+        return nfa_scan_host(engine, data, lengths, init_states)
+    from .smallwrite import dfa_scan_host
+
+    return dfa_scan_host(engine, data, lengths, init_states)
+
+
 def _host_engine_scan(engines, blocks, per_block) -> np.ndarray:
     """Scan engines over a block batch with the host runtime, collecting
     accept / EOD / vacuous records into per_block. Returns lengths."""
-    from .smallwrite import dfa_scan_host
-
     B = len(blocks)
     maxlen = max((len(b) for b in blocks), default=0)
     data = np.zeros((B, max(1, maxlen)), dtype=np.uint8)
@@ -158,12 +192,12 @@ def _host_engine_scan(engines, blocks, per_block) -> np.ndarray:
         data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
         lengths[i] = len(blk)
     for engine in engines:
-        hits, finals = dfa_scan_host(engine, data, lengths)
+        hits, finals = engine_scan_host(engine, data, lengths)
         for bi in range(B):
             for (t, sid) in hits[bi]:
                 for (eid, adj) in engine.expand_set(sid):
                     per_block[bi].add((eid, t + 1 + adj, 0))
-            sid = int(engine.accept_eod_id[finals[bi]])
+            sid = engine.eod_set(finals[bi])
             if sid:
                 for (eid, adj) in engine.expand_set(sid):
                     per_block[bi].add((eid, int(lengths[bi]) + adj, 0))

@@ -33,7 +33,7 @@ from ..flags import HS_MODE_STREAM, HS_MODE_VECTORED, base_mode
 from .lit_runtime import WINDOW_SLACK
 from .scan import Match, finalize_reports
 
-STREAM_MAGIC = b"HSTPUST2"
+STREAM_MAGIC = b"HSTPUST3"
 
 
 def history_required(db: Database) -> int:
@@ -103,7 +103,8 @@ def _engine_pass(db, streams, chunks, recs_abs):
     """Advance general engines over this write's chunks (batched lanes)."""
     if not db.engines:
         return
-    from .smallwrite import dfa_scan_host
+    from ..database import NfaEngine
+    from .scan import engine_scan_host
 
     B = len(streams)
     maxlen = max(len(c) for c in chunks)
@@ -114,13 +115,13 @@ def _engine_pass(db, streams, chunks, recs_abs):
         data[i, : len(a)] = a
         lengths[i] = len(a)
     for ei, engine in enumerate(db.engines):
-        init_np = np.asarray(
-            [st.engine_states[ei] for st in streams], dtype=np.int32
-        )
+        init = [st.engine_states[ei] for st in streams]
+        if not isinstance(engine, NfaEngine):
+            init = np.asarray(init, dtype=np.int32)
         # general engines carry per-stream state byte-serially; the
         # native host runtime handles this (device chunk-halo scanning
         # applies to the literal path and block mode)
-        hits, finals = dfa_scan_host(engine, data, lengths, init_np)
+        hits, finals = engine_scan_host(engine, data, lengths, init)
         for bi, st in enumerate(streams):
             for (t, sid) in hits[bi]:
                 for (eidx, adj) in engine.expand_set(sid):
@@ -309,7 +310,7 @@ def _eod_pass(stream: Stream) -> List[Tuple[int, int, int]]:
     n = stream.offset
     # general engines: final-state EOD accepts + vacuous EOD reports
     for ei, engine in enumerate(db.engines):
-        sid = int(engine.accept_eod_id[stream.engine_states[ei]])
+        sid = engine.eod_set(stream.engine_states[ei])
         if sid:
             for (eidx, adj) in engine.expand_set(sid):
                 if n + adj >= 0:
@@ -403,8 +404,14 @@ def compress_stream(stream: Stream) -> bytes:
         )
     )
     parts.append(stream.history)
-    parts.append(struct.pack(f"<{len(stream.engine_states)}i",
-                             *stream.engine_states))
+    for s in stream.engine_states:
+        # length-prefixed little-endian int: bit-NFA states are position
+        # bitmasks of arbitrary width (reference: nfaQueueCompressState
+        # per-engine variable-size state blocks)
+        s = int(s)
+        nb = max(1, (s.bit_length() + 7) // 8)
+        parts.append(struct.pack("<H", nb))
+        parts.append(s.to_bytes(nb, "little"))
     ss = sorted(stream.seen_single)
     parts.append(struct.pack("<I", len(ss)))
     parts.append(struct.pack(f"<{len(ss)}i", *ss))
@@ -432,8 +439,12 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     off += struct.calcsize("<QIBBI")
     history = buf[off : off + hlen]
     off += hlen
-    states = list(struct.unpack_from(f"<{ne}i", buf, off))
-    off += 4 * ne
+    states = []
+    for _ in range(ne):
+        (nb,) = struct.unpack_from("<H", buf, off)
+        off += 2
+        states.append(int.from_bytes(buf[off : off + nb], "little"))
+        off += nb
     (nss,) = struct.unpack_from("<I", buf, off)
     off += 4
     seen = set(struct.unpack_from(f"<{nss}i", buf, off))

@@ -61,6 +61,13 @@ def gen_pattern(rng) -> str:
             gap = ["[a-c]*", ".*", "[^x]+", "b*"][rng.integers(0, 4)]
             k = int(rng.integers(1, n))
             parts.insert(k, gap)
+        if rng.integers(0, 6) == 0:
+            # DFA-blowup shape (bit-NFA route): leading skip + wide
+            # bounded window, `.*a.{k}b`-class
+            w = int(rng.integers(8, 24))
+            skip = [".*", "[a-d]*", ""][rng.integers(0, 3)]
+            parts = [skip, _CHARS[rng.integers(0, len(_CHARS))],
+                     f".{{{w}}}"] + parts
         return "".join(parts)
 
     body = "|".join(branch() for _ in range(rng.integers(1, 3)))

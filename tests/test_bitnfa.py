@@ -1,0 +1,135 @@
+"""Bit-parallel NFA engine (LimEx analogue) conformance.
+
+Reference: the LimEx engines keep DFA-blowup patterns compilable
+(src/nfa/limex_compile.cpp); these tests pin the same capability: the
+`.*a.{18}b` class compiles, scans on the layered device path, carries
+state across stream writes, and round-trips serialization.
+"""
+
+import numpy as np
+import pytest
+
+import hyperscan_tpu as hs
+from hyperscan_tpu.compiler.bitnfa import build_bitnfa, bitnfa_scan_reference
+from hyperscan_tpu.compiler.glushkov import build_nfa, reduce_graph
+from hyperscan_tpu.compiler.parser import parse
+from hyperscan_tpu.database import NfaEngine, compile_patterns
+from hyperscan_tpu.grey import Grey
+from hyperscan_tpu.utils.oracle import ast_match_ends
+
+BLOWUPS = [r".*a.{18}b", r".*[ab]c.{12}[de]", r"(x|y).*q.{9}z"]
+
+
+def _rand(rng, alphabet: bytes, n: int) -> bytes:
+    return bytes(rng.choice(np.frombuffer(alphabet, np.uint8), size=n))
+
+
+def test_blowup_pattern_compiles_to_bitnfa():
+    db = hs.compile_multi([r".*a.{18}b"])
+    assert any(isinstance(e, NfaEngine) for e in db.engines)
+    eng = next(e for e in db.engines if isinstance(e, NfaEngine))
+    assert eng.acyclic and eng.max_depth == 20
+
+
+def test_reduce_graph_preserves_match_ends():
+    rng = np.random.default_rng(7)
+    for pat in [r".*a.{5}b", r"a*b", r"(a|.)*x", r".*foo", r"[^x]*foo"]:
+        g = build_nfa(parse(pat, 0))
+        r = reduce_graph(g)
+        node = parse(pat, 0)
+        for _ in range(25):
+            d = _rand(rng, b"abfox\n ", int(rng.integers(0, 40)))
+            nfa = build_bitnfa([r], [0])
+            got = {t for (_e, t) in bitnfa_scan_reference(nfa, d)}
+            assert got == ast_match_ends(node, d), (pat, d)
+
+
+@pytest.mark.parametrize("pat", BLOWUPS)
+def test_bitnfa_host_path_vs_oracle(pat):
+    rng = np.random.default_rng(3)
+    db = hs.compile_multi([pat])
+    node = parse(pat, 0)
+    for _ in range(15):
+        d = _rand(rng, b"abcdexyzq", int(rng.integers(0, 300)))
+        got = {t for (_i, _f, t) in hs.scan(db, d)}
+        assert got == ast_match_ends(node, d), (pat, d[:60])
+
+
+def test_bitnfa_device_path_vs_reference():
+    # > HOST_SCAN_LIMIT routes through the layered device kernel
+    rng = np.random.default_rng(5)
+    pat = r".*a.{18}b"
+    db = hs.compile_multi([pat])
+    d = _rand(rng, b"aabxy", 150_000)
+    got = {t for (_i, _f, t) in hs.scan(db, d)}
+    nfa = build_bitnfa([reduce_graph(build_nfa(parse(pat, 0)))], [0])
+    want = {t for (_e, t) in bitnfa_scan_reference(nfa, d)}
+    assert got == want and len(want) > 100
+
+
+def test_bitnfa_device_anchored():
+    rng = np.random.default_rng(6)
+    pat = r"^[ab]a.{10}b"
+    db = compile_patterns(
+        [pat], grey=Grey(max_dfa_states=8, allow_teddy=False)
+    )
+    assert isinstance(db.engines[0], NfaEngine)
+    from hyperscan_tpu.runtime.scan import scan_block
+
+    d = _rand(rng, b"ab", 140_000)
+    got = {t for (_i, _f, t) in scan_block(db, d)[0]}
+    nfa = build_bitnfa([reduce_graph(build_nfa(parse(pat, 0)))], [0])
+    want = {t for (_e, t) in bitnfa_scan_reference(nfa, d)}
+    assert got == want
+
+
+def test_bitnfa_streaming_and_codec():
+    rng = np.random.default_rng(9)
+    pat = r".*a.{18}b"
+    sdb = hs.compile_multi([pat], mode=hs.HS_MODE_STREAM)
+    bdb = hs.compile_multi([pat])
+    d = _rand(rng, b"aabxy", 2500)
+    want = {t for (_i, _f, t) in hs.scan(bdb, d)}
+    for cuts in ([100, 500, 1400], [1, 2, 20, 21], [2499]):
+        st = hs.open_stream(sdb)
+        ms, prev = [], 0
+        for c in cuts + [len(d)]:
+            ms += hs.scan_stream(st, d[prev:c])
+            prev = c
+        ms += hs.close_stream(st)
+        assert {m[2] for m in ms} == want, cuts
+    # compress/expand round-trips bit-NFA (big-int) states
+    st = hs.open_stream(sdb)
+    hs.scan_stream(st, d[:1200])
+    st2 = hs.expand_stream(sdb, hs.compress_stream(st))
+    a = hs.scan_stream(st, d[1200:]) + hs.close_stream(st)
+    b = hs.scan_stream(st2, d[1200:]) + hs.close_stream(st2)
+    assert a == b
+
+
+def test_bitnfa_serialize_roundtrip():
+    db = hs.compile_multi(BLOWUPS, ids=[1, 2, 3])
+    db2 = hs.deserialize_database(hs.serialize_database(db))
+    rng = np.random.default_rng(1)
+    d = _rand(rng, b"abcdexyzq", 400)
+    assert sorted(hs.scan(db, d)) == sorted(hs.scan(db2, d))
+
+
+def test_bitnfa_native_matches_numpy(monkeypatch):
+    rng = np.random.default_rng(2)
+    db = hs.compile_multi([r".*a.{18}b"])
+    eng = db.engines[0]
+    data = rng.choice(np.frombuffer(b"aabxy", np.uint8), size=(2, 3000))
+    lengths = np.asarray([3000, 2500], np.int32)
+    from hyperscan_tpu.native import bitnfa_scan_batch_native
+    from hyperscan_tpu.runtime.nfa_host import nfa_scan_host
+
+    native = bitnfa_scan_batch_native(
+        eng, data, lengths, [eng.start_state] * 2
+    )
+    if native is None:
+        pytest.skip("native runtime unavailable")
+    monkeypatch.setenv("HSTPU_NO_NATIVE", "1")
+    fallback = nfa_scan_host(eng, data, lengths, [eng.start_state] * 2)
+    assert [sorted(h) for h in native[0]] == [sorted(h) for h in fallback[0]]
+    assert native[1] == fallback[1]
