@@ -31,7 +31,7 @@ from typing import FrozenSet, List, Sequence, Tuple
 
 import numpy as np
 
-from .dfa import _byte_classes, _flatten
+from .dfa import _byte_classes, _flatten, prune_covered_accepts
 from .glushkov import NFAGraph
 
 Report = Tuple[int, int]  # (expression index, offset adjust)
@@ -92,6 +92,7 @@ def build_bitnfa(
 ) -> BitNfa:
     """Flatten one or more position NFAs into bit-NFA tables."""
     u = _flatten(nfas, expr_ids)
+    prune_covered_accepts(u)
     P = u.reach.shape[0]
     byte_to_class, reps = _byte_classes(u.reach)
     C = len(reps)

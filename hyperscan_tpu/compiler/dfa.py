@@ -124,12 +124,46 @@ def _byte_classes(reach: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return byte_to_class, reps
 
 
+def prune_covered_accepts(u: "_Union") -> None:
+    """Drop accepts whose reports are subsumed by an unanchored vacuous
+    start report: a pattern reporting an empty match at EVERY offset
+    (to = e + a for all e) makes any accept with adjust >= a redundant —
+    the same (id, to) is already reported. Keeps `x*`-class engines
+    accept-free, so dense-match scans emit one O(1) range instead of
+    millions of per-byte records."""
+    # covered eids: an adjust-0 report at every offset spans [0, n], which
+    # (after the runtime's 0 <= to <= n bounds clip) subsumes any regular
+    # accept with adjust >= 0 (to = t+1+adj) and any EOD accept with
+    # adjust <= 0 (to = n+adj)
+    cover = {
+        eid for (anchored, eod, adj, eid) in u.start_reports
+        if not anchored and not eod and adj == 0
+    }
+    if not cover:
+        return
+
+    def filt(m: Dict[int, FrozenSet[Report]], eod: bool) -> None:
+        for p in list(m):
+            kept = frozenset(
+                (eid, adj) for (eid, adj) in m[p]
+                if eid not in cover or (adj > 0 if eod else adj < 0)
+            )
+            if kept:
+                m[p] = kept
+            else:
+                del m[p]
+
+    filt(u.accept, eod=False)
+    filt(u.accept_eod, eod=True)
+
+
 def determinize(
     nfas: Sequence[NFAGraph],
     expr_ids: Sequence[int],
     max_states: int = 60000,
 ) -> ScanDFA:
     u = _flatten(nfas, expr_ids)
+    prune_covered_accepts(u)
     P = u.reach.shape[0]
     byte_to_class, reps = _byte_classes(u.reach)
     C = len(reps)

@@ -135,10 +135,19 @@ def dfa_scan_batch_native(engine, data, lengths, init_states):
         if n <= cap:
             break
         cap = 1 << int(n - 1).bit_length()
-    hits = [[] for _ in range(B)]
-    for j in range(int(n)):
-        hits[int(out_row[j])].append((int(out_pos[j]), int(out_aid[j])))
-    return hits, states_run
+    return _split_hits(int(n), out_row, out_pos, out_aid, B), states_run
+
+
+def _split_hits(n, out_row, out_pos, out_val, B):
+    """Group (row, pos, val) hit triples into per-row (pos, val) array
+    pairs; rows are emitted nondecreasing by the native loops."""
+    pos = out_pos[:n].astype(np.int64)
+    val = out_val[:n].astype(np.int64)
+    cuts = np.searchsorted(out_row[:n], np.arange(B + 1))
+    return [
+        (pos[cuts[b]:cuts[b + 1]], val[cuts[b]:cuts[b + 1]])
+        for b in range(B)
+    ]
 
 
 def bitnfa_scan_batch_native(engine, data, lengths, init_states):
@@ -179,14 +188,11 @@ def bitnfa_scan_batch_native(engine, data, lengths, init_states):
         if n <= cap:
             break
         cap = 1 << int(n - 1).bit_length()
-    hits = [[] for _ in range(B)]
-    for j in range(int(n)):
-        hits[int(out_row[j])].append((int(out_pos[j]), int(out_bits[j])))
     finals = [
         _words_to_int(states[b]) | (start_bit if starts[b] else 0)
         for b in range(B)
     ]
-    return hits, finals
+    return _split_hits(int(n), out_row, out_pos, out_bits, B), finals
 
 
 def teddy_filter_native(corpus, masks):

@@ -239,8 +239,8 @@ def dfa_scan_corpus_device(
 ):
     """Scan concatenated blocks with a bounded-depth engine.
 
-    Returns (records set of (block_idx, pos_local, accept_set_id),
-    finals [n_blocks] end-of-block states).
+    Returns (records as parallel arrays (block_idx, pos_local,
+    accept_set_id), finals [n_blocks] end-of-block states).
     """
     H, CS = chunk_shape(engine)
     trans_rows, b2c_rows, accept_rows, C = pack_tables(engine)
@@ -277,18 +277,15 @@ def dfa_scan_corpus_device(
 
     k = min(total, capacity)
     got = np.asarray(packed[:, :k])
-    pos_flat, aids = got[0].astype(np.int64), got[1]
+    pos_flat, aids = got[0].astype(np.int64), got[1].astype(np.int64)
     nrows_pad = vfrom.shape[0]
     t = pos_flat // (nrows_pad * 128)
     c = pos_flat % (nrows_pad * 128)
-    recs = set()
-    for j in range(k):
-        ci = int(c[j])
-        if ci >= nchunks:
-            continue
-        bi = int(chunk_block[ci])
-        pos_local = int(chunk_body_start[ci]) + int(t[j]) - H
-        recs.add((bi, pos_local, int(aids[j])))
+    ok = c < nchunks
+    t, c, aids = t[ok], c[ok], aids[ok]
+    bi_a = chunk_block[c]
+    pos_a = chunk_body_start[c] + t - H
+    recs = (bi_a, pos_a, aids)
 
     # end-of-block states: finals of each block's last chunk
     fin_np = np.asarray(fin).reshape(-1)

@@ -213,8 +213,8 @@ def nfa_scan_corpus_device(
 ):
     """Scan concatenated blocks with a layered bit-NFA.
 
-    Returns (records set of (block_idx, pos_local, accept_set_bitmask),
-    eod_bits [n_blocks] int32).
+    Returns (records as parallel arrays (block_idx, pos_local,
+    accept_set_bitmask), eod_bits [n_blocks] int32).
     """
     D = _halo(engine)
     B = len(blocks)
@@ -267,7 +267,10 @@ def nfa_scan_corpus_device(
         if len(b):
             ends[i] = int(offs[i]) + len(b) - 1
 
-    recs = set()
+    rec_bi: List[np.ndarray] = []
+    rec_pos: List[np.ndarray] = []
+    rec_val: List[np.ndarray] = []
+    block_lens = np.asarray([len(b) for b in blocks], np.int64)
     eod_bits = np.zeros(B, np.int32)
     for g0 in range(0, ntiles, gt):
         g1 = min(ntiles, g0 + gt)
@@ -311,7 +314,7 @@ def nfa_scan_corpus_device(
         k = min(total, cap)
         if k:
             got = np.asarray(packed[:, :k])
-            flat, bits = got[0].astype(np.int64), got[1]
+            flat, bits = got[0].astype(np.int64), got[1].astype(np.int64)
             # flat = tile_in_group * NE + e
             ti = flat // NE
             e = flat % NE
@@ -319,12 +322,17 @@ def nfa_scan_corpus_device(
             ok = body >= 0
             t_global = (g0 + ti[ok]) * TILE_BODY + body[ok]
             bvals = bits[ok]
-            # map body offsets to blocks
+            # map body offsets to blocks; drop gap/padding positions
             bi = np.searchsorted(offs, t_global, side="right") - 1
             pos_local = t_global - offs[bi]
-            for j in range(len(t_global)):
-                b_idx = int(bi[j])
-                pl = int(pos_local[j])
-                if pl < len(blocks[b_idx]):
-                    recs.add((b_idx, pl, int(bvals[j])))
+            ok2 = pos_local < block_lens[bi]
+            rec_bi.append(bi[ok2])
+            rec_pos.append(pos_local[ok2])
+            rec_val.append(bvals[ok2])
+    z = np.zeros(0, np.int64)
+    recs = (
+        (np.concatenate(rec_bi), np.concatenate(rec_pos),
+         np.concatenate(rec_val))
+        if rec_bi else (z, z, z)
+    )
     return recs, eod_bits

@@ -97,7 +97,7 @@ def nfa_scan_host(
     F = engine.follow.astype(np.uint8)
     reach = engine.class_reach
     gid = engine.accept_gid
-    hits: List[List[Tuple[int, int]]] = [[] for _ in range(B)]
+    acc: List[List[Tuple[int, int]]] = [[] for _ in range(B)]
     if L:
         cls = engine.byte_to_class.astype(np.int64)[data]
         acc_pos = np.flatnonzero(gid)
@@ -116,7 +116,11 @@ def nfa_scan_host(
                     bits = 0
                     for p in acc_pos[act[b, acc_pos]]:
                         bits |= 1 << (int(gid[p]) - 1)
-                    hits[b].append((t, bits))
+                    acc[b].append((t, bits))
+    hits = []
+    for b in range(B):
+        a = np.asarray(acc[b], dtype=np.int64).reshape(-1, 2)
+        hits.append((a[:, 0], a[:, 1]))
     finals: List[int] = []
     for b in range(B):
         m = 0

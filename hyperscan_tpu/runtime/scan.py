@@ -32,6 +32,130 @@ Match = Tuple[int, int, int]  # (external id, from, to)
 _LANE = 128  # pad lengths to lane multiples to bound recompiles
 
 
+@dataclasses.dataclass
+class RecordBatch:
+    """Columnar match records — (expr_index, to, from) as parallel
+    arrays, sorted by (to, expr) and deduped, plus unexpanded per-offset
+    ranges (vacuous reports: every `to` in [lo, hi] with frm 0, disjoint
+    from the arrays). The vectorized analogue of the reference's
+    per-callback record flow: dense-match patterns (`x*` over megabytes)
+    stay in numpy/range form end to end instead of costing ~10us of
+    Python per report."""
+
+    eids: np.ndarray  # int64
+    tos: np.ndarray  # int64
+    frms: np.ndarray  # int64
+    ranges: List[Tuple[int, int, int]] = dataclasses.field(
+        default_factory=list
+    )  # (eid, lo_to, hi_to), sorted by lo_to, frm=0
+
+    def __len__(self) -> int:
+        return int(self.eids.shape[0]) + sum(
+            hi - lo + 1 for (_e, lo, hi) in self.ranges
+        )
+
+    def expand(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Merge ranges into the arrays, keeping (to, eid) order."""
+        if not self.ranges:
+            return self.eids, self.tos, self.frms
+        es = [self.eids]
+        ts = [self.tos]
+        fs = [self.frms]
+        for (eid, lo, hi) in self.ranges:
+            t = np.arange(lo, hi + 1, dtype=np.int64)
+            es.append(np.full_like(t, eid))
+            ts.append(t)
+            fs.append(np.zeros_like(t))
+        eids = np.concatenate(es)
+        tos = np.concatenate(ts)
+        frms = np.concatenate(fs)
+        order = np.lexsort((eids, tos))
+        return eids[order], tos[order], frms[order]
+
+    def tuples(self) -> List[Tuple[int, int, int]]:
+        eids, tos, frms = self.expand()
+        return list(zip(eids.tolist(), tos.tolist(), frms.tolist()))
+
+
+class RecordSink:
+    """Accumulates match records from the engine passes in three forms:
+    Python singles, numpy batches, and lazy per-offset ranges (vacuous
+    reports — the reference's boundary-program empty matches, which are
+    O(n) events but O(1) information)."""
+
+    def __init__(self) -> None:
+        self.single: set = set()
+        self.batches: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.ranges: List[Tuple[int, int, int]] = []  # (eid, lo_to, hi_to)
+
+    def add(self, eid: int, to: int, frm: int = 0) -> None:
+        self.single.add((eid, to, frm))
+
+    def add_batch(self, eids, tos, frms=None) -> None:
+        tos = np.asarray(tos, dtype=np.int64)
+        if tos.size == 0:
+            return
+        eids = np.broadcast_to(
+            np.asarray(eids, dtype=np.int64), tos.shape
+        )
+        frms = (
+            np.zeros_like(tos)
+            if frms is None
+            else np.broadcast_to(np.asarray(frms, dtype=np.int64), tos.shape)
+        )
+        self.batches.append((eids, tos, frms))
+
+    def add_range(self, eid: int, lo: int, hi: int) -> None:
+        """Report (eid, to, 0) for every to in [lo, hi]."""
+        if hi >= lo:
+            self.ranges.append((int(eid), int(lo), int(hi)))
+
+    def materialize(self, n: Optional[int]) -> RecordBatch:
+        """Bounds-check (0 <= to <= n when n is given), min-merge SOM
+        starts per (to, eid), and sort by offset. Ranges stay unexpanded:
+        they dominate any array record at the same (to, eid) (their frm
+        is 0, the minimum), so covered array records are dropped."""
+        es: List[np.ndarray] = []
+        ts: List[np.ndarray] = []
+        fs: List[np.ndarray] = []
+        if self.single:
+            arr = np.asarray(sorted(self.single), dtype=np.int64)
+            es.append(arr[:, 0])
+            ts.append(arr[:, 1])
+            fs.append(arr[:, 2])
+        for (e, t, f) in self.batches:
+            es.append(e)
+            ts.append(t)
+            fs.append(f)
+        ranges: List[Tuple[int, int, int]] = []
+        for (eid, lo, hi) in self.ranges:
+            lo = max(lo, 0)
+            if n is not None:
+                hi = min(hi, n)
+            if hi >= lo:
+                ranges.append((eid, lo, hi))
+        ranges.sort(key=lambda r: r[1])
+        if not ts:
+            z = np.zeros(0, dtype=np.int64)
+            return RecordBatch(z, z, z, ranges)
+        eids = np.concatenate(es)
+        tos = np.concatenate(ts)
+        frms = np.concatenate(fs)
+        ok = tos >= 0
+        if n is not None:
+            ok &= tos <= n
+        for (eid, lo, hi) in ranges:
+            ok &= ~((eids == eid) & (tos >= lo) & (tos <= hi))
+        eids, tos, frms = eids[ok], tos[ok], frms[ok]
+        order = np.lexsort((frms, eids, tos))
+        eids, tos, frms = eids[order], tos[order], frms[order]
+        if len(tos):
+            first = np.ones(len(tos), dtype=bool)
+            first[1:] = (tos[1:] != tos[:-1]) | (eids[1:] != eids[:-1])
+            eids, tos, frms = eids[first], tos[first], frms[first]
+        return RecordBatch(eids, tos, frms, ranges)
+
+
 def _bucket_len(n: int) -> int:
     """Round up to a padding bucket (next power of two of lane multiples)."""
     m = max(_LANE, n)
@@ -72,13 +196,13 @@ def _engine_device_arrays(engine: DfaEngine):
 
 def scan_blocks_raw(
     db: Database, blocks: Sequence[bytes], capacity: int
-) -> List[List[Tuple[int, int]]]:
-    """Scan a batch of independent blocks; returns per-block lists of
-    internal (expr_index, to, from) records (pre report-processing),
+) -> List[RecordBatch]:
+    """Scan a batch of independent blocks; returns per-block RecordBatch
+    of internal (expr_index, to, from) records (pre report-processing),
     deduped and sorted. Capacity overflow retries happen inside the
     device kernel wrappers (teddy_scan_rows / dfa_scan_corpus_device)."""
     B = len(blocks)
-    per_block: List[set] = [set() for _ in range(B)]
+    per_block: List[RecordSink] = [RecordSink() for _ in range(B)]
 
     # literal path: Teddy filter over the concatenated corpus, then
     # confirm + window validation (reference: Rose floating literal
@@ -97,10 +221,12 @@ def scan_blocks_raw(
             else np.zeros(0, dtype=np.uint8)
         )
         for (bi, eidx, to, frm) in scan_literal_path(db, corpus, starts, ends):
-            per_block[bi].add((eidx, to, frm))
+            per_block[bi].add(eidx, to, frm)
 
     if not db.engines:
-        return [_order_records(per_block[bi], len(blocks[bi])) for bi in range(B)]
+        return [
+            per_block[bi].materialize(len(blocks[bi])) for bi in range(B)
+        ]
 
     maxlen = max((len(b) for b in blocks), default=0)
     total_bytes = sum(len(b) for b in blocks)
@@ -110,7 +236,7 @@ def scan_blocks_raw(
         # small-write path (reference: runSmallWriteEngine): host numpy
         lengths = _host_engine_scan(db.engines, blocks, per_block)
         return [
-            _order_records(per_block[bi], int(lengths[bi])) for bi in range(B)
+            per_block[bi].materialize(int(lengths[bi])) for bi in range(B)
         ]
 
     from ..database import MAX_HALO_DEPTH, NfaEngine
@@ -127,33 +253,29 @@ def scan_blocks_raw(
                 host_engines.append(engine)
                 continue
             # acyclic bit-NFA: layered position-parallel device scan
-            recs, eod_bits = nfa_scan_corpus_device(
+            (bi_a, pos_a, val_a), eod_bits = nfa_scan_corpus_device(
                 engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
             )
-            for (bi, pos, bits) in recs:
-                for (eid, adj) in engine.expand_set(bits):
-                    per_block[bi].add((eid, pos + 1 + adj, 0))
+            _expand_device_records(engine, bi_a, pos_a, val_a, per_block)
             for bi in range(B):
                 if eod_bits[bi]:
                     for (eid, adj) in engine.expand_set(int(eod_bits[bi])):
-                        per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
+                        per_block[bi].add(eid, int(lengths[bi]) + adj)
             _add_start_reports(engine, per_block, lengths)
             continue
         if engine.max_depth is None or engine.max_depth > MAX_HALO_DEPTH:
             host_engines.append(engine)
             continue
         # bounded-width engine: exact chunk-halo parallel device scan
-        recs, finals = dfa_scan_corpus_device(
+        (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device(
             engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
         )
-        for (bi, pos, sid) in recs:
-            for (eid, adj) in engine.expand_set(sid):
-                per_block[bi].add((eid, pos + 1 + adj, 0))
+        _expand_device_records(engine, bi_a, pos_a, sid_a, per_block)
         for bi in range(B):
             sid = int(engine.accept_eod_id[finals[bi]])
             if sid:
                 for (eid, adj) in engine.expand_set(sid):
-                    per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
+                    per_block[bi].add(eid, int(lengths[bi]) + adj)
         _add_start_reports(engine, per_block, lengths)
 
     if host_engines:
@@ -161,7 +283,25 @@ def scan_blocks_raw(
         # cannot halo-parallelize; the native host runtime scans them
         _host_engine_scan(host_engines, blocks_b, per_block)
 
-    return [_order_records(per_block[bi], int(lengths[bi])) for bi in range(B)]
+    return [per_block[bi].materialize(int(lengths[bi])) for bi in range(B)]
+
+
+def _expand_device_records(engine, bi_a, pos_a, val_a, per_block) -> None:
+    """Vectorized expansion of device accept records: group by accept
+    value (set id or set bitmask) and by block, then batch-append the
+    expanded (eid, to) columns."""
+    if len(pos_a) == 0:
+        return
+    for val in np.unique(val_a):
+        reports = engine.expand_set(int(val))
+        if not reports:
+            continue
+        sel = val_a == val
+        bsel, psel = bi_a[sel], pos_a[sel]
+        for bi in np.unique(bsel):
+            pp = psel[bsel == bi]
+            for (eid, adj) in reports:
+                per_block[int(bi)].add_batch(eid, pp + 1 + adj)
 
 
 def engine_scan_host(engine, data, lengths, init_states=None):
@@ -194,13 +334,16 @@ def _host_engine_scan(engines, blocks, per_block) -> np.ndarray:
     for engine in engines:
         hits, finals = engine_scan_host(engine, data, lengths)
         for bi in range(B):
-            for (t, sid) in hits[bi]:
-                for (eid, adj) in engine.expand_set(sid):
-                    per_block[bi].add((eid, t + 1 + adj, 0))
+            hp, hv = hits[bi]
+            if len(hp):
+                _expand_device_records(
+                    engine, np.full(len(hp), bi, np.int64), hp, hv,
+                    per_block,
+                )
             sid = engine.eod_set(finals[bi])
             if sid:
                 for (eid, adj) in engine.expand_set(sid):
-                    per_block[bi].add((eid, int(lengths[bi]) + adj, 0))
+                    per_block[bi].add(eid, int(lengths[bi]) + adj)
         _add_start_reports(engine, per_block, lengths)
     return lengths
 
@@ -213,25 +356,89 @@ def _add_start_reports(engine, per_block, lengths) -> None:
             n = int(lengths[bi])
             if anchored and eod:
                 if n == 0:
-                    per_block[bi].add((eid, adj, 0))
+                    per_block[bi].add(eid, adj)
             elif anchored:
-                per_block[bi].add((eid, adj, 0))
+                per_block[bi].add(eid, adj)
             elif eod:
-                per_block[bi].add((eid, n + adj, 0))
+                per_block[bi].add(eid, n + adj)
             else:
-                for e in range(n + 1):
-                    per_block[bi].add((eid, e + adj, 0))
+                per_block[bi].add_range(eid, adj, n + adj)
 
 
-def _order_records(recs, n: int) -> List[Tuple[int, int, int]]:
-    """Bound-check, min-merge SOM starts per (expr, to), order by offset."""
-    best = {}
-    for (e, t, frm) in recs:
-        if 0 <= t <= n:
-            k = (t, e)
-            if k not in best or frm < best[k]:
-                best[k] = frm
-    return [(e, t, best[(t, e)]) for (t, e) in sorted(best)]
+def _pattern_arrays(db: Database):
+    """Cached per-pattern report-semantics columns (reference: the Report
+    table, src/util/report.h)."""
+    if not hasattr(db, "_pat_arrays"):
+        n = len(db.patterns)
+        minoff = np.zeros(n, dtype=np.int64)
+        maxoff = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        minlen = np.zeros(n, dtype=np.int64)
+        flags = np.zeros(n, dtype=np.int64)
+        extid = np.zeros(n, dtype=np.int64)
+        for i, p in enumerate(db.patterns):
+            minoff[i] = p.min_offset
+            if p.max_offset != UNBOUNDED:
+                maxoff[i] = p.max_offset
+            minlen[i] = p.min_length
+            flags[i] = p.flags
+            extid[i] = p.external_id
+        db._pat_arrays = (minoff, maxoff, minlen, flags, extid)
+    return db._pat_arrays
+
+
+def _finalize_batch(
+    db: Database,
+    batch: RecordBatch,
+    callback,
+    seen_single: set,
+) -> Tuple[List[Match], bool]:
+    """Vectorized report semantics for the no-combination case."""
+    minoff, maxoff, minlen, flags, extid = _pattern_arrays(db)
+    if batch.ranges and any(
+        flags[e] & HS_FLAG_SINGLEMATCH for (e, _l, _h) in batch.ranges
+    ):
+        # SINGLEMATCH first-occurrence must be picked across the merged
+        # stream; expand (rare: vacuous + SINGLEMATCH)
+        e2, t2, f2 = batch.expand()
+        batch = RecordBatch(e2, t2, f2)
+    if batch.ranges:
+        return _finalize_with_ranges(
+            db, batch, callback, seen_single,
+            (minoff, maxoff, minlen, flags, extid),
+        )
+    eids, tos, frms = batch.eids, batch.tos, batch.frms
+    fl = flags[eids]
+    keep = (tos >= minoff[eids]) & (tos <= maxoff[eids])
+    ml = minlen[eids]
+    keep &= (ml == 0) | ((tos - frms) >= ml)
+    keep &= (fl & HS_FLAG_QUIET) == 0
+    sm = keep & ((fl & HS_FLAG_SINGLEMATCH) != 0)
+    if sm.any():
+        idx = np.flatnonzero(sm)
+        keep[idx] = False
+        already = np.asarray(
+            [int(e) in seen_single for e in eids[idx]], dtype=bool
+        )
+        idx = idx[~already]
+        # first record per expression in delivery order (records are
+        # sorted by offset)
+        _u, fi = np.unique(eids[idx], return_index=True)
+        first = idx[fi]
+        keep[first] = True
+        seen_single.update(int(e) for e in eids[first])
+    eids, tos, frms, fl = eids[keep], tos[keep], frms[keep], fl[keep]
+    rep_frm = np.where((fl & HS_FLAG_SOM_LEFTMOST) != 0, frms, 0)
+    ext = extid[eids]
+    if callback is None:
+        return list(zip(ext.tolist(), rep_frm.tolist(), tos.tolist())), False
+    out: List[Match] = []
+    el, fl_, tl = ext.tolist(), rep_frm.tolist(), tos.tolist()
+    for j in range(len(el)):
+        m = (el[j], fl_[j], tl[j])
+        out.append(m)
+        if callback(el[j], fl_[j], tl[j], 0):
+            return out, True
+    return out, False
 
 
 def _expand_combinations(
@@ -282,6 +489,86 @@ def _expand_combinations(
     return out
 
 
+def _finalize_with_ranges(
+    db: Database,
+    batch: RecordBatch,
+    callback,
+    seen_single: set,
+    cols,
+) -> Tuple[List[Match], bool]:
+    """Batch finalize with unexpanded vacuous ranges: range semantics are
+    uniform per range (same pattern, frm 0), so bounds/QUIET apply to the
+    whole interval; expansion happens once, at delivery."""
+    minoff, maxoff, minlen, flags, extid = cols
+    # array part: reuse the plain batch path semantics without delivery
+    arr_ms, _term = _finalize_batch(
+        db, RecordBatch(batch.eids, batch.tos, batch.frms), None,
+        seen_single,
+    )
+    # pieces are (min_to, max_to, kind, payload); ranges expand with
+    # C-level zip(repeat, repeat, range) — no numpy materialization
+    import itertools
+
+    pieces = []
+    if arr_ms:
+        pieces.append((arr_ms[0][2], arr_ms[-1][2], "arr", arr_ms))
+    for (eid, lo, hi) in batch.ranges:
+        fl = int(flags[eid])
+        if fl & HS_FLAG_QUIET:
+            continue
+        lo = max(lo, int(minoff[eid]))
+        hi = min(hi, int(maxoff[eid]))
+        if minlen[eid]:
+            lo = max(lo, int(minlen[eid]))
+        if hi < lo:
+            continue
+        pieces.append((lo, hi, "range", (int(extid[eid]), lo, hi)))
+    if not pieces:
+        return [], False
+    pieces.sort(key=lambda p: p[0])
+    disjoint = all(
+        pieces[i][1] < pieces[i + 1][0] for i in range(len(pieces) - 1)
+    )
+    if disjoint and callback is None:
+        out: List[Match] = []
+        for (_lo, _hi, kind, payload) in pieces:
+            if kind == "arr":
+                out.extend(payload)
+            else:
+                (e, lo, hi) = payload
+                out.extend(zip(itertools.repeat(e), itertools.repeat(0),
+                               range(lo, hi + 1)))
+        return out, False
+    # overlapping pieces (or callback delivery): merge by offset
+    ts, es, fs = [], [], []
+    for (_lo, _hi, kind, payload) in pieces:
+        if kind == "arr":
+            a = np.asarray(payload, dtype=np.int64)
+            ts.append(a[:, 2])
+            es.append(a[:, 0])
+            fs.append(a[:, 1])
+        else:
+            (e, lo, hi) = payload
+            t = np.arange(lo, hi + 1, dtype=np.int64)
+            ts.append(t)
+            es.append(np.full_like(t, e))
+            fs.append(np.zeros_like(t))
+    tos = np.concatenate(ts)
+    ext = np.concatenate(es)
+    frm = np.concatenate(fs)
+    order = np.lexsort((ext, tos))
+    tos, ext, frm = tos[order], ext[order], frm[order]
+    if callback is None:
+        return list(zip(ext.tolist(), frm.tolist(), tos.tolist())), False
+    out = []
+    el, fl_, tl = ext.tolist(), frm.tolist(), tos.tolist()
+    for j in range(len(el)):
+        out.append((el[j], fl_[j], tl[j]))
+        if callback(el[j], fl_[j], tl[j], 0):
+            return out, True
+    return out, False
+
+
 def finalize_reports(
     db: Database,
     records: List[Tuple[int, int]],
@@ -300,6 +587,13 @@ def finalize_reports(
     """
     if seen_single is None:
         seen_single = set()
+
+    if isinstance(records, RecordBatch):
+        if not db.combos():
+            # vectorized fast path: dense-match patterns (`x*` over
+            # megabytes) never touch per-record Python
+            return _finalize_batch(db, records, callback, seen_single)
+        records = records.tuples()
 
     # stage 1: per-pattern offset bounds (sub-expression guards run before
     # combinations see the event — reference: CHECK_BOUNDS precedes

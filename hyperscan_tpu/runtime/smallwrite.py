@@ -70,7 +70,7 @@ def dfa_scan_host(
     b2c = engine.byte_to_class.astype(np.int64)
     accept_id = engine.accept_id
     states = init_states.astype(np.int64).copy()
-    hits: List[List[Tuple[int, int]]] = [[] for _ in range(B)]
+    acc: List[List[Tuple[int, int]]] = [[] for _ in range(B)]
     if L:
         cls = b2c[data]
         for t in range(L):
@@ -78,5 +78,9 @@ def dfa_scan_host(
             states = np.where(active, trans[states, cls[:, t]], states)
             aids = np.where(active, accept_id[states], 0)
             for bi in np.flatnonzero(aids):
-                hits[bi].append((t, int(aids[bi])))
+                acc[bi].append((t, int(aids[bi])))
+    hits = []
+    for bi in range(B):
+        a = np.asarray(acc[bi], dtype=np.int64).reshape(-1, 2)
+        hits.append((a[:, 0], a[:, 1]))
     return hits, states

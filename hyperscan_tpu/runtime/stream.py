@@ -99,7 +99,7 @@ def copy_stream(stream: Stream) -> Stream:
     )
 
 
-def _engine_pass(db, streams, chunks, recs_abs):
+def _engine_pass(db, streams, chunks, recs_abs, ranges_abs):
     """Advance general engines over this write's chunks (batched lanes)."""
     if not db.engines:
         return
@@ -123,13 +123,15 @@ def _engine_pass(db, streams, chunks, recs_abs):
         # applies to the literal path and block mode)
         hits, finals = engine_scan_host(engine, data, lengths, init)
         for bi, st in enumerate(streams):
-            for (t, sid) in hits[bi]:
+            hp, hv = hits[bi]
+            for (t, sid) in zip(hp.tolist(), hv.tolist()):
                 for (eidx, adj) in engine.expand_set(sid):
                     to_abs = st.offset + t + 1 + adj
                     if to_abs >= 0:
                         recs_abs[bi].add((eidx, to_abs, 0))
             st.engine_states[ei] = int(finals[bi])
-        _vacuous_stream_reports(engine, streams, chunks, recs_abs)
+        _vacuous_stream_reports(engine, streams, chunks, recs_abs,
+                                ranges_abs)
 
 
 def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
@@ -158,8 +160,10 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
                 st.chain_state[eidx] = (ends, c_run)
 
 
-def _vacuous_stream_reports(engine, streams, chunks, recs_abs) -> None:
-    """Empty-match reports at every new offset of this write."""
+def _vacuous_stream_reports(engine, streams, chunks, recs_abs,
+                            ranges_abs) -> None:
+    """Empty-match reports at every new offset of this write, recorded as
+    lazy to-ranges (O(1) per write instead of O(bytes) Python)."""
     for bi, st in enumerate(streams):
         n = len(chunks[bi])
         for (anchored, eod, adj, eid) in engine.start_reports:
@@ -172,12 +176,12 @@ def _vacuous_stream_reports(engine, streams, chunks, recs_abs) -> None:
                     recs_abs[bi].add((eid, adj, 0))
             else:
                 lo = 0 if st.offset == 0 else st.offset + 1
-                for e in range(lo, st.offset + n + 1):
-                    if e + adj < 0:
-                        continue
-                    if e == st.offset and (eid, e + adj) in st.recent:
-                        continue  # boundary offset already reported
-                    recs_abs[bi].add((eid, e + adj, 0))
+                if lo == st.offset and (eid, lo + adj) in st.recent:
+                    lo += 1  # boundary offset already reported
+                lo_to = max(lo + adj, 0)
+                hi_to = st.offset + n + adj
+                if hi_to >= lo_to:
+                    ranges_abs[bi].append((eid, lo_to, hi_to))
 
 
 def scan_streams(
@@ -199,6 +203,8 @@ def scan_streams(
     callbacks = callbacks or [None] * B
 
     recs_abs: List[Set[Tuple[int, int]]] = [set() for _ in range(B)]
+    # vacuous reports as lazy (eid, lo_to, hi_to) ranges
+    ranges_abs: List[List[Tuple[int, int, int]]] = [[] for _ in range(B)]
     chunks = [bytes(c) for c in chunks]
 
     # literal path over history+chunk extents
@@ -257,13 +263,19 @@ def scan_streams(
         if has_chains:
             _update_chain_state(db, streams, exts, starts, chain_out)
 
-    _engine_pass(db, streams, chunks, recs_abs)
+    _engine_pass(db, streams, chunks, recs_abs, ranges_abs)
 
     out: List[List[Match]] = []
     hist_req = history_required(db)
     for bi, st in enumerate(streams):
+        from .scan import RecordSink
+
+        sink = RecordSink()
+        sink.single = {(e, t, f) for (e, t, f) in recs_abs[bi]}
+        for (eid, lo, hi) in ranges_abs[bi]:
+            sink.add_range(eid, lo, hi)
         ms, terminated = finalize_reports(
-            db, _order_abs(recs_abs[bi]), callbacks[bi],
+            db, sink.materialize(None), callbacks[bi],
             seen_single=st.seen_single,
             combo_matched=st.combo_matched, at_end=False,
         )
@@ -274,7 +286,9 @@ def scan_streams(
         # the next history rescan
         st.recent = {(e, t) for (e, t, _f) in recs_abs[bi]
                      if t >= new_off} | {
-            (e, t) for (e, t) in st.recent if t >= new_off}
+            (e, t) for (e, t) in st.recent if t >= new_off} | {
+            (eid, t) for (eid, lo, hi) in ranges_abs[bi]
+            for t in range(max(lo, new_off), hi + 1)}
         ext = st.history + chunks[bi]
         st.history = ext[-hist_req:] if hist_req else b""
         st.offset = new_off

@@ -131,5 +131,7 @@ def test_bitnfa_native_matches_numpy(monkeypatch):
         pytest.skip("native runtime unavailable")
     monkeypatch.setenv("HSTPU_NO_NATIVE", "1")
     fallback = nfa_scan_host(eng, data, lengths, [eng.start_state] * 2)
-    assert [sorted(h) for h in native[0]] == [sorted(h) for h in fallback[0]]
+    for (np_, nv), (fp, fv) in zip(native[0], fallback[0]):
+        assert np_.tolist() == fp.tolist()
+        assert nv.tolist() == fv.tolist()
     assert native[1] == fallback[1]
