@@ -18,7 +18,7 @@ import numpy as np
 
 import hyperscan_tpu as hs
 from hyperscan_tpu.compiler.parser import parse
-from hyperscan_tpu.utils.oracle import ast_match_ends
+from hyperscan_tpu.utils.oracle import ast_match_ends, re_match_ends
 
 _CHARS = "abcxyz019"
 _CLASSES = ["[a-c]", "[^x]", r"\d", r"\w", "[xy0-3]", "."]
@@ -115,6 +115,15 @@ def fuzz_round(rng, n_patterns: int = 8, n_corpora: int = 6) -> List[str]:
                 fails.append(
                     f"pattern {p!r} corpus {data!r}: "
                     f"{sorted(got)} != {sorted(want)}"
+                )
+                continue
+            # independent ground truth (reference: PCRE GroundTruth.cpp):
+            # Python `re` shares no code with the engine or the AST oracle
+            want_re = re_match_ends(p, fl, data)
+            if want_re is not None and got != want_re:
+                fails.append(
+                    f"re-oracle: pattern {p!r} corpus {data!r}: "
+                    f"{sorted(got)} != {sorted(want_re)}"
                 )
                 continue
             # streaming under a random write split must agree with block

@@ -30,7 +30,7 @@ import numpy as np
 
 import hyperscan_tpu as hs
 from hyperscan_tpu.compiler.parser import parse
-from hyperscan_tpu.utils.oracle import ast_match_ends
+from hyperscan_tpu.utils.oracle import ast_match_ends, re_match_ends
 
 from .hscheck import parse_line
 
@@ -114,6 +114,12 @@ def run(entries, corpora, rng, verbose=False) -> int:
             if got.get(i, set()) != want:
                 report("oracle", f"id {i} pattern {p!r} corpus {data[:40]!r}: "
                        f"{sorted(got.get(i, set()))} != {sorted(want)}")
+            # independent PCRE-style truth (reference: GroundTruth.cpp);
+            # Python `re` shares no code with the engine or AST oracle
+            want_re = re_match_ends(p, f, data)
+            if want_re is not None and got.get(i, set()) != want_re:
+                report("re", f"id {i} pattern {p!r} corpus {data[:40]!r}: "
+                       f"{sorted(got.get(i, set()))} != {sorted(want_re)}")
 
         # serialize round trip
         if hs.scan(rdb, data) != block:

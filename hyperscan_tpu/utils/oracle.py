@@ -184,3 +184,59 @@ def nfa_match_ends(g: NFAGraph, data: bytes) -> Set[int]:
         for adj in g.accept_eod.get(v, ()):
             ends.add(n + adj)
     return {e for e in ends if 0 <= e <= n}
+
+
+# --------------------------------------------------------------------------
+# Independent ground truth via Python `re` (reference analogue: PCRE
+# GroundTruth, tools/hscollider/GroundTruth.cpp). Unlike the AST/NFA
+# oracles above, `re` shares no code with this project, so a
+# parser-semantics bug cannot hide in both.
+# --------------------------------------------------------------------------
+
+_RE_UNSAFE = ("$", r"\b", r"\B", r"\Z", r"\z", r"\Q", "(?")
+
+
+def re_match_ends(pattern: str, flags: int, data: bytes):
+    """All match-end offsets per Python `re`, or None when the pattern's
+    semantics don't translate (end anchors and word boundaries interact
+    with `re`'s pos/endpos region semantics; UTF8/UCP/PREFILTER change
+    the alphabet or the match set).
+
+    Hyperscan reports every offset at which *some* match ends; `re`
+    backtracking yields one end per start, so ends are enumerated as
+    region full-matches over all (start, end) pairs — O(n^2) fullmatch
+    calls, fine at conformance-corpus sizes.
+    """
+    import re as _re
+
+    from ..flags import (
+        HS_FLAG_CASELESS,
+        HS_FLAG_DOTALL,
+        HS_FLAG_MULTILINE,
+        HS_FLAG_PREFILTER,
+        HS_FLAG_UCP,
+        HS_FLAG_UTF8,
+    )
+
+    if flags & (HS_FLAG_UTF8 | HS_FLAG_UCP | HS_FLAG_PREFILTER):
+        return None
+    if any(tok in pattern for tok in _RE_UNSAFE):
+        return None
+    refl = 0
+    if flags & HS_FLAG_CASELESS:
+        refl |= _re.IGNORECASE
+    if flags & HS_FLAG_DOTALL:
+        refl |= _re.DOTALL
+    if flags & HS_FLAG_MULTILINE:
+        refl |= _re.MULTILINE
+    try:
+        pat = _re.compile(pattern.encode("latin-1"), refl)
+    except (_re.error, UnicodeEncodeError):
+        return None
+    n = len(data)
+    ends: Set[int] = set()
+    for s in range(n + 1):
+        for e in range(s, n + 1):
+            if e not in ends and pat.fullmatch(data, s, e):
+                ends.add(e)
+    return ends
