@@ -257,8 +257,14 @@ def dfa_scan_corpus_device(
     init_flat[: nchunks][anch] = engine.start_state
     init = init_flat.reshape(vfrom.shape)
 
+    from .teddy import get_capacity_hint, set_capacity_hint
+
     interpret = jax.default_backend() == "cpu"
     cap_chunks = max(64, capacity // 16)
+    hint = get_capacity_hint(engine, "dfa")
+    if hint:
+        capacity = max(capacity, hint[0])
+        cap_chunks = max(cap_chunks, hint[1])
     while True:
         run = _jit_scan(Wt, Wa, C, H, ngroups, n_tb, capacity, cap_chunks,
                         interpret)
@@ -274,6 +280,7 @@ def dfa_scan_corpus_device(
             capacity = 1 << (total - 1).bit_length()
         if n_hit > cap_chunks:
             cap_chunks = 1 << (n_hit - 1).bit_length()
+    set_capacity_hint(engine, "dfa", capacity, cap_chunks)
 
     k = min(total, capacity)
     got = np.asarray(packed[:, :k])

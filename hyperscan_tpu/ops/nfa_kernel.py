@@ -258,8 +258,14 @@ def nfa_scan_corpus_device(
     P = engine.num_positions
     per_tile = NE * max(P // 4, 8)  # rough live-plane bytes per tile
     gt = max(1, min(ntiles, GROUP_PLANE_BUDGET // max(per_tile, 1)))
+    from .teddy import get_capacity_hint, set_capacity_hint
+
     key = _engine_key(engine)
     cap_chunks = max(64, capacity // 16)
+    hint = get_capacity_hint(engine, "nfa")
+    if hint:
+        capacity = max(capacity, hint[0])
+        cap_chunks = max(cap_chunks, hint[1])
 
     # EOD flat index of each block's last byte in ext-tile coordinates
     ends = np.full(B, -1, np.int64)
@@ -309,6 +315,8 @@ def nfa_scan_corpus_device(
                 cap = 1 << (total - 1).bit_length()
             if n_hit > cc:
                 cc = 1 << (n_hit - 1).bit_length()
+        capacity, cap_chunks = cap, cc
+        set_capacity_hint(engine, "nfa", cap, cc)
 
         eod_bits |= np.asarray(eodb, np.int32)
         k = min(total, cap)

@@ -156,8 +156,29 @@ def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int):
     return meta, packed
 
 
+def get_capacity_hint(obj, key: str):
+    """Learned match-buffer sizing (reference analogue: scratch sizing).
+
+    Capacity is a jit-shape parameter; overflow retries jump straight to
+    the needed power-of-two bucket, and the bucket is remembered on the
+    owning database/engine object so subsequent scans compile and run
+    exactly once (a fresh kernel shape costs minutes cold through the
+    dev tunnel)."""
+    if obj is None:
+        return None
+    return getattr(obj, "_cap_hints", {}).get(key)
+
+
+def set_capacity_hint(obj, key: str, capacity: int, cap_chunks: int) -> None:
+    if obj is None:
+        return
+    if not hasattr(obj, "_cap_hints"):
+        obj._cap_hints = {}
+    obj._cap_hints[key] = (capacity, cap_chunks)
+
+
 def teddy_scan_rows(
-    rows_all, masks, n_valid: int, capacity: int = 1 << 14
+    rows_all, masks, n_valid: int, capacity: int = 1 << 14, hint_obj=None
 ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Filter a device-resident corpus, retrying on capacity overflow.
 
@@ -171,6 +192,10 @@ def teddy_scan_rows(
     n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
     interpret = jax.default_backend() == "cpu"
     cap_chunks = max(64, capacity // 16)
+    hint = get_capacity_hint(hint_obj, "teddy")
+    if hint:
+        capacity = max(capacity, hint[0])
+        cap_chunks = max(cap_chunks, hint[1])
     while True:
         run = _jit_filter(M, W, n_cells, capacity, cap_chunks, interpret)
         meta, packed = run(rows_all, masks, jnp.int32(n_valid))
@@ -181,6 +206,7 @@ def teddy_scan_rows(
             capacity = 1 << (total - 1).bit_length()
         if n_hit > cap_chunks:
             cap_chunks = 1 << (n_hit - 1).bit_length()
+    set_capacity_hint(hint_obj, "teddy", capacity, cap_chunks)
     k = min(total, capacity)
     got = np.asarray(packed[:, :k])
     return total, got[0], got[1:]
@@ -198,10 +224,11 @@ def corpus_to_rows(corpus: np.ndarray) -> np.ndarray:
 
 
 def teddy_scan(
-    corpus: np.ndarray, masks: np.ndarray, capacity: int
+    corpus: np.ndarray, masks: np.ndarray, capacity: int, hint_obj=None
 ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Run the filter over a host uint8 corpus (uploads, then filters)."""
     rows_all = jnp.asarray(corpus_to_rows(corpus))
     return teddy_scan_rows(
-        rows_all, jnp.asarray(masks), corpus.shape[0], capacity
+        rows_all, jnp.asarray(masks), corpus.shape[0], capacity,
+        hint_obj=hint_obj,
     )

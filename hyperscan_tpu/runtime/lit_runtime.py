@@ -226,7 +226,8 @@ def scan_literal_path(
     else:
         from ..ops.teddy import teddy_scan
 
-        _total, pos, words = teddy_scan(corpus, lit.masks, capacity)
+        _total, pos, words = teddy_scan(corpus, lit.masks, capacity,
+                                        hint_obj=lit)
     return finish_literal_scan(
         db, corpus, block_starts, block_ends, pos, words,
         block_anchored=block_anchored, block_final=block_final,

@@ -135,3 +135,34 @@ def test_bitnfa_native_matches_numpy(monkeypatch):
         assert np_.tolist() == fp.tolist()
         assert nv.tolist() == fv.tolist()
     assert native[1] == fallback[1]
+
+
+def test_capacity_overflow_learns_hint():
+    """Overflow retries jump straight to the needed bucket and remember
+    it: a repeat scan neither retries nor compiles a new kernel shape."""
+    from hyperscan_tpu.ops import dfa_kernel
+
+    rng = np.random.default_rng(4)
+    db = compile_patterns([r"ab"], grey=Grey(allow_teddy=False))
+    eng = db.engines[0]
+    d = bytes(rng.choice(np.frombuffer(b"ab", np.uint8), size=200_000))
+    blocks = [d]
+    recs1, _ = dfa_kernel.dfa_scan_corpus_device(
+        eng, blocks, np.ones(1, bool), capacity=64
+    )
+    assert get_hint_count(eng) is not None
+    before = dfa_kernel._jit_scan.cache_info().misses
+    recs2, _ = dfa_kernel.dfa_scan_corpus_device(
+        eng, blocks, np.ones(1, bool), capacity=64
+    )
+    after = dfa_kernel._jit_scan.cache_info().misses
+    assert after == before, "repeat scan compiled a new kernel shape"
+    assert sorted(zip(*[a.tolist() for a in recs1])) == sorted(
+        zip(*[a.tolist() for a in recs2])
+    )
+
+
+def get_hint_count(eng):
+    from hyperscan_tpu.ops.teddy import get_capacity_hint
+
+    return get_capacity_hint(eng, "dfa")
