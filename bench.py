@@ -2,18 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures end-to-end block-scan throughput (GB/s) of the literal-path
-pipeline (device Teddy filter + extraction, candidate fetch, host confirm
-and window validation) over a 100-pattern Snort-flavored ruleset on the
-available accelerator. The corpus is generated on device from a hash
-formula (and identically in numpy for the host stages) because the dev
-tunnel's host↔device transfer is orders of magnitude slower than any real
-deployment's PCIe/DMA path; a production scan streams the corpus to HBM
-once and scans it repeatedly, exactly like hsbench re-scans a preloaded
-corpus.
+Headline: end-to-end block-scan throughput (GB/s) on the north-star
+10k-pattern Snort-flavored ruleset (BASELINE.json config 5 scale), with
+the 100-pattern config reported alongside in the metric text. The
+pipeline is the production literal path: device Teddy filter + candidate
+extraction + hash confirm fused in one dispatch, host exact verify +
+window validation, full report semantics.
+
+The corpus is generated on device from a hash formula (and identically in
+numpy for the host stages) because the dev tunnel's host->device transfer
+is orders of magnitude slower than any real deployment's PCIe/DMA path; a
+production scan streams the corpus to HBM once and scans it repeatedly,
+exactly like hsbench re-scans a preloaded corpus.
 
 vs_baseline compares against the reference's only published figure: the
-hsbench doc sample of 19,241.10 Mbit/s ≈ 2.405 GB/s
+hsbench doc sample of 19,241.10 Mbit/s = 2.405 GB/s
 (reference: doc/dev-reference/tools.rst:72).
 """
 
@@ -24,20 +27,21 @@ import time
 
 import numpy as np
 
-BASELINE_GBPS = 19241.10 / 8 / 1000.0  # doc sample, Mbit/s → GB/s
+BASELINE_GBPS = 19241.10 / 8 / 1000.0  # doc sample, Mbit/s -> GB/s
 
 CORPUS_MB = 256
 ITERS = 3
 
+WORDS = ["attack", "payload", "shell", "admin", "select", "union", "eval",
+         "script", "passwd", "cookie", "token", "login", "root", "exec"]
 
-def _patterns():
-    """100 Snort-flavored patterns, all carrying bounded literal factors."""
-    words = ["attack", "payload", "shell", "admin", "select", "union", "eval",
-             "script", "passwd", "cookie", "token", "login", "root", "exec"]
+
+def _patterns(n: int):
+    """Snort-flavored patterns, all carrying bounded literal factors."""
     pats, ids = [], []
-    for i in range(100):
+    for i in range(n):
         k = i % 5
-        w = words[i % len(words)]
+        w = WORDS[i % len(WORDS)]
         if k == 0:
             pats.append(w + str(i))
         elif k == 1:
@@ -76,25 +80,20 @@ def _gen_host(n: int, salt: int) -> np.ndarray:
     return corpus
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def run_config(n_patterns: int, hs, jax, jnp):
+    from hyperscan_tpu.ops.teddy import ROWS_PER_CELL, teddy_confirm_scan_rows
+    from hyperscan_tpu.runtime.lit_runtime import (
+        finish_confirmed,
+        verify_pairs,
+    )
+    from hyperscan_tpu.runtime.scan import RecordSink, finalize_reports
 
-    # persistent compile cache: the tunnel's remote compiler takes minutes
-    # cold; cached executables load in seconds on subsequent runs
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    import hyperscan_tpu as hs
-    from hyperscan_tpu.ops.teddy import ROWS_PER_CELL, teddy_scan_rows
-    from hyperscan_tpu.runtime.lit_runtime import finish_literal_scan
-    from hyperscan_tpu.runtime.scan import finalize_reports
-
-    pats, ids = _patterns()
+    pats, ids = _patterns(n_patterns)
     t_compile = time.perf_counter()
     db = hs.compile_multi(pats, ids=ids)
     t_compile = time.perf_counter() - t_compile
-    assert db.lit is not None and not db.engines, "bench set must be literal-routed"
+    assert db.lit is not None and not db.engines, \
+        "bench set must be literal-routed"
 
     n = CORPUS_MB << 20
     cell = ROWS_PER_CELL * 128
@@ -106,24 +105,26 @@ def main() -> None:
     @jax.jit
     def gen_rows(salt):
         r = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, 128), 0)
-        l = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, 128), 1)
-        g = (r - 1) * 128 + l  # flat corpus index (row 0 is halo padding)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, 128), 1)
+        g = (r - 1) * 128 + lane  # flat corpus index (row 0 is halo padding)
         v = (g + salt * jnp.uint32(1_000_003)) * jnp.uint32(2654435761)
         b = (32 + ((v >> 16) % 95)).astype(jnp.uint8)
         b = jnp.where(r == 0, 0, b)
         # splice the planted-match region at corpus offset 128 (rows 2..33)
         return b.at[2:34, :].set(plants_d)
 
-    masks_d = jnp.asarray(db.lit.masks)
     bs = np.zeros(1, dtype=np.int64)
     be = np.asarray([n], dtype=np.int64)
 
     def one_scan(salt: int, corpus_np: np.ndarray) -> int:
         rows = gen_rows(jnp.uint32(salt))
-        total, pos, words = teddy_scan_rows(rows, masks_d, n, 1 << 14)
-        recs = finish_literal_scan(db, corpus_np, bs, be, pos, words)
-        ordered = sorted((t, e, f) for (_b, e, t, f) in recs)
-        ms, _ = finalize_reports(db, [(e, t, f) for (t, e, f) in ordered])
+        fid_a, p_a = teddy_confirm_scan_rows(rows, db.lit, n)
+        fid_a, p_a = verify_pairs(db.lit, corpus_np, bs, fid_a, p_a)
+        recs = finish_confirmed(db, corpus_np, bs, be, fid_a, p_a)
+        sink = RecordSink()
+        for (_b, e, t, f) in recs:
+            sink.add(e, t, f)
+        ms, _ = finalize_reports(db, sink.materialize(n))
         return len(ms)
 
     host_corpora = [_gen_host(n, s) for s in range(ITERS + 1)]
@@ -135,17 +136,35 @@ def main() -> None:
     for s in range(1, ITERS + 1):
         total_matches += one_scan(s, host_corpora[s])
     dt = time.perf_counter() - t0
+    return n * ITERS / dt / 1e9, total_matches, t_compile
 
-    gbps = n * ITERS / dt / 1e9
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: the tunnel's remote compiler takes minutes
+    # cold; cached executables load in seconds on subsequent runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import hyperscan_tpu as hs
+
+    g100, m100, c100 = run_config(100, hs, jax, jnp)
+    g10k, m10k, c10k = run_config(10_000, hs, jax, jnp)
+
     print(
         json.dumps(
             {
-                "metric": "block scan GB/s, 100-pattern ruleset, 1 chip "
-                          f"(teddy+confirm e2e, {CORPUS_MB}MB/scan, "
-                          f"compile {t_compile:.2f}s, {total_matches} matches)",
-                "value": round(gbps, 4),
+                "metric": "block scan GB/s, 10k-pattern ruleset, 1 chip "
+                          "(teddy+device-confirm e2e, "
+                          f"{CORPUS_MB}MB/scan, compile {c10k:.1f}s, "
+                          f"{m10k} matches; 100-pattern config: "
+                          f"{g100:.2f} GB/s, compile {c100:.2f}s, "
+                          f"{m100} matches)",
+                "value": round(g10k, 4),
                 "unit": "GB/s",
-                "vs_baseline": round(gbps / BASELINE_GBPS, 4),
+                "vs_baseline": round(g10k / BASELINE_GBPS, 4),
             }
         )
     )

@@ -232,3 +232,191 @@ def teddy_scan(
         rows_all, jnp.asarray(masks), corpus.shape[0], capacity,
         hint_obj=hint_obj,
     )
+
+
+# --------------------------------------------------------------------------
+# Fused filter + confirm (reference: fdr.c main loop calling
+# do_confirm_fdr inline, src/fdr/fdr.c:330,700-790). The device runs the
+# teddy filter, extracts candidate positions, gathers each candidate's
+# 8-byte tail, and hash-matches it against the factor confirm tables —
+# only hash-confirmed (pos, fid) pairs cross the device->host boundary
+# (the dev tunnel fetches at ~6 MB/s, so shipping raw candidates at 10k
+# scale would dominate the scan).
+# --------------------------------------------------------------------------
+
+_LITS = {}
+_NEXT_LIT_KEY = [0]
+
+
+def _lit_key(lit) -> int:
+    if not hasattr(lit, "_teddy_key"):
+        lit._teddy_key = _NEXT_LIT_KEY[0]
+        _NEXT_LIT_KEY[0] += 1
+        _LITS[lit._teddy_key] = lit
+    return lit._teddy_key
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
+                        cap1: int, cap2: int, interpret: bool):
+    from ..runtime.lit_runtime import confirm_device_tables
+
+    lit = _LITS[lit_key]
+    groups = confirm_device_tables(lit)
+    R = ROWS_PER_CELL
+    cap1_chunks = max(64, cap1 // 16)
+    cap2_chunks = max(64, cap2 // 16)
+
+    def run(rows_all, masks, n_valid, h_tables, f_tables):
+        body = rows_all[1:]
+        outs = pl.pallas_call(
+            _make_kernel(M, W, R),
+            interpret=interpret,
+            grid=(n_cells,),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((n_cells * R, 128), jnp.int32)
+                for _ in range(W)
+            ),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(W)
+            ),
+        )(rows_all, body, masks)
+        outs = outs if isinstance(outs, tuple) else (outs,)
+        N = n_cells * R * 128
+        meta1, packed1 = sparse_extract(
+            [o.reshape(N) for o in outs], n_valid, cap1, cap1_chunks
+        )
+        pos = packed1[0]  # [cap1] candidate flat positions (0 = dead)
+        have = (
+            jnp.arange(cap1, dtype=jnp.int32)
+            < jnp.minimum(meta1[0], cap1)
+        )
+        corpus_flat = body.reshape(-1)
+        # 8-byte tails, oldest..newest
+        tidx = jnp.maximum(
+            pos[:, None] - jnp.arange(7, -1, -1, dtype=jnp.int32)[None, :],
+            0,
+        )
+        tails = jnp.take(corpus_flat, tidx.reshape(-1), axis=0).reshape(
+            cap1, 8
+        ).astype(jnp.uint32)
+
+        fid_planes = []
+        pos_planes = []
+        for gi, (cl, mlo, mhi, h_s, f_s, maxmult) in enumerate(groups):
+            t = tails[:, 8 - cl:]
+            sh = jnp.arange(cl, dtype=jnp.uint32) * jnp.uint32(8)
+            lo = jnp.uint32(0)
+            hi = jnp.uint32(0)
+            lo_terms = []
+            hi_terms = []
+            for k in range(cl):
+                byte = t[:, k]
+                if k < 4:
+                    lo_terms.append(byte << jnp.uint32(8 * k))
+                else:
+                    hi_terms.append(byte << jnp.uint32(8 * (k - 4)))
+            lo = lo_terms[0]
+            for term in lo_terms[1:]:
+                lo = lo | term
+            lo = lo & jnp.uint32(mlo)
+            if hi_terms:
+                hi = hi_terms[0]
+                for term in hi_terms[1:]:
+                    hi = hi | term
+                hi = hi & jnp.uint32(mhi)
+            else:
+                hi = jnp.zeros_like(lo)
+            h = ((lo * jnp.uint32(0x9E3779B1))
+                 ^ (hi * jnp.uint32(0x85EBCA6B))).astype(jnp.int32)
+            tbl = h_tables[gi]
+            ftb = f_tables[gi]
+            F = tbl.shape[0]
+            i0 = jnp.searchsorted(tbl, h, side="left").astype(jnp.int32)
+            ok_g = have & (pos >= cl - 1)
+            for k in range(maxmult):
+                idx = jnp.minimum(i0 + k, F - 1)
+                valid = ok_g & (i0 + k < F) & (jnp.take(tbl, idx) == h)
+                fid_planes.append(
+                    jnp.where(valid, jnp.take(ftb, idx) + 1, 0)
+                )
+                pos_planes.append(jnp.where(valid, pos, 0))
+        if fid_planes:
+            fid_flat = jnp.concatenate(fid_planes)
+            pos_flat = jnp.concatenate(pos_planes)
+        else:
+            fid_flat = jnp.zeros(cap1, jnp.int32)
+            pos_flat = jnp.zeros(cap1, jnp.int32)
+        meta2, packed2 = sparse_extract(
+            [fid_flat, pos_flat], fid_flat.shape[0], cap2, cap2_chunks
+        )
+        return meta1, meta2, packed2
+
+    return jax.jit(run)
+
+
+def teddy_confirm_scan(
+    corpus: np.ndarray, lit, capacity: int = 1 << 14
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Device filter + hash confirm over a host corpus (uploads first)."""
+    return teddy_confirm_scan_rows(
+        jnp.asarray(corpus_to_rows(corpus)), lit, corpus.shape[0], capacity
+    )
+
+
+def teddy_confirm_scan_rows(
+    rows_all, lit, n_valid: int, capacity: int = 1 << 14
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Device filter + hash confirm over a device-resident rows layout.
+
+    Returns hash-matched (fid_array, pos_array) pairs — callers must
+    exact-verify with runtime.lit_runtime.verify_pairs.
+    """
+    from ..runtime.lit_runtime import confirm_device_tables
+
+    groups = confirm_device_tables(lit)
+    masks_d = jnp.asarray(lit.masks)
+    h_tables = tuple(jnp.asarray(g[3]) for g in groups)
+    f_tables = tuple(jnp.asarray(g[4]) for g in groups)
+    M, W = int(lit.masks.shape[0]), int(lit.masks.shape[1])
+    n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
+    interpret = jax.default_backend() == "cpu"
+    key = _lit_key(lit)
+
+    cap1 = capacity
+    cap2 = max(1 << 12, capacity // 4)
+    hint = get_capacity_hint(lit, "teddy_c")
+    if hint:
+        cap1 = max(cap1, hint[0])
+        cap2 = max(cap2, hint[1])
+    while True:
+        run = _jit_filter_confirm(key, M, W, n_cells, cap1, cap2, interpret)
+        meta1, meta2, packed2 = run(
+            rows_all, masks_d, jnp.int32(n_valid),
+            h_tables, f_tables,
+        )
+        t1, _h1 = (int(x) for x in np.asarray(meta1))
+        t2, _h2 = (int(x) for x in np.asarray(meta2))
+        if t1 <= cap1 and t2 <= cap2:
+            break
+        if t1 > cap1:
+            cap1 = 1 << (t1 - 1).bit_length()
+        if t2 > cap2:
+            cap2 = 1 << (t2 - 1).bit_length()
+    set_capacity_hint(lit, "teddy_c", cap1, cap2)
+    k = min(t2, cap2)
+    got = np.asarray(packed2[:, :k])
+    fid = got[1].astype(np.int64) - 1
+    pos = got[2].astype(np.int64)
+    keep = fid >= 0
+    return fid[keep], pos[keep]

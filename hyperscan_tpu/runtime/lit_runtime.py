@@ -31,54 +31,178 @@ Record = Tuple[int, int, int, int]  # (block_idx, expr_idx, to_local, from_local
 WINDOW_SLACK = 2
 
 
+def _confirm_index(lit):
+    """Hash-style confirm tables (reference: FDRConfirm,
+    src/fdr/fdr_confirm.h:78 — hash the masked tail bytes, then exact
+    compare). Factors are grouped by (tail_len, tail_mask); each group is
+    a sorted array of masked tail values, so confirm is a handful of
+    searchsorted/gather ops over ALL candidates instead of a Python loop
+    over every factor (78 factors/bucket at the 10k scale)."""
+    if hasattr(lit, "_confirm_idx"):
+        return lit._confirm_idx
+    groups: Dict[Tuple[int, bytes], List[Tuple[int, int]]] = {}
+    flen_arr = np.zeros(len(lit.factor_atoms), dtype=np.int64)
+    for fid, atoms in enumerate(lit.factor_atoms):
+        flen = len(atoms)
+        flen_arr[fid] = flen
+        cl = min(flen, 8)
+        tail = atoms[-cl:]
+        masks = bytes(m for (_v, m) in tail)
+        vals = bytes((v & m) for (v, m) in tail)
+        groups.setdefault((cl, masks), []).append(
+            (int.from_bytes(vals, "little"), fid)
+        )
+    packed = []
+    for (cl, masks), items in groups.items():
+        items.sort()
+        vals = np.asarray([v for (v, _f) in items], dtype=np.uint64)
+        fids = np.asarray([f for (_v, f) in items], dtype=np.int64)
+        mask64 = np.uint64(int.from_bytes(masks, "little"))
+        long_tail = bool((flen_arr[fids] > 8).any())
+        packed.append((cl, mask64, vals, fids, long_tail))
+    lit._confirm_idx = (packed, flen_arr)
+    return lit._confirm_idx
+
+
+def confirm_device_tables(lit):
+    """Confirm tables in device form (reference: FDRConfirm hash tables).
+
+    Each (tail_len, tail_mask) group becomes a sorted int32 hash table:
+    h = (lo32 * 0x9E3779B1) ^ (hi32 * 0x85EBCA6B) over the masked tail.
+    The device emits hash-matched (pos, fid) pairs; the host re-verifies
+    exactly (32-bit collisions and >8-byte factors), so false positives
+    only cost fetch bytes, never correctness.
+    Returns [(cl, mlo, mhi, h_sorted i32, fid_sorted i32, maxmult)].
+    """
+    if hasattr(lit, "_confirm_dev"):
+        return lit._confirm_dev
+    packed, _flen = _confirm_index(lit)
+    out = []
+    for (cl, mask64, vals, fids, _long) in packed:
+        mask64 = int(mask64)
+        mlo = np.uint32(mask64 & 0xFFFFFFFF)
+        mhi = np.uint32(mask64 >> 32)
+        lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (vals >> np.uint64(32)).astype(np.uint32)
+        h = ((lo * np.uint32(0x9E3779B1)) ^ (hi * np.uint32(0x85EBCA6B)))
+        h = h.view(np.int32)
+        order = np.argsort(h, kind="stable")
+        h_s = np.ascontiguousarray(h[order])
+        f_s = np.ascontiguousarray(fids[order].astype(np.int32))
+        # max run of equal hashes bounds the device multiplicity loop
+        if len(h_s) == 0:
+            maxmult = 0
+        else:
+            runs = np.flatnonzero(np.diff(h_s) != 0)
+            seg = np.diff(np.concatenate([[-1], runs, [len(h_s) - 1]]))
+            maxmult = int(seg.max())
+        out.append((int(cl), mlo, mhi, h_s, f_s, maxmult))
+    lit._confirm_dev = out
+    return out
+
+
+def verify_pairs(
+    lit, corpus: np.ndarray, block_starts: np.ndarray,
+    fid_a: np.ndarray, p_a: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact host verification of device hash-confirmed (fid, pos)
+    pairs: full (value, mask) atom compare + block containment."""
+    if fid_a.size == 0:
+        return fid_a, p_a
+    _packed, flen_arr = _confirm_index(lit)
+    blk = np.searchsorted(block_starts, p_a, side="right") - 1
+    keep = (p_a - flen_arr[fid_a] + 1) >= block_starts[blk]
+    fid_a, p_a = fid_a[keep], p_a[keep]
+    if fid_a.size == 0:
+        return fid_a, p_a
+    good = np.ones(len(fid_a), dtype=bool)
+    for fid in np.unique(fid_a):
+        atoms = lit.factor_atoms[fid]
+        flen = len(atoms)
+        m = fid_a == fid
+        ps = p_a[m]
+        win = corpus[ps[:, None] - flen + 1 + np.arange(flen)[None, :]]
+        va = np.asarray([v for (v, _m) in atoms], np.uint8)
+        ma = np.asarray([mm for (_v, mm) in atoms], np.uint8)
+        good[np.flatnonzero(m)[~np.all((win & ma) == (va & ma), axis=1)]] \
+            = False
+    return fid_a[good], p_a[good]
+
+
 def confirm_candidates(
     lit, corpus: np.ndarray, block_starts: np.ndarray,
     pos: np.ndarray, words: np.ndarray,
-) -> List[Tuple[int, int]]:
-    """Exact-match confirm: returns [(factor_id, flat_end_pos)].
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact-match confirm: returns (fid_array, flat_end_pos_array).
 
-    `pos` are flat indices of candidate last-factor bytes; `words` is
-    [W, n] bucket bitmask words. A factor is confirmed when its (mask,
-    value) atoms match the corpus bytes and the factor lies entirely
-    inside one input block.
+    `pos` are flat indices of candidate last-factor bytes. A factor is
+    confirmed when its (value, mask) atoms match the corpus bytes and the
+    factor lies entirely inside one input block. The filter's bucket
+    bitmask is not re-checked: the tail compare is exact, and a real
+    factor occurrence always fires its own bucket, so the hash route
+    finds exactly the same set.
     """
-    out: List[Tuple[int, int]] = []
+    z = np.zeros(0, dtype=np.int64)
     n = pos.shape[0]
     if n == 0:
-        return out
+        return z, z
     clen = corpus.shape[0]
     pos = np.asarray(pos, dtype=np.int64)
-    inb = pos < clen  # drop candidates in the padded tail
-    blk = np.searchsorted(block_starts, np.minimum(pos, max(clen - 1, 0)),
-                          side="right") - 1
+    pos = pos[pos < clen]  # drop candidates in the padded tail
+    if pos.size == 0:
+        return z, z
+    blk = np.searchsorted(block_starts, pos, side="right") - 1
     bstart = block_starts[blk]
-    # vectorized per factor: gather each candidate's window and compare
-    # all atoms at once (the reference's confirm loop is scalar C; numpy
-    # batches it per bucket instead)
-    for bucket, fids in enumerate(lit.bucket_factors):
-        if not fids:
-            continue
-        w, bit = divmod(bucket, 32)
-        sel = np.flatnonzero(((words[w] >> bit) & 1).astype(bool) & inb)
-        if sel.size == 0:
-            continue
-        p_sel = pos[sel]
-        bs_sel = bstart[sel]
-        for fid in fids:
-            atoms = lit.factor_atoms[fid]
-            flen = len(atoms)
-            starts = p_sel - flen + 1
-            okb = starts >= bs_sel
-            if not okb.any():
-                continue
-            idx = np.flatnonzero(okb)
-            win = corpus[starts[idx][:, None] + np.arange(flen)]
-            vals = np.asarray([v for (v, _m) in atoms], np.uint8)
-            msks = np.asarray([m for (_v, m) in atoms], np.uint8)
-            hit = np.all((win & msks) == vals, axis=1)
-            for j in np.flatnonzero(hit):
-                out.append((fid, int(p_sel[idx[j]])))
-    return out
+    packed, flen_arr = _confirm_index(lit)
+
+    # gather each candidate's 8-byte tail once (clamped; short-prefix
+    # candidates are masked out per group below)
+    tail_idx = np.maximum(pos[:, None] - np.arange(7, -1, -1)[None, :], 0)
+    tail = corpus[tail_idx].astype(np.uint64)  # [n, 8] oldest..newest
+
+    out_f: List[np.ndarray] = []
+    out_p: List[np.ndarray] = []
+    shifts = (np.arange(8, dtype=np.uint64) * np.uint64(8))
+    for (cl, mask64, vals, fids, long_tail) in packed:
+        v = (tail[:, 8 - cl:] << shifts[:cl][None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        v &= mask64
+        ok = pos >= cl - 1
+        i0 = np.searchsorted(vals, v, side="left")
+        i1 = np.searchsorted(vals, v, side="right")
+        maxmult = int((i1 - i0).max()) if len(vals) else 0
+        for k in range(maxmult):
+            sel = np.flatnonzero(ok & (i0 + k < i1))
+            if sel.size == 0:
+                break
+            f_sel = fids[i0[sel] + k]
+            p_sel = pos[sel]
+            # whole factor must lie inside the candidate's block
+            starts = p_sel - flen_arr[f_sel] + 1
+            okb = starts >= bstart[sel]
+            f_sel, p_sel = f_sel[okb], p_sel[okb]
+            if long_tail:
+                # factors longer than the 8-byte tail: verify the rest
+                for fid in np.unique(f_sel[flen_arr[f_sel] > 8]):
+                    atoms = lit.factor_atoms[fid]
+                    flen = len(atoms)
+                    m = f_sel == fid
+                    ps = p_sel[m]
+                    win = corpus[ps[:, None] - flen + 1
+                                 + np.arange(flen)[None, :]]
+                    va = np.asarray([v_ for (v_, _m) in atoms], np.uint8)
+                    ma = np.asarray([m_ for (_v, m_) in atoms], np.uint8)
+                    hit = np.all((win & ma) == va, axis=1)
+                    drop = np.flatnonzero(m)[~hit]
+                    keep = np.ones(len(f_sel), dtype=bool)
+                    keep[drop] = False
+                    f_sel, p_sel = f_sel[keep], p_sel[keep]
+            out_f.append(f_sel)
+            out_p.append(p_sel)
+    if not out_f:
+        return z, z
+    return np.concatenate(out_f), np.concatenate(out_p)
 
 
 def _merge_spans(spans: List[Tuple[int, int, int]]) -> List[Tuple[int, int, int]]:
@@ -223,13 +347,19 @@ def scan_literal_path(
     if corpus.shape[0] <= HOST_SCAN_LIMIT:
         # small-write path: host shift-AND, no device round trip
         pos, words = teddy_filter_host(corpus, lit.masks)
-    else:
-        from ..ops.teddy import teddy_scan
+        return finish_literal_scan(
+            db, corpus, block_starts, block_ends, pos, words,
+            block_anchored=block_anchored, block_final=block_final,
+            eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
+        )
+    # device path: fused filter + hash confirm — only (pos, fid) pairs
+    # cross the device boundary; exact re-verify on host
+    from ..ops.teddy import teddy_confirm_scan
 
-        _total, pos, words = teddy_scan(corpus, lit.masks, capacity,
-                                        hint_obj=lit)
-    return finish_literal_scan(
-        db, corpus, block_starts, block_ends, pos, words,
+    fid_a, p_a = teddy_confirm_scan(corpus, lit, capacity)
+    fid_a, p_a = verify_pairs(lit, corpus, block_starts, fid_a, p_a)
+    return finish_confirmed(
+        db, corpus, block_starts, block_ends, fid_a, p_a,
         block_anchored=block_anchored, block_final=block_final,
         eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
     )
@@ -243,6 +373,25 @@ def finish_literal_scan(
     chain_ctx: Dict = None, chain_out: Dict = None,
 ) -> Set[Record]:
     """Host stages after the device filter: confirm → windows → validate."""
+    fid_a, p_a = confirm_candidates(
+        db.lit, corpus, block_starts, pos, words
+    )
+    return finish_confirmed(
+        db, corpus, block_starts, block_ends, fid_a, p_a,
+        block_anchored=block_anchored, block_final=block_final,
+        eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
+    )
+
+
+def finish_confirmed(
+    db, corpus: np.ndarray, block_starts: np.ndarray,
+    block_ends: np.ndarray, fid_a: np.ndarray, p_a: np.ndarray,
+    block_anchored: np.ndarray = None, block_final: np.ndarray = None,
+    eod_only: bool = False,
+    chain_ctx: Dict = None, chain_out: Dict = None,
+) -> Set[Record]:
+    """Window building + validation over exact-confirmed (fid, pos)
+    pairs (reference: the rose literal program stage after confirm)."""
     lit = db.lit
     nb = block_starts.shape[0]
     if block_anchored is None:
@@ -250,40 +399,77 @@ def finish_literal_scan(
     if block_final is None:
         block_final = np.ones(nb, dtype=bool)
     recs: Set[Record] = set()
-    confirmed = confirm_candidates(lit, corpus, block_starts, pos, words)
-    if not confirmed:
+    if fid_a.size == 0:
         return recs
 
-    blk_of = lambda p: int(np.searchsorted(block_starts, p, side="right") - 1)
-    windows: Dict[int, List[Tuple[int, int, int]]] = {}
+    # vectorized (confirmed factor) x (pattern ref) expansion
+    (r_off, r_eidx, r_s2f, r_f2e, r_kind) = _ref_tables(lit)
+    cnt = r_off[fid_a + 1] - r_off[fid_a]
+    total = int(cnt.sum())
+    rep = np.repeat(np.arange(len(fid_a)), cnt)
+    within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ridx = r_off[fid_a][rep] + within
+    eidx_p = r_eidx[ridx]
+    kind_p = r_kind[ridx]
+    fe_p = p_a[rep] + 1  # factor end (exclusive), flat
+    b_p = np.searchsorted(block_starts, p_a, side="right")[rep] - 1
+    bs_p = block_starts[b_p]
+    be_p = block_ends[b_p]
+    ws_p = np.maximum(bs_p, fe_p - r_s2f[ridx] - WINDOW_SLACK)
+    we_p = np.minimum(be_p, fe_p + r_f2e[ridx] + WINDOW_SLACK)
+
+    # kind 0: factor == whole match
+    if not eod_only:
+        m = kind_p == 0
+        if m.any():
+            for (b, e, to) in zip(
+                b_p[m].tolist(), eidx_p[m].tolist(), (fe_p[m] - bs_p[m]).tolist()
+            ):
+                recs.add((b, e, to, 0))
+
+    # kind 1: window validation — batched for non-SOM validators,
+    # per-pattern for SOM / eod_only passes
+    m = kind_p == 1
+    if m.any():
+        som_eidx = set(lit.rev_validators)
+        old_path = eod_only or False
+        sel = np.flatnonzero(m)
+        if som_eidx or eod_only:
+            slow = np.asarray(
+                [eod_only or (int(e) in som_eidx) for e in eidx_p[sel]],
+                dtype=bool,
+            )
+        else:
+            slow = np.zeros(len(sel), dtype=bool)
+        fast = sel[~slow]
+        if fast.size:
+            recs |= validate_windows_batched(
+                lit, corpus, eidx_p[fast], ws_p[fast], we_p[fast],
+                b_p[fast], block_starts, block_ends, block_anchored,
+                block_final,
+            )
+        windows: Dict[int, List[Tuple[int, int, int]]] = {}
+        for i in sel[slow].tolist():
+            windows.setdefault(int(eidx_p[i]), []).append(
+                (int(ws_p[i]), int(we_p[i]), int(b_p[i]))
+            )
+        for eidx, spans in windows.items():
+            v = lit.validators[eidx]
+            recs |= validate_windows(
+                v, eidx, corpus, spans, block_starts, block_ends,
+                block_anchored, block_final, eod_only=eod_only,
+                som_rev=lit.rev_validators.get(eidx),
+            )
+
+    # kinds 2/3: chain roles (LEFT <gap> RIGHT)
     pre_windows: Dict[int, List[Tuple[int, int, int]]] = {}
     suf_windows: Dict[int, List[Tuple[int, int, int]]] = {}
-    for (fid, p) in confirmed:
-        fe = p + 1  # factor end offset (exclusive), flat
-        b = blk_of(p)
-        bs, be = int(block_starts[b]), int(block_ends[b])
-        for (eidx, max_s2f, max_f2e, kind) in lit.factor_refs[fid]:
-            if kind == "equiv":
-                if not eod_only:
-                    recs.add((b, eidx, fe - bs, 0))
-                continue
-            ws = max(bs, fe - max_s2f - WINDOW_SLACK)
-            we = min(be, fe + max_f2e + WINDOW_SLACK)
-            if kind == "win":
-                windows.setdefault(eidx, []).append((ws, we, b))
-            elif kind == "pre":
-                pre_windows.setdefault(eidx, []).append((ws, we, b))
-            else:  # "suf"
-                suf_windows.setdefault(eidx, []).append((ws, we, b))
-
-    for eidx, spans in windows.items():
-        v = lit.validators[eidx]
-        recs |= validate_windows(
-            v, eidx, corpus, spans, block_starts, block_ends,
-            block_anchored, block_final, eod_only=eod_only,
-            som_rev=lit.rev_validators.get(eidx),
-        )
-
+    for kindv, target in ((2, pre_windows), (3, suf_windows)):
+        mm = kind_p == kindv
+        for i in np.flatnonzero(mm).tolist():
+            target.setdefault(int(eidx_p[i]), []).append(
+                (int(ws_p[i]), int(we_p[i]), int(b_p[i]))
+            )
     if (suf_windows or (chain_out is not None and pre_windows)) \
             and not eod_only:
         recs |= _resolve_chains(
@@ -291,6 +477,168 @@ def finish_literal_scan(
             block_final, pre_windows, suf_windows,
             chain_ctx=chain_ctx, chain_out=chain_out,
         )
+    return recs
+
+
+_KIND_CODE = {"equiv": 0, "win": 1, "pre": 2, "suf": 3}
+
+
+def _ref_tables(lit):
+    """Flattened factor_refs as parallel arrays for vectorized
+    candidate-to-window expansion."""
+    if hasattr(lit, "_ref_tab"):
+        return lit._ref_tab
+    off = [0]
+    eidx: List[int] = []
+    s2f: List[int] = []
+    f2e: List[int] = []
+    kind: List[int] = []
+    for refs in lit.factor_refs:
+        for (e, a, b, k) in refs:
+            eidx.append(e)
+            s2f.append(a)
+            f2e.append(b)
+            kind.append(_KIND_CODE[k])
+        off.append(len(eidx))
+    lit._ref_tab = (
+        np.asarray(off, dtype=np.int64),
+        np.asarray(eidx, dtype=np.int64),
+        np.asarray(s2f, dtype=np.int64),
+        np.asarray(f2e, dtype=np.int64),
+        np.asarray(kind, dtype=np.int64),
+    )
+    return lit._ref_tab
+
+
+def _packed_validators(lit):
+    """All non-SOM validator DFAs packed into one global table set, so
+    every pattern's windows advance in ONE lockstep scan (the device/
+    vector analogue of the Rose literal program: per-candidate work no
+    longer pays a per-pattern Python round trip).
+
+    Reference analogue: rose program interpretation over literal matches
+    (src/rose/program_runtime.c), re-architected as table-packed DFAs.
+    """
+    if hasattr(lit, "_vpack"):
+        return lit._vpack
+    eids = sorted(e for e in lit.validators if e not in lit.rev_validators)
+    vid_map: Dict[int, int] = {e: i for i, e in enumerate(eids)}
+    V = len(eids)
+    if V == 0:
+        lit._vpack = None
+        return None
+    sizes = [lit.validators[e].trans.shape[0] for e in eids]
+    cmax = max(lit.validators[e].trans.shape[1] for e in eids)
+    total = int(np.sum(sizes))
+    trans_all = np.zeros((total, cmax), dtype=np.int64)
+    acc_all = np.zeros(total, dtype=np.int64)
+    acce_all = np.zeros(total, dtype=np.int64)
+    b2c_all = np.zeros((V, 256), dtype=np.int64)
+    start_g = np.zeros(V, dtype=np.int64)
+    float_g = np.zeros(V, dtype=np.int64)
+    base = 0
+    for i, e in enumerate(eids):
+        v = lit.validators[e]
+        S, C = v.trans.shape
+        trans_all[base : base + S, :C] = v.trans.astype(np.int64) + base
+        acc_all[base : base + S] = v.accept_id
+        acce_all[base : base + S] = v.accept_eod_id
+        b2c_all[i] = v.byte_to_class
+        start_g[i] = base + v.start_state
+        float_g[i] = base + v.float_state
+        base += S
+    max_e = max(eids)
+    vid_arr = np.full(max_e + 1, -1, dtype=np.int64)
+    for e, i in vid_map.items():
+        vid_arr[e] = i
+    lit._vpack = (vid_arr, trans_all, acc_all, acce_all, b2c_all,
+                  start_g, float_g)
+    return lit._vpack
+
+
+def validate_windows_batched(
+    lit, corpus: np.ndarray,
+    eidx_w: np.ndarray, ws: np.ndarray, we: np.ndarray, b_w: np.ndarray,
+    block_starts: np.ndarray, block_ends: np.ndarray,
+    block_anchored: np.ndarray, block_final: np.ndarray,
+) -> Set[Record]:
+    """One lockstep DFA scan over ALL patterns' windows at once, using
+    the packed global tables (per-byte cost: two fancy-index gathers over
+    every live window, regardless of pattern count)."""
+    recs: Set[Record] = set()
+    pack = _packed_validators(lit)
+    if pack is None or eidx_w.size == 0:
+        return recs
+    (vid_arr, trans_all, acc_all, acce_all, b2c_all, start_g, float_g) = pack
+
+    # merge overlapping windows per (pattern, block): sort, then a
+    # running-max scan with per-group offsets so groups cannot interact
+    order = np.lexsort((ws, b_w, eidx_w))
+    e_s, ws_s, we_s, b_s = eidx_w[order], ws[order], we[order], b_w[order]
+    ncorp = corpus.shape[0]
+    BIG = np.int64(ncorp + (1 << 12))
+    newgrp = np.ones(len(e_s), dtype=bool)
+    newgrp[1:] = (e_s[1:] != e_s[:-1]) | (b_s[1:] != b_s[:-1])
+    gid = np.cumsum(newgrp) - 1
+    ws2 = ws_s + gid * BIG
+    we2 = we_s + gid * BIG
+    runmax = np.maximum.accumulate(we2)
+    head = np.ones(len(e_s), dtype=bool)
+    head[1:] = ws2[1:] > runmax[:-1]
+    hpos = np.flatnonzero(head)
+    m_ws = ws_s[hpos]
+    m_we = np.maximum.reduceat(we_s, hpos)
+    m_e = e_s[hpos]
+    m_b = b_s[hpos]
+    lens = m_we - m_ws
+    vids = vid_arr[m_e]
+    bs = block_starts[m_b]
+    be = block_ends[m_b]
+    anch = (m_ws == bs) & block_anchored[m_b]
+
+    # length buckets bound lockstep padding waste to 2x
+    wmax_all = int(lens.max()) if len(lens) else 0
+    lo = 0
+    wcap = 16
+    while lo < len(lens):
+        sel = np.flatnonzero((lens > (wcap // 2 if wcap > 16 else 0))
+                             & (lens <= wcap))
+        lo += len(sel)
+        if len(sel) == 0:
+            wcap *= 2
+            continue
+        wmax = min(wcap, wmax_all)
+        sws = m_ws[sel]
+        slen = lens[sel]
+        svid = vids[sel]
+        win = corpus[np.minimum(sws[:, None] + np.arange(wmax)[None, :],
+                                ncorp - 1)]
+        states = np.where(anch[sel], start_g[svid], float_g[svid])
+        cls = b2c_all[svid[:, None], win.astype(np.int64)]
+        for t in range(wmax):
+            active = t < slen
+            nxt = trans_all[states, cls[:, t]]
+            states = np.where(active, nxt, states)
+            aids = np.where(active, acc_all[states], 0)
+            for i in np.flatnonzero(aids).tolist():
+                gi = sel[i]
+                to_flat = int(m_ws[gi]) + t + 1
+                v = lit.validators[int(m_e[gi])]
+                for (eidx, adj) in v.expand_set(int(aids[i])):
+                    to_local = to_flat + adj - int(bs[gi])
+                    if 0 <= to_local <= int(be[gi]) - int(bs[gi]):
+                        recs.add((int(m_b[gi]), eidx, to_local, 0))
+        at_eod = (m_we[sel] == be[sel]) & block_final[m_b[sel]]
+        eod_aids = np.where(at_eod, acce_all[states], 0)
+        for i in np.flatnonzero(eod_aids).tolist():
+            gi = sel[i]
+            blen = int(be[gi]) - int(bs[gi])
+            v = lit.validators[int(m_e[gi])]
+            for (eidx, adj) in v.expand_set(int(eod_aids[i])):
+                to_local = blen + adj
+                if 0 <= to_local <= blen:
+                    recs.add((int(m_b[gi]), eidx, to_local, 0))
+        wcap *= 2
     return recs
 
 

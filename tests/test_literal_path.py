@@ -127,3 +127,48 @@ def test_long_factor_confirm():
     miss = b"xx Abcdefghijklmnop yy"  # differs before the suffix window
     assert [(5, 0, 19)] == hs.scan(db, hit)
     assert hs.scan(db, miss) == []
+
+
+def test_fused_device_confirm_equals_host_path():
+    """The fused device filter+hash-confirm path must produce exactly the
+    host filter+confirm pipeline's matches (reference parity:
+    do_confirm_fdr inline vs separate confirm)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.runtime.lit_runtime import finish_literal_scan
+    from hyperscan_tpu.runtime.scan import RecordSink, finalize_reports
+    from hyperscan_tpu.runtime.smallwrite import teddy_filter_host
+
+    words = ["attack", "payload", "shell", "admin"]
+    pats = []
+    for i in range(120):
+        w = words[i % 4]
+        pats.append(
+            [w + str(i), rf"{w}{i}[0-9]{{2,4}}z", rf"q{i}h[a-f0-9]{{8}}",
+             rf"x{i}(GET|POST) /[a-z]{{1,9}}"][i % 4]
+        )
+    db = hs.compile_multi(pats, ids=list(range(120)))
+    rng = np.random.default_rng(3)
+    corpus = (32 + rng.integers(0, 95, size=300_000)).astype(np.uint8)
+    plants = [b"attack0 ", b"payload1699z", b"q2hdeadbeef", b"x3GET /ab",
+              b"shell2442z99"]
+    off = 4000
+    for p in plants:
+        corpus[off : off + len(p)] = np.frombuffer(p, np.uint8)
+        off += 50_000
+    data = corpus.tobytes()
+
+    got_dev = sorted(tuple(m) for m in hs.scan(db, data))  # fused path
+
+    pos, words_v = teddy_filter_host(corpus, db.lit.masks)
+    bs = np.zeros(1, np.int64)
+    be = np.asarray([len(data)], np.int64)
+    recs = finish_literal_scan(db, corpus, bs, be, pos, words_v)
+    sink = RecordSink()
+    for (_b, e, t, f) in recs:
+        sink.add(e, t, f)
+    ms, _ = finalize_reports(db, sink.materialize(len(data)))
+    got_host = sorted(tuple(m) for m in ms)
+    assert got_dev == got_host
+    assert len(got_dev) >= 4
