@@ -1,16 +1,15 @@
-"""Chain decomposition: `LEFT <gap> RIGHT` with an unbounded gap.
+"""Chain decomposition: `SEG0 <gap> SEG1 <gap> ... SEGn` with unbounded
+(or very wide) single-class gaps.
 
-Reference analogue: the Rose decomposition proper (ng_violet.cpp) — a
-literal cut-set splits the graph into prefix → infix → suffix roles; the
-infix here is restricted to a single repeated character class (`.*`,
-`[^x]+`, `\\s{3,}` …), which covers the dominant shape of real rulesets
-(`foo.*bar`). Both sides must be width-bounded with their own literal
-factors; the runtime then resolves
-
-    prefix-match ++ gap bytes ∈ class (len in [lo, hi]) ++ suffix-match
-
-using teddy candidates on both sides, window validation per side, and a
-vectorized gap-run check (runtime/lit_runtime.py).
+Reference analogue: the Rose decomposition proper (doViolet,
+src/nfagraph/ng_violet.cpp:3053) — literal cut-sets split the graph into
+prefix → infix → suffix roles. Here each infix is a repeated character
+class (`.*`, `[^x]+`, `\\s{3,}` …) and every segment between gaps must be
+width-bounded with its own literal factors; this covers the dominant
+shapes of real rulesets (`foo.*bar`, `alpha.*beta.*gamma`). The runtime
+resolves roles left to right, carrying end-evidence per gap boundary
+(runtime/lit_runtime.py resolve_chains; streams carry the evidence
+across writes).
 """
 
 from __future__ import annotations
@@ -26,21 +25,22 @@ from .literals import FactorInfo, extract_factors
 # gaps longer than this bounded hi also use the chain machinery (a window
 # covering them would be too large)
 MIN_CHAIN_GAP = 512
+MAX_CHAIN_ROLES = 8
+
+
+@dataclasses.dataclass
+class RoleSpec:
+    node: Node
+    factors: List[FactorInfo]
+    wmin: int
+    wmax: int
 
 
 @dataclasses.dataclass
 class ChainSpec:
-    left: Node
-    gap_bits: np.ndarray  # [256] bool
-    gap_lo: int
-    gap_hi: Optional[int]  # None = unbounded
-    right: Node
-    left_factors: List[FactorInfo]
-    right_factors: List[FactorInfo]
-    left_wmin: int
-    left_wmax: int
-    right_wmin: int
-    right_wmax: int
+    roles: List[RoleSpec]
+    # per gap between role r and r+1: (class bitmap, lo, hi|None)
+    gaps: List[Tuple[np.ndarray, int, Optional[int]]]
 
 
 def _widths(node: Node) -> Tuple[int, Optional[int]]:
@@ -50,49 +50,55 @@ def _widths(node: Node) -> Tuple[int, Optional[int]]:
     return r.wmin, r.wmax
 
 
+def _is_gap(child: Node) -> bool:
+    if not (isinstance(child, Rep) and isinstance(child.child, Pos)):
+        return False
+    if child.child.bos or child.child.eos:
+        return False
+    return child.hi is None or child.hi >= MIN_CHAIN_GAP
+
+
 def detect_chain(node: Node, min_factor_len: int = 3,
                  max_window: int = 1024) -> Optional[ChainSpec]:
-    """Split at the first qualifying gap; None if the pattern doesn't fit
-    the LEFT <gap> RIGHT shape with factorable bounded sides."""
+    """Split at every qualifying gap; None if the pattern doesn't fit the
+    multi-segment chain shape with factorable bounded segments."""
     if not isinstance(node, Seq):
         return None
-    for k, child in enumerate(node.children):
-        if not (isinstance(child, Rep) and isinstance(child.child, Pos)):
-            continue
-        if child.child.bos or child.child.eos:
-            continue
-        unbounded = child.hi is None or child.hi >= MIN_CHAIN_GAP
-        if not unbounded:
-            continue
-        if k == 0 or k == len(node.children) - 1:
-            continue  # leading/trailing gap: plain factor machinery handles
-        left = seq(*node.children[:k])
-        right = seq(*node.children[k + 1 :])
-        lw = _widths(left)
-        rw = _widths(right)
-        if lw[1] is None or rw[1] is None:
-            continue  # sides must be bounded (no nested chains this round)
-        lf = extract_factors(left, min_len=min_factor_len)
-        rf = extract_factors(right, min_len=min_factor_len)
-        if not lf or not rf:
-            continue
+    segs: List[List[Node]] = []
+    gaps: List[Rep] = []
+    cur: List[Node] = []
+    for child in node.children:
+        if _is_gap(child):
+            if not cur:
+                return None  # leading or doubled gap: not chain shape
+            segs.append(cur)
+            gaps.append(child)
+            cur = []
+        else:
+            cur.append(child)
+    if not gaps or not cur:
+        return None  # no gap, or trailing gap
+    segs.append(cur)
+    if len(segs) > MAX_CHAIN_ROLES:
+        return None
+
+    roles: List[RoleSpec] = []
+    for parts in segs:
+        n = seq(*parts)
+        wmin, wmax = _widths(n)
+        if wmax is None:
+            return None  # nested unbounded constructs inside a segment
+        fs = extract_factors(n, min_len=min_factor_len)
+        if not fs:
+            return None
         if any(
             fi.max_start_to_fend is None or fi.max_fend_to_end is None
             or fi.max_start_to_fend + fi.max_fend_to_end > max_window
-            for fs in (lf, rf) for fi in fs
+            for fi in fs
         ):
-            continue
-        return ChainSpec(
-            left=left,
-            gap_bits=child.child.cr.bits.copy(),
-            gap_lo=child.lo,
-            gap_hi=child.hi,
-            right=right,
-            left_factors=lf,
-            right_factors=rf,
-            left_wmin=lw[0],
-            left_wmax=lw[1],
-            right_wmin=rw[0],
-            right_wmax=rw[1],
-        )
-    return None
+            return None
+        roles.append(RoleSpec(node=n, factors=fs, wmin=wmin, wmax=wmax))
+    return ChainSpec(
+        roles=roles,
+        gaps=[(g.child.cr.bits.copy(), g.lo, g.hi) for g in gaps],
+    )

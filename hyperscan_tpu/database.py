@@ -50,7 +50,7 @@ from .flags import (
 )
 
 DB_MAGIC = b"HSTPUDB1"
-DB_VERSION = (0, 2, 0)
+DB_VERSION = (0, 3, 0)
 PLATFORM = "tpu-generic"  # single XLA target; reference: fat-runtime dispatch
 
 
@@ -236,16 +236,31 @@ class NfaEngine:
 
 
 @dataclasses.dataclass
-class ChainInfo:
-    """One LEFT <gap> RIGHT decomposition (reference: Rose prefix→infix→
-    suffix roles, restricted to a single-class infix; ng_violet.cpp)."""
+class ChainRole:
+    """One chain segment (reference: a Rose role, rose_graph.h)."""
 
-    gap_bits: np.ndarray  # [256] bool — the infix character class
-    gap_lo: int
-    gap_hi: Optional[int]  # None = unbounded
-    pre: DfaEngine   # left-part scanning DFA (reports prefix ends)
-    suf: DfaEngine   # right-part scanning DFA (reports match ends)
-    suf_rev: DfaEngine  # reverse DFA of the right part (suffix starts)
+    fwd: DfaEngine  # segment scanning DFA (reports segment-match ends)
+    rev: Optional[DfaEngine]  # reverse DFA (segment starts); None = role 0
+
+
+@dataclasses.dataclass
+class ChainInfo:
+    """A multi-segment decomposition `SEG0 <gap> SEG1 <gap> ... SEGn`
+    (reference: Rose prefix→infix→suffix role graphs built by doViolet,
+    ng_violet.cpp:3053; infixes restricted to single-class repeats).
+
+    Roles resolve left to right: role r's matches connect to role r-1's
+    ends through gap r-1 (class/length constrained); the final role's
+    connected ends are the pattern's match ends."""
+
+    roles: List[ChainRole]
+    gap_bits: np.ndarray  # [R-1, 256] bool — per-gap character class
+    gap_lo: List[int]
+    gap_hi: List[Optional[int]]  # None = unbounded
+
+    @property
+    def num_roles(self) -> int:
+        return len(self.roles)
 
 
 @dataclasses.dataclass
@@ -263,7 +278,7 @@ class LiteralEngine:
     bucket_factors: List[List[int]]  # bucket -> factor ids
     # fid -> [(pattern_idx, max_start_to_fend, max_fend_to_end, kind)]
     # kind: "equiv" (factor == whole match), "win" (window validation),
-    # "pre"/"suf" (chain roles; reference: Rose literal roles)
+    # "c<r>" (chain role r; reference: Rose literal roles)
     factor_refs: List[List[Tuple[int, int, int, str]]]
     validators: Dict[int, DfaEngine]  # pattern_idx -> window DFA
     # SOM back-scan DFAs (reference: ng_som reverse NFAs): pattern_idx ->
@@ -403,9 +418,18 @@ class Database:
                 ch_meta[str(k)] = {
                     "gap_lo": ch.gap_lo,
                     "gap_hi": ch.gap_hi,
-                    "pre": self._pack_engine(ch.pre, f"cp{k}", arrays),
-                    "suf": self._pack_engine(ch.suf, f"cs{k}", arrays),
-                    "suf_rev": self._pack_engine(ch.suf_rev, f"cr{k}", arrays),
+                    "roles": [
+                        {
+                            "fwd": self._pack_engine(
+                                r.fwd, f"c{k}r{ri}f", arrays),
+                            "rev": (
+                                self._pack_engine(
+                                    r.rev, f"c{k}r{ri}r", arrays)
+                                if r.rev is not None else None
+                            ),
+                        }
+                        for ri, r in enumerate(ch.roles)
+                    ],
                 }
             meta["lit"] = {
                 "factor_atoms": [
@@ -479,12 +503,20 @@ class Database:
                     chains={
                         int(k): ChainInfo(
                             gap_bits=z[f"chg{k}"],
-                            gap_lo=int(cm["gap_lo"]),
-                            gap_hi=cm["gap_hi"],
-                            pre=cls._unpack_engine(cm["pre"], f"cp{k}", z),
-                            suf=cls._unpack_engine(cm["suf"], f"cs{k}", z),
-                            suf_rev=cls._unpack_engine(
-                                cm["suf_rev"], f"cr{k}", z),
+                            gap_lo=[int(v) for v in cm["gap_lo"]],
+                            gap_hi=list(cm["gap_hi"]),
+                            roles=[
+                                ChainRole(
+                                    fwd=cls._unpack_engine(
+                                        rm["fwd"], f"c{k}r{ri}f", z),
+                                    rev=(
+                                        cls._unpack_engine(
+                                            rm["rev"], f"c{k}r{ri}r", z)
+                                        if rm["rev"] is not None else None
+                                    ),
+                                )
+                                for ri, rm in enumerate(cm["roles"])
+                            ],
                         )
                         for k, cm in lm.get("chains", {}).items()
                     },
@@ -880,51 +912,47 @@ def compile_patterns(
                         )
                     routed = True
             if not routed and not want_som:
-                # chain decomposition: LEFT <gap> RIGHT (Rose roles);
-                # streams carry prefix-end evidence across writes
+                # chain decomposition: SEG <gap> SEG <gap> ... (Rose
+                # roles); streams carry boundary end-evidence per gap
                 from .compiler.chains import detect_chain
 
                 cs = detect_chain(node, grey.min_factor_len, grey.max_window)
                 if cs is not None:
                     try:
-                        lg = build_nfa(cs.left)
-                        rg = build_nfa(cs.right)
-                        if rg.accept_eod or lg.is_vacuous() or rg.is_vacuous():
-                            raise DfaLimitExceeded("chain side unsupported")
                         from .compiler.dfa import reverse_graph
 
-                        pre_d = DfaEngine.from_scan_dfa(determinize(
-                            [lg], [i], max_states=grey.validator_max_states))
-                        suf_d = DfaEngine.from_scan_dfa(determinize(
-                            [rg], [i], max_states=grey.validator_max_states))
-                        rev_d = DfaEngine.from_scan_dfa(determinize(
-                            [reverse_graph(rg, eod=False)], [i],
-                            max_states=grey.validator_max_states))
+                        roles: List[ChainRole] = []
+                        for ri, rs in enumerate(cs.roles):
+                            rg = build_nfa(rs.node)
+                            if rg.accept_eod or rg.is_vacuous():
+                                raise DfaLimitExceeded(
+                                    "chain segment unsupported")
+                            fwd = DfaEngine.from_scan_dfa(determinize(
+                                [rg], [i],
+                                max_states=grey.validator_max_states))
+                            rev = None
+                            if ri > 0:
+                                rev = DfaEngine.from_scan_dfa(determinize(
+                                    [reverse_graph(rg, eod=False)], [i],
+                                    max_states=grey.validator_max_states))
+                            roles.append(ChainRole(fwd=fwd, rev=rev))
                     except DfaLimitExceeded:
                         cs = None
                 if cs is not None:
                     chains[i] = ChainInfo(
-                        gap_bits=cs.gap_bits,
-                        gap_lo=cs.gap_lo,
-                        gap_hi=cs.gap_hi,
-                        pre=pre_d,
-                        suf=suf_d,
-                        suf_rev=rev_d,
+                        roles=roles,
+                        gap_bits=np.stack([g[0] for g in cs.gaps]),
+                        gap_lo=[int(g[1]) for g in cs.gaps],
+                        gap_hi=[g[2] for g in cs.gaps],
                     )
-                    for fi in cs.left_factors:
-                        _register_factor(
-                            factor_ids, factor_atoms, factor_refs,
-                            factor_objs, fi,
-                            (i, int(fi.max_start_to_fend),
-                             int(fi.max_fend_to_end), "pre"),
-                        )
-                    for fi in cs.right_factors:
-                        _register_factor(
-                            factor_ids, factor_atoms, factor_refs,
-                            factor_objs, fi,
-                            (i, int(fi.max_start_to_fend),
-                             int(fi.max_fend_to_end), "suf"),
-                        )
+                    for ri, rs in enumerate(cs.roles):
+                        for fi in rs.factors:
+                            _register_factor(
+                                factor_ids, factor_atoms, factor_refs,
+                                factor_objs, fi,
+                                (i, int(fi.max_start_to_fend),
+                                 int(fi.max_fend_to_end), f"c{ri}"),
+                            )
                     routed = True
         if not routed:
             if want_som:

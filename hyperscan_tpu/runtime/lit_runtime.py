@@ -461,26 +461,29 @@ def finish_confirmed(
                 som_rev=lit.rev_validators.get(eidx),
             )
 
-    # kinds 2/3: chain roles (LEFT <gap> RIGHT)
-    pre_windows: Dict[int, List[Tuple[int, int, int]]] = {}
-    suf_windows: Dict[int, List[Tuple[int, int, int]]] = {}
-    for kindv, target in ((2, pre_windows), (3, suf_windows)):
-        mm = kind_p == kindv
-        for i in np.flatnonzero(mm).tolist():
-            target.setdefault(int(eidx_p[i]), []).append(
-                (int(ws_p[i]), int(we_p[i]), int(b_p[i]))
-            )
-    if (suf_windows or (chain_out is not None and pre_windows)) \
-            and not eod_only:
-        recs |= _resolve_chains(
+    # kinds >= 2: chain roles (SEG <gap> SEG <gap> ...)
+    mm = kind_p >= 2
+    chain_windows: Dict[Tuple[int, int], List[Tuple[int, int, int]]] = {}
+    for i in np.flatnonzero(mm).tolist():
+        chain_windows.setdefault(
+            (int(eidx_p[i]), int(kind_p[i]) - 2), []
+        ).append((int(ws_p[i]), int(we_p[i]), int(b_p[i])))
+    if (chain_windows or chain_ctx) and not eod_only:
+        recs |= resolve_chains(
             lit, corpus, block_starts, block_ends, block_anchored,
-            block_final, pre_windows, suf_windows,
+            block_final, chain_windows,
             chain_ctx=chain_ctx, chain_out=chain_out,
         )
     return recs
 
 
-_KIND_CODE = {"equiv": 0, "win": 1, "pre": 2, "suf": 3}
+def _kind_code(k: str) -> int:
+    if k == "equiv":
+        return 0
+    if k == "win":
+        return 1
+    assert k.startswith("c"), k
+    return 2 + int(k[1:])  # chain role r -> 2 + r
 
 
 def _ref_tables(lit):
@@ -498,7 +501,7 @@ def _ref_tables(lit):
             eidx.append(e)
             s2f.append(a)
             f2e.append(b)
-            kind.append(_KIND_CODE[k])
+            kind.append(_kind_code(k))
         off.append(len(eidx))
     lit._ref_tab = (
         np.asarray(off, dtype=np.int64),
@@ -642,175 +645,266 @@ def validate_windows_batched(
     return recs
 
 
-def _collect_starts(rev, row: np.ndarray, upto: int) -> List[int]:
-    """All match starts (window-relative) for a suffix match whose
-    consumed end is `upto` (reverse-DFA scan collecting every accept)."""
-    s = int(rev.start_state)
-    dead = int(rev.float_state)
+# --------------------------------------------------------------------------
+# Chain resolution: SEG0 <gap> SEG1 <gap> ... (reference: the Rose role
+# graph runtime — literal hits trigger prefix/infix/suffix engine checks,
+# src/rose/match.c + catchup; here roles resolve left to right with a
+# vectorized gap-run check between consecutive boundaries)
+# --------------------------------------------------------------------------
+
+
+def _lastbad(corpus: np.ndarray, gap_bits: np.ndarray, cache: Dict) -> np.ndarray:
+    """lastbad[i] = last index <= i whose byte is NOT in the gap class
+    (-1 if none): bytes [p, s) are all in-class iff p > lastbad[s-1]."""
+    key = gap_bits.tobytes()
+    if key not in cache:
+        idx = np.arange(corpus.shape[0], dtype=np.int64)
+        bad = ~gap_bits[corpus]
+        cache[key] = np.maximum.accumulate(np.where(bad, idx, -1))
+    return cache[key]
+
+
+def _merge_carried(ends, chain_ctx, eidx, boundary, block_starts):
+    """Merge streaming carried evidence for one gap boundary into the
+    flat end sets; returns (ends, carried_pre) where carried_pre holds
+    pre-extent ends per block as (sorted_abs, run_start, base_abs)."""
+    carried_pre: Dict[int, Tuple[np.ndarray, int, int]] = {}
+    if chain_ctx:
+        for (b, ce, rr), (c_ends, c_run, base_abs) in chain_ctx.items():
+            if ce != eidx or rr != boundary:
+                continue
+            c_ends = np.asarray(c_ends, dtype=np.int64)
+            bs = int(block_starts[b])
+            in_ext = c_ends[c_ends >= base_abs] - base_abs + bs
+            if len(in_ext):
+                cur = ends.get(b)
+                ends[b] = np.unique(in_ext) if cur is None else \
+                    np.unique(np.concatenate([cur, in_ext]))
+            older = c_ends[c_ends < base_abs]
+            if len(older):
+                carried_pre[b] = (older, c_run, base_abs)
+    return ends, carried_pre
+
+
+def _role_matches(role, corpus, spans):
+    """Forward lockstep scan of one role over merged windows.
+
+    Returns (win, starts_w, blks_w, A_i, A_t, A_aid): accepts at window
+    i, byte index t (0-based within window), with accept-set id aid.
+    """
+    nw = len(spans)
+    starts_w = np.asarray([s for (s, _e, _b) in spans], dtype=np.int64)
+    ends_w = np.asarray([e for (_s, e, _b) in spans], dtype=np.int64)
+    blks_w = np.asarray([b for (_s, _e, b) in spans], dtype=np.int64)
+    lens = ends_w - starts_w
+    wmax = int(lens.max())
+    win = np.zeros((nw, wmax), dtype=np.uint8)
+    for i, (s, e, _b) in enumerate(spans):
+        win[i, : e - s] = corpus[s:e]
+    fwd = role.fwd
+    b2c = fwd.byte_to_class.astype(np.int64)
+    trans = fwd.trans
+    accid = fwd.accept_id
+    states = np.full(nw, fwd.float_state, dtype=np.int64)
+    cls = b2c[win]
+    ai: List[np.ndarray] = []
+    at: List[np.ndarray] = []
+    aa: List[np.ndarray] = []
+    for t in range(wmax):
+        active = t < lens
+        states = np.where(active, trans[states, cls[:, t]], states)
+        aids = np.where(active, accid[states], 0)
+        nz = np.flatnonzero(aids)
+        if len(nz):
+            ai.append(nz)
+            at.append(np.full(len(nz), t, dtype=np.int64))
+            aa.append(aids[nz])
+    if not ai:
+        z = np.zeros(0, dtype=np.int64)
+        return win, starts_w, blks_w, z, z, z
+    return (win, starts_w, blks_w, np.concatenate(ai), np.concatenate(at),
+            np.concatenate(aa))
+
+
+def _role_starts(role, win, A_i, A_t):
+    """Batched reverse scans: for each accept pair (window A_i[k], end
+    byte A_t[k]) collect every possible segment start (window-relative).
+    Returns (pair_idx, start_j) arrays."""
+    rev = role.rev
     trans = rev.trans
-    b2c = rev.byte_to_class
-    aidv = rev.accept_id
-    out: List[int] = []
-    for j in range(upto - 1, -1, -1):
-        s = int(trans[s, int(b2c[int(row[j])])])
-        aid = int(aidv[s])
-        if aid:
-            for (_e, adj) in rev.expand_set(aid):
-                out.append(j + adj)
-        if s == dead:
+    b2c = rev.byte_to_class.astype(np.int64)
+    accid = rev.accept_id
+    dead = int(rev.float_state)
+    P = len(A_i)
+    states = np.full(P, rev.start_state, dtype=np.int64)
+    out_k: List[np.ndarray] = []
+    out_j: List[np.ndarray] = []
+    maxlen = int(A_t.max()) + 1 if P else 0
+    for step in range(maxlen):
+        j = A_t - step
+        active = (j >= 0) & (states != dead)
+        if not active.any():
             break
-    return out
+        byte = win[A_i, np.maximum(j, 0)]
+        nxt = trans[states, b2c[byte]]
+        states = np.where(active, nxt, states)
+        aids = np.where(active, accid[states], 0)
+        nz = np.flatnonzero(aids)
+        for aid in np.unique(aids[nz]):
+            if not aid:
+                continue
+            sel = nz[aids[nz] == aid]
+            for (_e, adj) in rev.expand_set(int(aid)):
+                out_k.append(sel)
+                out_j.append(j[sel] + adj)
+    if not out_k:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(out_k), np.concatenate(out_j)
 
 
-def _resolve_chains(
+def _connect_role(
+    role, corpus, spans, prev_ends, carried_pre, gap_bits, glo, ghi,
+    lastbad_cache, block_starts, block_ends,
+) -> Dict[int, np.ndarray]:
+    """Role matches whose start connects to a previous-boundary end
+    through the gap: returns per-block sorted arrays of match ends."""
+    lastbad = _lastbad(corpus, gap_bits, lastbad_cache)
+    win, starts_w, blks_w, A_i, A_t, A_aid = _role_matches(
+        role, corpus, spans
+    )
+    if len(A_i) == 0:
+        return {}
+    S_k, S_j = _role_starts(role, win, A_i, A_t)
+    if len(S_k) == 0:
+        return {}
+    s_flat = starts_w[A_i[S_k]] + S_j
+    blk_s = blks_w[A_i[S_k]]
+    conn_pair = np.zeros(len(A_i), dtype=bool)
+    for b in np.unique(blk_s):
+        m = blk_s == b
+        s = s_flat[m]
+        bs = int(block_starts[b])
+        prevb = np.where(s > 0, lastbad[np.maximum(s - 1, 0)], -1)
+        p_lo = np.maximum(bs, prevb + 1)
+        if ghi is not None:
+            p_lo = np.maximum(p_lo, s - ghi)
+        p_hi = s - glo
+        conn = np.zeros(len(s), dtype=bool)
+        E = prev_ends.get(int(b))
+        if E is not None and len(E):
+            ok = p_hi >= p_lo
+            conn = ok & (
+                np.searchsorted(E, p_lo, side="left")
+                < np.searchsorted(E, p_hi, side="right")
+            )
+        C = carried_pre.get(int(b))
+        if C is not None:
+            c_ends, c_run, base_abs = C
+            # pre-extent evidence connects iff no bad byte precedes the
+            # start inside the extent (pruning guaranteed cleanliness up
+            # to the extent start)
+            clean = (s == bs) | (prevb < bs)
+            s_abs = base_abs + (s - bs)
+            pl = np.full_like(s_abs, c_run)
+            if ghi is not None:
+                pl = np.maximum(pl, s_abs - ghi)
+            ph = s_abs - glo
+            connc = clean & (ph >= pl) & (
+                np.searchsorted(c_ends, pl, side="left")
+                < np.searchsorted(c_ends, ph, side="right")
+            )
+            conn |= connc
+        kk = np.flatnonzero(m)[conn]
+        conn_pair[S_k[kk]] = True
+
+    if not conn_pair.any():
+        return {}
+    sel = np.flatnonzero(conn_pair)
+    base_e = starts_w[A_i[sel]] + A_t[sel] + 1
+    blks_e = blks_w[A_i[sel]]
+    aids_e = A_aid[sel]
+    out: Dict[int, List[np.ndarray]] = {}
+    fwd = role.fwd
+    for aid in np.unique(aids_e):
+        for (_e2, adj) in fwd.expand_set(int(aid)):
+            mm = aids_e == aid
+            e_fl = base_e[mm] + adj
+            bb = blks_e[mm]
+            okb = (e_fl >= block_starts[bb]) & (e_fl <= block_ends[bb])
+            for b in np.unique(bb[okb]):
+                out.setdefault(int(b), []).append(
+                    e_fl[okb][bb[okb] == b]
+                )
+    return {
+        b: np.unique(np.concatenate(parts)) for b, parts in out.items()
+    }
+
+
+def resolve_chains(
     lit, corpus: np.ndarray, block_starts: np.ndarray,
     block_ends: np.ndarray, block_anchored: np.ndarray,
     block_final: np.ndarray,
-    pre_windows: Dict[int, List[Tuple[int, int, int]]],
-    suf_windows: Dict[int, List[Tuple[int, int, int]]],
+    chain_windows: Dict[Tuple[int, int], List[Tuple[int, int, int]]],
     chain_ctx: Dict = None, chain_out: Dict = None,
 ) -> Set[Record]:
-    """LEFT <gap> RIGHT resolution (reference: Rose role chaining).
+    """Multi-segment chain resolution, roles left to right.
 
-    prefix ends come from window-validating the left part; suffix match
-    ends + their possible starts from the right part (+ reverse DFA); the
-    gap is checked with a vectorized last-bad-byte scan: bytes [p, s) are
-    all in the gap class iff p > lastbad[s-1].
-
-    `chain_ctx[(b, eidx)]` (streaming) holds ALL live carried prefix ends
-    as `(ends_abs, run_start_abs, base_abs)` in absolute coordinates —
-    ends whose gap run was unbroken up to the end of the previous write
-    (runtime/stream.py prunes at bad bytes). Ends at or after `base_abs`
-    (the extent start) map into flat coordinates and merge directly with
-    the re-derived in-extent ends — this covers prefix ends whose factor
-    bytes were trimmed out of history and cannot be re-derived; the
-    lastbad check then rejects any whose run broke inside the extent.
-    Ends before the extent are checked separately: they are usable iff no
-    bad byte occurs in [extent start, suffix start), by the pruning
-    invariant."""
+    `chain_windows[(eidx, r)]` holds candidate windows for role r.
+    `chain_ctx[(b, eidx, r)]` (streaming) carries boundary-r end evidence
+    as `(ends_abs, run_start_abs, base_abs)`; `chain_out[(b, eidx, r)]`
+    receives this write's flat boundary ends for the state update.
+    """
     recs: Set[Record] = set()
     lastbad_cache: Dict[bytes, np.ndarray] = {}
-    n = corpus.shape[0]
-    idx = None
-
-    active = set(suf_windows) | (
-        set(pre_windows) & set(lit.chains) if chain_out is not None else set()
-    )
+    streaming = chain_out is not None
+    active = {e for (e, _r) in chain_windows if e in lit.chains}
+    if chain_ctx:
+        active |= {e for (_b, e, _r) in chain_ctx if e in lit.chains}
     for eidx in sorted(active):
-        spans = suf_windows.get(eidx, [])
         ch = lit.chains[eidx]
-        # prefix ends (flat, sorted) per block
-        pre_ends: Dict[int, np.ndarray] = {}
-        pre_recs = validate_windows(
-            ch.pre, eidx, corpus, pre_windows.get(eidx, []),
-            block_starts, block_ends, block_anchored,
-            np.zeros_like(block_final),  # prefix never uses EOD accepts
-        )
-        tmp: Dict[int, List[int]] = {}
-        for (b, _e, to_local, _f) in pre_recs:
-            tmp.setdefault(b, []).append(int(block_starts[b]) + to_local)
-        for b, ends in tmp.items():
-            pre_ends[b] = np.asarray(sorted(set(ends)), dtype=np.int64)
-            if chain_out is not None:
-                chain_out[(b, eidx)] = pre_ends[b]
-        # b -> (sorted abs ends before the extent, run_start, base_abs)
-        carried_pre: Dict[int, Tuple[np.ndarray, int, int]] = {}
-        if chain_ctx:
-            for (b, ce), (c_ends, c_run, base_abs) in chain_ctx.items():
-                if ce != eidx:
-                    continue
-                c_ends = np.asarray(c_ends, dtype=np.int64)
-                bs = int(block_starts[b])
-                in_ext = c_ends[c_ends >= base_abs] - base_abs + bs
-                if len(in_ext):
-                    cur = pre_ends.get(b)
-                    pre_ends[b] = np.unique(in_ext) if cur is None else \
-                        np.unique(np.concatenate([cur, in_ext]))
-                older = c_ends[c_ends < base_abs]
-                if len(older):
-                    carried_pre[b] = (older, c_run, base_abs)
-        if not pre_ends and not carried_pre:
-            continue
+        R = ch.num_roles
+        if not streaming and (eidx, R - 1) not in chain_windows:
+            continue  # final role can't match in this block scan
 
-        key = ch.gap_bits.tobytes()
-        if key not in lastbad_cache:
-            if idx is None:
-                idx = np.arange(n, dtype=np.int64)
-            bad = ~ch.gap_bits[corpus]
-            lastbad_cache[key] = np.maximum.accumulate(
-                np.where(bad, idx, -1)
+        spans0 = chain_windows.get((eidx, 0), [])
+        ends: Dict[int, np.ndarray] = {}
+        if spans0:
+            pre_recs = validate_windows(
+                ch.roles[0].fwd, eidx, corpus, spans0, block_starts,
+                block_ends, block_anchored, np.zeros_like(block_final),
             )
-        lastbad = lastbad_cache[key]
+            tmp: Dict[int, List[int]] = {}
+            for (b, _e, to_local, _f) in pre_recs:
+                tmp.setdefault(b, []).append(int(block_starts[b]) + to_local)
+            for b, es in tmp.items():
+                ends[b] = np.asarray(sorted(set(es)), dtype=np.int64)
+        if streaming:
+            for b, arr in ends.items():
+                chain_out[(b, eidx, 0)] = arr
 
-        # suffix ends + starts per merged window
-        spans = _merge_spans(list(spans))
-        for (ws, we, b) in spans:
-            bs = int(block_starts[b])
-            ends_here = pre_ends.get(b)
-            carried = carried_pre.get(b)
-            if ends_here is None and carried is None:
-                continue
-            if ends_here is None:
-                ends_here = np.zeros(0, dtype=np.int64)
-            win = corpus[ws:we]
-            cls = ch.suf.byte_to_class.astype(np.int64)[win]
-            st = int(ch.suf.float_state)
-            trans = ch.suf.trans
-            aidv = ch.suf.accept_id
-            for t in range(we - ws):
-                st = int(trans[st, cls[t]])
-                aid = int(aidv[st])
-                if not aid:
-                    continue
-                for (_e2, adj) in ch.suf.expand_set(aid):
-                    e_flat = ws + t + 1 + adj
-                    if not (bs <= e_flat <= int(block_ends[b])):
-                        continue
-                    for s0 in _collect_starts(ch.suf_rev, win, t + 1):
-                        sflat = ws + s0
-                        if sflat < bs:
-                            continue
-                        # gap byte run constraint: p in [p_low, p_high]
-                        p_high = sflat - ch.gap_lo
-                        p_low = bs
-                        if sflat > 0:
-                            p_low = max(p_low, int(lastbad[sflat - 1]) + 1)
-                        if ch.gap_hi is not None:
-                            p_low = max(p_low, sflat - ch.gap_hi)
-                        # empty gap (p == sflat) has no byte constraint
-                        if ch.gap_lo == 0:
-                            p_high = sflat
-                            if sflat > 0 and int(lastbad[sflat - 1]) == sflat - 1:
-                                # only p == sflat possible
-                                p_low = max(p_low, sflat)
-                        found = False
-                        if p_high >= p_low:
-                            lo_i = np.searchsorted(ends_here, p_low,
-                                                   side="left")
-                            hi_i = np.searchsorted(ends_here, p_high,
-                                                   side="right")
-                            found = hi_i > lo_i
-                        if not found and carried is not None:
-                            # carried prefix evidence from before this
-                            # extent: usable only when the gap run reaches
-                            # back through the whole extent prefix
-                            c_ends, c_run, base_abs = carried
-                            no_bad = sflat == bs or (
-                                sflat > 0 and int(lastbad[sflat - 1]) < bs
-                            )
-                            if no_bad and ch.gap_lo <= (
-                                base_abs + (sflat - bs)
-                            ) - (c_ends[0] if len(c_ends) else 1 << 62):
-                                s_abs = base_abs + (sflat - bs)
-                                pl = c_run
-                                if ch.gap_hi is not None:
-                                    pl = max(pl, s_abs - ch.gap_hi)
-                                ph = s_abs - ch.gap_lo
-                                li = np.searchsorted(c_ends, pl, side="left")
-                                hi2 = np.searchsorted(c_ends, ph,
-                                                      side="right")
-                                found = hi2 > li
-                        if found:
-                            recs.add((b, eidx, e_flat - bs, 0))
-                            break
+        for r in range(1, R):
+            ends, carried_pre = _merge_carried(
+                ends, chain_ctx, eidx, r - 1, block_starts
+            )
+            spans = _merge_spans(list(chain_windows.get((eidx, r), [])))
+            if (not ends and not carried_pre) or not spans:
+                new_ends: Dict[int, np.ndarray] = {}
+            else:
+                new_ends = _connect_role(
+                    ch.roles[r], corpus, spans, ends, carried_pre,
+                    ch.gap_bits[r - 1], ch.gap_lo[r - 1], ch.gap_hi[r - 1],
+                    lastbad_cache, block_starts, block_ends,
+                )
+            if r == R - 1:
+                for b, arr in new_ends.items():
+                    bs = int(block_starts[b])
+                    for e in arr.tolist():
+                        recs.add((b, eidx, e - bs, 0))
+            elif streaming:
+                for b, arr in new_ends.items():
+                    chain_out[(b, eidx, r)] = arr
+            ends = new_ends
+            if not streaming and not ends:
+                break
     return recs

@@ -66,12 +66,11 @@ class Stream:
     # (expr_idx, to_abs) reported near the last write boundary, used to
     # dedupe the literal path's history rescan
     recent: Set[Tuple[int, int]] = dataclasses.field(default_factory=set)
-    # chain evidence (reference analogue: rose role state): per chain
-    # pattern idx -> (sorted absolute prefix-end offsets within the live
-    # gap run, absolute start of that run)
-    chain_state: Dict[int, Tuple[List[int], int]] = dataclasses.field(
-        default_factory=dict
-    )
+    # chain evidence (reference analogue: rose role state): per
+    # (pattern idx, gap boundary role) -> (sorted absolute role-end
+    # offsets within the live gap run, absolute start of that run)
+    chain_state: Dict[Tuple[int, int], Tuple[List[int], int]] = \
+        dataclasses.field(default_factory=dict)
 
     def _init_states(self) -> None:
         self.engine_states = [e.start_state for e in self.db.engines]
@@ -138,26 +137,29 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
     """Advance per-stream chain evidence: merge newly validated prefix
     ends, restart gap runs at bad bytes, prune dead evidence (reference
     analogue: saving rose role state per stream)."""
-    CAP = 4096  # evidence cap per (stream, chain)
+    CAP = 4096  # evidence cap per (stream, chain, boundary)
     for bi, st in enumerate(streams):
         base_abs = st.offset - len(st.history)
         ext = np.frombuffer(exts[bi], np.uint8)
         for eidx, ch in db.lit.chains.items():
-            c_ends, c_run = st.chain_state.get(eidx, ([], 0))
-            bad = np.flatnonzero(~ch.gap_bits[ext]) if len(ext) else                 np.zeros(0, np.int64)
-            if len(bad):
-                c_run = max(c_run, base_abs + int(bad[-1]) + 1)
-            new = chain_out.get((bi, eidx))
-            merged = set(p for p in c_ends if p >= c_run)
-            if new is not None:
-                fs = int(flat_starts[bi])
-                for p in np.asarray(new).tolist():
-                    p_abs = base_abs + (int(p) - fs)
-                    if p_abs >= c_run:
-                        merged.add(p_abs)
-            ends = sorted(merged)[-CAP:]
-            if ends or c_run:
-                st.chain_state[eidx] = (ends, c_run)
+            for r in range(ch.num_roles - 1):
+                c_ends, c_run = st.chain_state.get((eidx, r), ([], 0))
+                gb = ch.gap_bits[r]
+                bad = np.flatnonzero(~gb[ext]) if len(ext) else \
+                    np.zeros(0, np.int64)
+                if len(bad):
+                    c_run = max(c_run, base_abs + int(bad[-1]) + 1)
+                new = chain_out.get((bi, eidx, r))
+                merged = set(p for p in c_ends if p >= c_run)
+                if new is not None:
+                    fs = int(flat_starts[bi])
+                    for p in np.asarray(new).tolist():
+                        p_abs = base_abs + (int(p) - fs)
+                        if p_abs >= c_run:
+                            merged.add(p_abs)
+                ends = sorted(merged)[-CAP:]
+                if ends or c_run:
+                    st.chain_state[(eidx, r)] = (ends, c_run)
 
 
 def _vacuous_stream_reports(engine, streams, chunks, recs_abs,
@@ -234,13 +236,13 @@ def scan_streams(
         if has_chains:
             for bi, st in enumerate(streams):
                 base_abs = st.offset - len(st.history)
-                for eidx, (c_ends, c_run) in st.chain_state.items():
+                for (eidx, r), (c_ends, c_run) in st.chain_state.items():
                     # carry ALL live evidence: in-extent ends whose factor
                     # bytes were trimmed out of history are not
                     # re-derivable by the rescan (lit_runtime merges and
                     # dedupes them against re-derived ends)
                     if c_ends:
-                        chain_ctx[(bi, eidx)] = (
+                        chain_ctx[(bi, eidx, r)] = (
                             np.asarray(c_ends, dtype=np.int64), c_run,
                             base_abs,
                         )
@@ -438,8 +440,8 @@ def compress_stream(stream: Stream) -> bytes:
         parts.append(struct.pack("<iq", e, t))
     cs = sorted(stream.chain_state.items())
     parts.append(struct.pack("<I", len(cs)))
-    for (eidx, (ends, run_start)) in cs:
-        parts.append(struct.pack("<iqI", eidx, run_start, len(ends)))
+    for ((eidx, role), (ends, run_start)) in cs:
+        parts.append(struct.pack("<iiqI", eidx, role, run_start, len(ends)))
         parts.append(struct.pack(f"<{len(ends)}q", *ends))
     return b"".join(parts)
 
@@ -478,11 +480,11 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     off += 4
     chain_state = {}
     for _ in range(ncs):
-        ceidx, run_start, n_ends = struct.unpack_from("<iqI", buf, off)
-        off += struct.calcsize("<iqI")
+        ceidx, role, run_start, n_ends = struct.unpack_from("<iiqI", buf, off)
+        off += struct.calcsize("<iiqI")
         c_ends = list(struct.unpack_from(f"<{n_ends}q", buf, off))
         off += 8 * n_ends
-        chain_state[ceidx] = (c_ends, run_start)
+        chain_state[(ceidx, role)] = (c_ends, run_start)
     if ne != len(db.engines):
         raise InvalidError("stream state does not match database")
     s = open_stream(db)

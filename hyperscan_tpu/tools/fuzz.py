@@ -57,10 +57,12 @@ def gen_pattern(rng) -> str:
         n = rng.integers(1, 6)
         parts = [quant(atom()) for _ in range(n)]
         if rng.integers(0, 4) == 0 and n >= 2:
-            # chain shape: LEFT <unbounded gap> RIGHT
-            gap = ["[a-c]*", ".*", "[^x]+", "b*"][rng.integers(0, 4)]
-            k = int(rng.integers(1, n))
-            parts.insert(k, gap)
+            # chain shape: SEG <unbounded gap> SEG [<gap> SEG]
+            n_gaps = 1 + int(rng.integers(0, 2))
+            for _ in range(n_gaps):
+                gap = ["[a-c]*", ".*", "[^x]+", "b*"][rng.integers(0, 4)]
+                k = int(rng.integers(1, len(parts)))
+                parts.insert(k, gap)
         if rng.integers(0, 6) == 0:
             # DFA-blowup shape (bit-NFA route): leading skip + wide
             # bounded window, `.*a.{k}b`-class

@@ -145,3 +145,55 @@ def test_chain_stream_equals_block_random_splits():
             ms.extend(hs.close_stream(st))
             got = {(m, t) for (m, _f, t) in ms}
             assert got == want, f"{data!r} cuts={cuts}: {sorted(got)} != {sorted(want)}"
+
+
+def test_multigap_chain_routing_and_matches():
+    """`alpha.*beta.*gamma` must be literal-routed (multi-role chain),
+    with exact oracle parity (reference: doViolet multi-cut splits,
+    ng_violet.cpp:3053)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.utils.oracle import ast_match_ends
+
+    db = hs.compile_multi([r"alpha.*beta.*gamma"])
+    assert db.lit is not None and db.lit.chains[0].num_roles == 3
+    assert not db.engines
+
+    rng = np.random.default_rng(12)
+    node = parse(r"alpha.*beta.*gamma", 0)
+    for _ in range(30):
+        d = b""
+        for plant in [b"alpha", b"beta", b"gamma", b"alphabetagamma"]:
+            if rng.integers(0, 2):
+                d += plant
+            d += bytes(rng.choice(np.frombuffer(b"abgl m", np.uint8),
+                                  size=int(rng.integers(0, 10))))
+        got = {t for (_i, _f, t) in hs.scan(db, d)}
+        assert got == ast_match_ends(node, d), d
+
+
+def test_multigap_chain_streaming_splits():
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.utils.oracle import ast_match_ends
+
+    pat = r"foo[a-c]*barx[0-9]*qux"
+    sdb = hs.compile_multi([pat], mode=hs.HS_MODE_STREAM)
+    node = parse(pat, 0)
+    d = b"zz fooabc barx123 qux foobarxqux tail"
+    want = ast_match_ends(node, d)
+    rng = np.random.default_rng(8)
+    for _ in range(12):
+        k = int(rng.integers(1, 7))
+        cuts = sorted(rng.choice(len(d), size=k, replace=False).tolist())
+        st = hs.open_stream(sdb)
+        ms, prev = [], 0
+        for c in cuts + [len(d)]:
+            ms += hs.scan_stream(st, d[prev:c])
+            prev = c
+        ms += hs.close_stream(st)
+        assert {m[2] for m in ms} == want, cuts
