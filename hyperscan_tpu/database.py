@@ -236,6 +236,52 @@ class NfaEngine:
 
 
 @dataclasses.dataclass
+class SomEngine(NfaEngine):
+    """Bit-NFA with leftmost-start (SOM) registers — the Gough analogue
+    (reference: src/nfa/gough.c SOM register file, src/som/slot_manager;
+    selected for SOM_LEFTMOST / min_length patterns without a literal
+    route). Each active position carries the minimum start offset of any
+    run reaching it; accepts report that register as `from`.
+
+    State: ``(mask | (is_start << P), soms)`` where `soms` is a tuple of
+    absolute start offsets for the set bits of `mask` in ascending bit
+    order.
+    """
+
+    # positions that consume the byte BEFORE the match start (\\b / ^m
+    # context hops): their entry start is offset+1
+    hop_mask: np.ndarray = None
+
+    @property
+    def start_state(self):
+        return (1 << self.num_positions, ())
+
+    @property
+    def float_state(self):
+        return (0, ())
+
+    def eod_reports(self, state) -> List[Tuple[int, int, int]]:
+        """[(eid, adj, frm)] for EOD accepts active in `state`."""
+        mask, soms = state
+        mask = int(mask) & ((1 << self.num_positions) - 1)
+        out = []
+        si = 0
+        m = mask
+        while m:
+            low = m & (-m)
+            p = low.bit_length() - 1
+            g = int(self.accept_eod_gid[p])
+            if g:
+                for i in range(int(self.set_offsets[g]),
+                               int(self.set_offsets[g + 1])):
+                    out.append((int(self.set_exprs[i]),
+                                int(self.set_adjusts[i]), int(soms[si])))
+            si += 1
+            m ^= low
+        return out
+
+
+@dataclasses.dataclass
 class ChainRole:
     """One chain segment (reference: a Rose role, rose_graph.h)."""
 
@@ -358,8 +404,10 @@ class Database:
         if isinstance(e, NfaEngine):
             for name in cls._NFA_ENGINE_ARRAYS:
                 arrays[f"{prefix}_{name}"] = getattr(e, name)
+            if isinstance(e, SomEngine):
+                arrays[f"{prefix}_hop_mask"] = e.hop_mask
             return {
-                "kind": "nfa",
+                "kind": "som" if isinstance(e, SomEngine) else "nfa",
                 "max_depth": e.max_depth,
                 "acyclic": e.acyclic,
                 "start_reports": e.start_reports,
@@ -376,8 +424,16 @@ class Database:
     @classmethod
     def _unpack_engine(cls, em: dict, prefix: str, z):
         md = em.get("max_depth")
-        if em.get("kind") == "nfa":
+        if em.get("kind") in ("nfa", "som"):
             kw = {name: z[f"{prefix}_{name}"] for name in cls._NFA_ENGINE_ARRAYS}
+            if em["kind"] == "som":
+                return SomEngine(
+                    max_depth=None if md is None else int(md),
+                    acyclic=bool(em["acyclic"]),
+                    start_reports=[tuple(r) for r in em["start_reports"]],
+                    hop_mask=z[f"{prefix}_hop_mask"],
+                    **kw,
+                )
             return NfaEngine(
                 max_depth=None if md is None else int(md),
                 acyclic=bool(em["acyclic"]),
@@ -736,6 +792,28 @@ def _build_bitnfa_engine(
     return NfaEngine.from_bitnfa(nfa, max_depth=width)
 
 
+def _build_som_engine(g: NFAGraph, eidx: int,
+                      width: Optional[int]) -> SomEngine:
+    """Gough-analogue SOM engine: bit-NFA tables + hop mask."""
+    from .compiler.bitnfa import build_bitnfa
+
+    nfa = build_bitnfa([g], [eidx])
+    if len(nfa.accept_sets) - 1 > NFA_MAX_ACCEPT_SETS:
+        raise CompileError(
+            "SOM pattern exceeds the bit-NFA accept-set limit "
+            f"({NFA_MAX_ACCEPT_SETS})", eidx
+        )
+    base = NfaEngine.from_bitnfa(nfa, max_depth=width)
+    hop = np.zeros(base.num_positions, dtype=bool)
+    for p in g.prev_hops:
+        hop[p] = True
+    return SomEngine(
+        **{f.name: getattr(base, f.name)
+           for f in dataclasses.fields(NfaEngine)},
+        hop_mask=hop,
+    )
+
+
 def compile_patterns(
     expressions: Sequence,
     flags: Optional[Sequence[int]] = None,
@@ -775,6 +853,7 @@ def compile_patterns(
     rev_validators: Dict[int, Tuple] = {}
     chains: Dict[int, ChainInfo] = {}
     combination_specs: List[Tuple[int, object, set]] = []
+    som_engines: List[SomEngine] = []
     for i, expr in enumerate(expressions):
         f = flags[i]
         validate_flags(f, i)
@@ -956,13 +1035,13 @@ def compile_patterns(
                     routed = True
         if not routed:
             if want_som:
-                raise CompileError(
-                    "SOM / min_length currently require a pattern "
-                    "with a bounded literal factor", i
-                )
-            general_nfas.append(g)
-            general_idx.append(i)
-            general_widths.append(max_w)
+                # general SOM: bit-NFA with leftmost-start registers
+                # (reference: ng_som.cpp routing to Gough/som planning)
+                som_engines.append(_build_som_engine(g, i, max_w))
+            else:
+                general_nfas.append(g)
+                general_idx.append(i)
+                general_widths.append(max_w)
 
     # validate + attach combination ASTs (referenced ids must name ordinary
     # sub-expressions in this database; reference: parseLogicalCombination)
@@ -989,6 +1068,7 @@ def compile_patterns(
         if general_nfas
         else []
     )
+    engines += som_engines
     lit = None
     if factor_objs:
         from .compiler.teddy import build_teddy

@@ -46,6 +46,21 @@ HS_MODE_SOM_HORIZON_LARGE = 1 << 24
 HS_MODE_SOM_HORIZON_MEDIUM = 1 << 25
 HS_MODE_SOM_HORIZON_SMALL = 1 << 26
 
+# reported as `from` when a streaming match started before the database's
+# SOM horizon (reference: hs_runtime.h:615 HS_OFFSET_PAST_HORIZON)
+HS_OFFSET_PAST_HORIZON = (1 << 64) - 1
+
+
+def som_horizon_span(mode: int):
+    """Maximum (to - from) distance representable under the database's
+    SOM horizon mode; None = unlimited (reference: hs_compile.h:1184-1210
+    precision tiers)."""
+    if mode & HS_MODE_SOM_HORIZON_SMALL:
+        return (1 << 16) - 1
+    if mode & HS_MODE_SOM_HORIZON_MEDIUM:
+        return (1 << 32) - 1
+    return None
+
 _MODE_MASK = HS_MODE_BLOCK | HS_MODE_STREAM | HS_MODE_VECTORED
 
 # --- Extended-param flags (reference: src/hs_compile.h:227-292) ------------

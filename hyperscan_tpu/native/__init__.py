@@ -195,6 +195,12 @@ def bitnfa_scan_batch_native(engine, data, lengths, init_states):
     return _split_hits(int(n), out_row, out_pos, out_bits, B), finals
 
 
+def somnfa_scan_batch_native(engine, data, lengths, init_states,
+                             base_offsets):
+    """SOM-register NFA scan (native impl pending; numpy path used)."""
+    return None
+
+
 def teddy_filter_native(corpus, masks):
     """Returns (pos, words) or None."""
     lib = get_lib()

@@ -385,9 +385,16 @@ def teddy_confirm_scan_rows(
     from ..runtime.lit_runtime import confirm_device_tables
 
     groups = confirm_device_tables(lit)
-    masks_d = jnp.asarray(lit.masks)
-    h_tables = tuple(jnp.asarray(g[3]) for g in groups)
-    f_tables = tuple(jnp.asarray(g[4]) for g in groups)
+    if not hasattr(lit, "_dev_tables"):
+        # upload once: the dev tunnel's host->device path is orders of
+        # magnitude slower than a real PCIe link, and these tables are
+        # immutable per database
+        lit._dev_tables = (
+            jnp.asarray(lit.masks),
+            tuple(jnp.asarray(g[3]) for g in groups),
+            tuple(jnp.asarray(g[4]) for g in groups),
+        )
+    masks_d, h_tables, f_tables = lit._dev_tables
     M, W = int(lit.masks.shape[0]), int(lit.masks.shape[1])
     n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
     interpret = jax.default_backend() == "cpu"

@@ -130,3 +130,102 @@ def nfa_scan_host(
             m |= start_bit
         finals.append(m)
     return hits, finals
+
+
+# --------------------------------------------------------------------------
+# SOM scan: bit-NFA with leftmost-start registers (the Gough analogue,
+# reference: src/nfa/gough.c SOM register file). Each active position
+# carries the minimum absolute start offset of any run reaching it;
+# accepts report it as `from`.
+# --------------------------------------------------------------------------
+
+_INF = 1 << 62
+
+
+def som_scan_host(
+    engine, data: np.ndarray, lengths: np.ndarray,
+    init_states, base_offsets,
+):
+    """Scan a [B, L] batch carrying (activation, som-register) state.
+
+    `init_states[b]` is `(mask | is_start << P, soms_tuple)`;
+    `base_offsets[b]` is the absolute offset of data[b, 0]. Returns
+    (hits per row [(pos, set_id, frm_abs)...], final states).
+    """
+    from ..native import somnfa_scan_batch_native
+
+    native = somnfa_scan_batch_native(
+        engine, data, lengths, init_states, base_offsets
+    )
+    if native is not None:
+        return native
+
+    B, L = data.shape
+    P = engine.num_positions
+    start_bit = 1 << P
+    act = np.zeros((B, P), dtype=bool)
+    som = np.full((B, P), _INF, dtype=np.int64)
+    is_start = np.zeros(B, dtype=bool)
+    for b, (s, soms) in enumerate(init_states):
+        s = int(s)
+        is_start[b] = bool(s & start_bit)
+        m = s & (start_bit - 1)
+        si = 0
+        while m:
+            low = m & (-m)
+            p = low.bit_length() - 1
+            act[b, p] = True
+            som[b, p] = soms[si]
+            si += 1
+            m ^= low
+
+    F = engine.follow
+    reach = engine.class_reach
+    gid = engine.accept_gid
+    hop = engine.hop_mask.astype(np.int64)
+    hits = [[] for _ in range(B)]
+    if L:
+        cls = engine.byte_to_class.astype(np.int64)[data]
+        acc_pos = np.flatnonzero(gid)
+        base = np.asarray(base_offsets, dtype=np.int64)
+        for t in range(L):
+            live = t < lengths
+            succ = (act.astype(np.uint8) @ F.astype(np.uint8)) > 0
+            somx = np.where(act, som, _INF)
+            succ_som = np.min(
+                np.where(F[None, :, :], somx[:, :, None], _INF), axis=1
+            )
+            entry = engine.float_mask[None, :] | (
+                is_start[:, None] & engine.anch_mask[None, :]
+            )
+            entry_som = (base[:, None] + t) + hop[None, :]
+            rc = reach[cls[:, t]]
+            nxt = (succ | entry) & rc
+            nsom = np.where(succ, succ_som, _INF)
+            nsom = np.where(entry, np.minimum(nsom, entry_som), nsom)
+            nsom = np.where(nxt, nsom, _INF)
+            act = np.where(live[:, None], nxt, act)
+            som = np.where(live[:, None], nsom, som)
+            is_start &= ~live
+            if len(acc_pos):
+                rows = np.flatnonzero(live & act[:, acc_pos].any(axis=1))
+                for b in rows:
+                    best: dict = {}
+                    for p in acc_pos[act[b, acc_pos]]:
+                        g = int(gid[p])
+                        v = int(som[b, p])
+                        if g not in best or v < best[g]:
+                            best[g] = v
+                    for g, frm in best.items():
+                        hits[b].append((t, g, frm))
+    finals = []
+    for b in range(B):
+        m = 0
+        soms = []
+        for p in np.flatnonzero(act[b]):
+            m |= 1 << int(p)
+            soms.append(int(som[b, p]))
+        if is_start[b]:
+            m |= start_bit
+        finals.append((m, tuple(soms)))
+    return hits, finals

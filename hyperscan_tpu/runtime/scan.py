@@ -23,6 +23,7 @@ from ..flags import (
     HS_FLAG_SINGLEMATCH,
     HS_FLAG_SOM_LEFTMOST,
     HS_MODE_BLOCK,
+    HS_OFFSET_PAST_HORIZON,
     UNBOUNDED,
     base_mode,
 )
@@ -245,7 +246,12 @@ def scan_blocks_raw(
     lengths = np.asarray([len(b) for b in blocks], dtype=np.int32)
     blocks_b = [bytes(b) for b in blocks]
     host_engines = []
+    from ..database import SomEngine
+
     for engine in db.engines:
+        if isinstance(engine, SomEngine):
+            host_engines.append(engine)
+            continue
         if isinstance(engine, NfaEngine):
             from ..ops.nfa_kernel import nfa_device_eligible, nfa_scan_corpus_device
 
@@ -308,8 +314,15 @@ def engine_scan_host(engine, data, lengths, init_states=None):
     """Dispatch a host batch scan to the engine's runtime (DFA byte loop
     or bit-NFA word loop). Returns (hits per row [(pos, set_id_or_bits)],
     finals) with carried-state semantics."""
-    from ..database import NfaEngine
+    from ..database import NfaEngine, SomEngine
 
+    if isinstance(engine, SomEngine):
+        from .nfa_host import som_scan_host
+
+        if init_states is None:
+            init_states = [engine.start_state] * data.shape[0]
+        base = np.zeros(data.shape[0], dtype=np.int64)
+        return som_scan_host(engine, data, lengths, init_states, base)
     if isinstance(engine, NfaEngine):
         from .nfa_host import nfa_scan_host
 
@@ -331,8 +344,19 @@ def _host_engine_scan(engines, blocks, per_block) -> np.ndarray:
     for i, blk in enumerate(blocks):
         data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
         lengths[i] = len(blk)
+    from ..database import SomEngine
+
     for engine in engines:
         hits, finals = engine_scan_host(engine, data, lengths)
+        if isinstance(engine, SomEngine):
+            for bi in range(B):
+                for (t, sid, frm) in hits[bi]:
+                    for (eid, adj) in engine.expand_set(1 << (sid - 1)):
+                        per_block[bi].add(eid, t + 1 + adj, frm)
+                for (eid, adj, frm) in engine.eod_reports(finals[bi]):
+                    per_block[bi].add(eid, int(lengths[bi]) + adj, frm)
+            _add_start_reports(engine, per_block, lengths)
+            continue
         for bi in range(B):
             hp, hv = hits[bi]
             if len(hp):
@@ -391,6 +415,7 @@ def _finalize_batch(
     batch: RecordBatch,
     callback,
     seen_single: set,
+    som_horizon=None,
 ) -> Tuple[List[Match], bool]:
     """Vectorized report semantics for the no-combination case."""
     minoff, maxoff, minlen, flags, extid = _pattern_arrays(db)
@@ -404,7 +429,7 @@ def _finalize_batch(
     if batch.ranges:
         return _finalize_with_ranges(
             db, batch, callback, seen_single,
-            (minoff, maxoff, minlen, flags, extid),
+            (minoff, maxoff, minlen, flags, extid), som_horizon,
         )
     eids, tos, frms = batch.eids, batch.tos, batch.frms
     fl = flags[eids]
@@ -427,12 +452,22 @@ def _finalize_batch(
         keep[first] = True
         seen_single.update(int(e) for e in eids[first])
     eids, tos, frms, fl = eids[keep], tos[keep], frms[keep], fl[keep]
-    rep_frm = np.where((fl & HS_FLAG_SOM_LEFTMOST) != 0, frms, 0)
+    som = (fl & HS_FLAG_SOM_LEFTMOST) != 0
+    rep_frm = np.where(som, frms, 0)
+    past = None
+    if som_horizon is not None:
+        # start beyond the horizon precision (reference:
+        # HS_OFFSET_PAST_HORIZON, hs_runtime.h:615); -1 sentinel in the
+        # int64 array, mapped to the 2^64-1 constant at delivery
+        past = som & (tos - frms > som_horizon)
+        rep_frm = np.where(past, -1, rep_frm)
     ext = extid[eids]
-    if callback is None:
-        return list(zip(ext.tolist(), rep_frm.tolist(), tos.tolist())), False
-    out: List[Match] = []
     el, fl_, tl = ext.tolist(), rep_frm.tolist(), tos.tolist()
+    if past is not None and past.any():
+        fl_ = [HS_OFFSET_PAST_HORIZON if f < 0 else f for f in fl_]
+    if callback is None:
+        return list(zip(el, fl_, tl)), False
+    out: List[Match] = []
     for j in range(len(el)):
         m = (el[j], fl_[j], tl[j])
         out.append(m)
@@ -495,6 +530,7 @@ def _finalize_with_ranges(
     callback,
     seen_single: set,
     cols,
+    som_horizon=None,
 ) -> Tuple[List[Match], bool]:
     """Batch finalize with unexpanded vacuous ranges: range semantics are
     uniform per range (same pattern, frm 0), so bounds/QUIET apply to the
@@ -503,7 +539,7 @@ def _finalize_with_ranges(
     # array part: reuse the plain batch path semantics without delivery
     arr_ms, _term = _finalize_batch(
         db, RecordBatch(batch.eids, batch.tos, batch.frms), None,
-        seen_single,
+        seen_single, som_horizon,
     )
     # pieces are (min_to, max_to, kind, payload); ranges expand with
     # C-level zip(repeat, repeat, range) — no numpy materialization
@@ -522,7 +558,9 @@ def _finalize_with_ranges(
             lo = max(lo, int(minlen[eid]))
         if hi < lo:
             continue
-        pieces.append((lo, hi, "range", (int(extid[eid]), lo, hi)))
+        pieces.append((lo, hi, "range",
+                       (int(extid[eid]), lo, hi,
+                        bool(fl & HS_FLAG_SOM_LEFTMOST))))
     if not pieces:
         return [], False
     pieces.sort(key=lambda p: p[0])
@@ -535,9 +573,13 @@ def _finalize_with_ranges(
             if kind == "arr":
                 out.extend(payload)
             else:
-                (e, lo, hi) = payload
-                out.extend(zip(itertools.repeat(e), itertools.repeat(0),
-                               range(lo, hi + 1)))
+                (e, lo, hi, is_som) = payload
+                if is_som:
+                    out.extend(zip(itertools.repeat(e), range(lo, hi + 1),
+                                   range(lo, hi + 1)))
+                else:
+                    out.extend(zip(itertools.repeat(e), itertools.repeat(0),
+                                   range(lo, hi + 1)))
         return out, False
     # overlapping pieces (or callback delivery): merge by offset
     ts, es, fs = [], [], []
@@ -548,11 +590,11 @@ def _finalize_with_ranges(
             es.append(a[:, 0])
             fs.append(a[:, 1])
         else:
-            (e, lo, hi) = payload
+            (e, lo, hi, is_som) = payload
             t = np.arange(lo, hi + 1, dtype=np.int64)
             ts.append(t)
             es.append(np.full_like(t, e))
-            fs.append(np.zeros_like(t))
+            fs.append(t.copy() if is_som else np.zeros_like(t))
     tos = np.concatenate(ts)
     ext = np.concatenate(es)
     frm = np.concatenate(fs)
@@ -577,6 +619,7 @@ def finalize_reports(
     combo_matched: Optional[set] = None,
     at_end: bool = True,
     end_offset: Optional[int] = None,
+    som_horizon: Optional[int] = None,
 ) -> Tuple[List[Match], bool]:
     """Apply report semantics and deliver matches in offset order.
 
@@ -592,7 +635,8 @@ def finalize_reports(
         if not db.combos():
             # vectorized fast path: dense-match patterns (`x*` over
             # megabytes) never touch per-record Python
-            return _finalize_batch(db, records, callback, seen_single)
+            return _finalize_batch(db, records, callback, seen_single,
+                                   som_horizon)
         records = records.tuples()
 
     # stage 1: per-pattern offset bounds (sub-expression guards run before
@@ -635,6 +679,12 @@ def finalize_reports(
         # `from` is only reported under SOM_LEFTMOST (it may be tracked
         # internally for min_length without being reported)
         rep_frm = frm if (p.flags & HS_FLAG_SOM_LEFTMOST) else 0
+        if (
+            som_horizon is not None
+            and (p.flags & HS_FLAG_SOM_LEFTMOST)
+            and to - frm > som_horizon
+        ):
+            rep_frm = HS_OFFSET_PAST_HORIZON
         m = (p.external_id, rep_frm, to)
         out.append(m)
         if callback is not None:

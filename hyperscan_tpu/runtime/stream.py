@@ -29,7 +29,8 @@ import numpy as np
 
 from ..database import Database
 from ..errors import DbModeError, InvalidError, ScanTerminated
-from ..flags import HS_MODE_STREAM, HS_MODE_VECTORED, base_mode
+from ..flags import (HS_MODE_STREAM, HS_MODE_VECTORED, base_mode,
+                     som_horizon_span)
 from .lit_runtime import WINDOW_SLACK
 from .scan import Match, finalize_reports
 
@@ -113,8 +114,27 @@ def _engine_pass(db, streams, chunks, recs_abs, ranges_abs):
         a = np.frombuffer(c, dtype=np.uint8)
         data[i, : len(a)] = a
         lengths[i] = len(a)
+    from ..database import SomEngine
+
     for ei, engine in enumerate(db.engines):
         init = [st.engine_states[ei] for st in streams]
+        if isinstance(engine, SomEngine):
+            # SOM engines carry (activation, leftmost-start registers)
+            # per stream; registers hold absolute offsets
+            from .nfa_host import som_scan_host
+
+            base = np.asarray([st.offset for st in streams], np.int64)
+            hits, finals = som_scan_host(engine, data, lengths, init, base)
+            for bi, st in enumerate(streams):
+                for (t, sid, frm) in hits[bi]:
+                    for (eidx, adj) in engine.expand_set(1 << (sid - 1)):
+                        to_abs = st.offset + t + 1 + adj
+                        if to_abs >= 0:
+                            recs_abs[bi].add((eidx, to_abs, frm))
+                st.engine_states[ei] = finals[bi]
+            _vacuous_stream_reports(engine, streams, chunks, recs_abs,
+                                    ranges_abs)
+            continue
         if not isinstance(engine, NfaEngine):
             init = np.asarray(init, dtype=np.int32)
         # general engines carry per-stream state byte-serially; the
@@ -280,6 +300,7 @@ def scan_streams(
             db, sink.materialize(None), callbacks[bi],
             seen_single=st.seen_single,
             combo_matched=st.combo_matched, at_end=False,
+            som_horizon=som_horizon_span(db.mode),
         )
         st.terminated = st.terminated or terminated
         new_off = st.offset + len(chunks[bi])
@@ -325,8 +346,18 @@ def _eod_pass(stream: Stream) -> List[Tuple[int, int, int]]:
     recs: Set[Tuple[int, int, int]] = set()
     n = stream.offset
     # general engines: final-state EOD accepts + vacuous EOD reports
+    from ..database import SomEngine
+
     for ei, engine in enumerate(db.engines):
-        sid = engine.eod_set(stream.engine_states[ei])
+        if isinstance(engine, SomEngine):
+            for (eidx, adj, frm) in engine.eod_reports(
+                stream.engine_states[ei]
+            ):
+                if n + adj >= 0:
+                    recs.add((eidx, n + adj, frm))
+            sid = 0
+        else:
+            sid = engine.eod_set(stream.engine_states[ei])
         if sid:
             for (eidx, adj) in engine.expand_set(sid):
                 if n + adj >= 0:
@@ -372,6 +403,7 @@ def close_stream(
             seen_single=stream.seen_single,
             combo_matched=stream.combo_matched,
             at_end=True, end_offset=stream.offset,
+            som_horizon=som_horizon_span(stream.db.mode),
         )
     stream.closed = True
     return ms
@@ -389,6 +421,7 @@ def reset_stream(
             seen_single=stream.seen_single,
             combo_matched=stream.combo_matched,
             at_end=True, end_offset=stream.offset,
+            som_horizon=som_horizon_span(stream.db.mode),
         )
     stream.offset = 0
     stream.history = b""
@@ -420,14 +453,23 @@ def compress_stream(stream: Stream) -> bytes:
         )
     )
     parts.append(stream.history)
-    for s in stream.engine_states:
-        # length-prefixed little-endian int: bit-NFA states are position
-        # bitmasks of arbitrary width (reference: nfaQueueCompressState
-        # per-engine variable-size state blocks)
-        s = int(s)
-        nb = max(1, (s.bit_length() + 7) // 8)
-        parts.append(struct.pack("<H", nb))
-        parts.append(s.to_bytes(nb, "little"))
+    for st_v in stream.engine_states:
+        # length-prefixed per-engine state blob (reference:
+        # nfaQueueCompressState variable-size state blocks). SOM engines
+        # pack (mask, som registers); others pack a bare int
+        if isinstance(st_v, tuple):
+            mask, soms = st_v
+            mask = int(mask)
+            nb = max(1, (mask.bit_length() + 7) // 8)
+            blob = struct.pack("<BH", 1, nb) + mask.to_bytes(nb, "little")
+            blob += struct.pack("<H", len(soms))
+            blob += struct.pack(f"<{len(soms)}q", *soms)
+        else:
+            s_i = int(st_v)
+            nb = max(1, (s_i.bit_length() + 7) // 8)
+            blob = struct.pack("<BH", 0, nb) + s_i.to_bytes(nb, "little")
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
     ss = sorted(stream.seen_single)
     parts.append(struct.pack("<I", len(ss)))
     parts.append(struct.pack(f"<{len(ss)}i", *ss))
@@ -457,10 +499,18 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     off += hlen
     states = []
     for _ in range(ne):
-        (nb,) = struct.unpack_from("<H", buf, off)
-        off += 2
-        states.append(int.from_bytes(buf[off : off + nb], "little"))
-        off += nb
+        (blen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        blob = buf[off : off + blen]
+        off += blen
+        kind, nb = struct.unpack_from("<BH", blob, 0)
+        mask = int.from_bytes(blob[3 : 3 + nb], "little")
+        if kind == 1:
+            (nsom,) = struct.unpack_from("<H", blob, 3 + nb)
+            soms = struct.unpack_from(f"<{nsom}q", blob, 5 + nb)
+            states.append((mask, tuple(soms)))
+        else:
+            states.append(mask)
     (nss,) = struct.unpack_from("<I", buf, off)
     off += 4
     seen = set(struct.unpack_from(f"<{nss}i", buf, off))

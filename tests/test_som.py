@@ -79,6 +79,75 @@ def test_som_singlematch_conflict():
         hs.compile(r"attack", flags=SOM | hs.HS_FLAG_SINGLEMATCH)
 
 
-def test_som_unsupported_pattern_errors():
-    with pytest.raises(CompileError):
-        hs.compile(r"[0-9]{3}-[0-9]{4}", flags=SOM)  # no literal factor
+def test_som_without_literal_factor():
+    """General SOM: patterns without a literal factor use the
+    som-register engine (reference: Gough / ng_som planning)."""
+    import numpy as np
+
+    from hyperscan_tpu.database import SomEngine
+    from hyperscan_tpu.utils.oracle import ast_leftmost_som
+
+    db = hs.compile(r"[0-9]{3}-[0-9]{4}", flags=SOM)
+    assert any(isinstance(e, SomEngine) for e in db.engines)
+    ms = hs.scan(db, b"call 555-1212 now")
+    assert sorted(tuple(m) for m in ms) == [(0, 5, 13)]
+
+    db2 = hs.compile(r"[0-9]+x{0,3}", flags=SOM)
+    rng = np.random.default_rng(4)
+    from hyperscan_tpu.compiler.parser import parse
+
+    node = parse(r"[0-9]+x{0,3}", SOM)
+    for _ in range(40):
+        d = bytes(rng.choice(np.frombuffer(b"019x z", np.uint8),
+                             size=int(rng.integers(0, 30))))
+        got = {(m[1], m[2]) for m in hs.scan(db2, d)}
+        want = {(s0, e) for (e, s0) in ast_leftmost_som(node, d).items()}
+        assert got == want, (d, sorted(got), sorted(want))
+
+
+def test_general_som_streaming_and_serialize():
+    import numpy as np
+
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.utils.oracle import ast_leftmost_som
+
+    pat = r"[0-9]+x{0,3}"
+    node = parse(pat, SOM)
+    sdb = hs.compile(pat, flags=SOM, mode=hs.HS_MODE_STREAM)
+    sdb = hs.deserialize_database(hs.serialize_database(sdb))
+    rng = np.random.default_rng(6)
+    for _ in range(20):
+        d = bytes(rng.choice(np.frombuffer(b"019x z", np.uint8),
+                             size=int(rng.integers(2, 30))))
+        want = {(s, e) for (e, s) in ast_leftmost_som(node, d).items()}
+        k = int(rng.integers(1, 4))
+        cuts = sorted(rng.choice(len(d), size=k, replace=False).tolist())
+        st = hs.open_stream(sdb)
+        ms, prev = [], 0
+        for c in cuts + [len(d)]:
+            ms += hs.scan_stream(st, d[prev:c])
+            prev = c
+            if rng.integers(0, 3) == 0:
+                st = hs.expand_stream(sdb, hs.compress_stream(st))
+        ms += hs.close_stream(st)
+        got = {(m[1], m[2]) for m in ms}
+        assert got == want, (d, cuts, sorted(got), sorted(want))
+
+
+def test_som_horizon_past_horizon():
+    """SOM horizon tiers (reference: hs_compile.h:1184-1210,
+    HS_OFFSET_PAST_HORIZON hs_runtime.h:615)."""
+    from hyperscan_tpu.flags import (
+        HS_MODE_SOM_HORIZON_SMALL,
+        HS_OFFSET_PAST_HORIZON,
+    )
+
+    sdb = hs.compile(r"a[ab]*z", flags=SOM,
+                     mode=hs.HS_MODE_STREAM | HS_MODE_SOM_HORIZON_SMALL)
+    st = hs.open_stream(sdb)
+    ms = (hs.scan_stream(st, b"a" + b"b" * 70000)
+          + hs.scan_stream(st, b"z") + hs.close_stream(st))
+    assert [tuple(m) for m in ms] == [(0, HS_OFFSET_PAST_HORIZON, 70002)]
+    st = hs.open_stream(sdb)
+    ms2 = hs.scan_stream(st, b"xxaz") + hs.close_stream(st)
+    assert [tuple(m) for m in ms2] == [(0, 2, 4)]
