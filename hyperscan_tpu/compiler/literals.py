@@ -136,6 +136,56 @@ def _add(a: Optional[int], b: Optional[int]) -> Optional[int]:
     return None if (a is None or b is None) else a + b
 
 
+# cap on product alternatives when extending a literal run through
+# alternations (reference: hwlm literal sets per pattern)
+MAX_ALT_FACTORS = 8
+
+
+def _lits(node: Node) -> Optional[List[Tuple[LitAtom, ...]]]:
+    """All literalizations of a node as atom tuples, or None when the
+    node isn't a small set of fixed strings. Lets factor runs extend
+    through alternations: `v4\\.(exe|dll)` yields {v4.exe, v4.dll}
+    instead of stopping at the 3-byte prefix."""
+    if isinstance(node, Empty):
+        return [()]
+    if isinstance(node, Pos):
+        a = _pos_atom(node)
+        return None if a is None else [(a,)]
+    if isinstance(node, Alt):
+        out: List[Tuple[LitAtom, ...]] = []
+        for c in node.children:
+            sub = _lits(c)
+            if sub is None:
+                return None
+            out.extend(sub)
+            if len(out) > MAX_ALT_FACTORS:
+                return None
+        return out
+    if isinstance(node, Seq):
+        cur: List[Tuple[LitAtom, ...]] = [()]
+        for c in node.children:
+            sub = _lits(c)
+            if sub is None:
+                return None
+            cur = [a + b for a in cur for b in sub]
+            if len(cur) > MAX_ALT_FACTORS:
+                return None
+        return cur
+    if isinstance(node, Rep):
+        if node.hi != node.lo or node.lo > 4:
+            return None
+        sub = _lits(node.child)
+        if sub is None:
+            return None
+        cur = [()]
+        for _ in range(node.lo):
+            cur = [a + b for a in cur for b in sub]
+            if len(cur) > MAX_ALT_FACTORS:
+                return None
+        return cur
+    return None
+
+
 def _mul(a: Optional[int], k: Optional[int]) -> Optional[int]:
     if a is None or k is None:
         return None
@@ -200,34 +250,35 @@ def _analyze(node: Node) -> _Res:
 
     options: List[Tuple[Tuple, List[FactorInfo]]] = []
 
-    # (a) literal runs across consecutive single-atom children
-    i = 0
-    while i < len(rs):
-        atom = _pos_atom(node.children[i])
-        if atom is None:
-            i += 1
+    # (a) literal runs across consecutive literalizable children — single
+    # atoms AND small alternation products (`x12(GET|POST)` contributes
+    # {x12GET, x12POST}), per the reference's multi-literal hwlm sets
+    child_lits = [_lits(c) for c in node.children]
+    for i in range(len(rs)):
+        if child_lits[i] is None:
             continue
+        prods: List[Tuple[LitAtom, ...]] = [()]
         j = i
-        atoms: List[LitAtom] = []
-        while j < len(rs):
-            a = _pos_atom(node.children[j])
-            if a is None:
+        while j < len(rs) and child_lits[j] is not None:
+            cand = [a + b for a in prods for b in child_lits[j]]
+            if len(cand) > MAX_ALT_FACTORS:
                 break
-            atoms.append(a)
+            prods = cand
             j += 1
-        if len(atoms) >= 2:
-            # trim over-long runs to the last MAX_FACTOR_LEN atoms
-            run = atoms[-MAX_FACTOR_LEN:]
-            k_end = j - 1  # child index of last atom
-            fi = FactorInfo(
+        if j == i or min(len(p) for p in prods) < 2:
+            continue
+        infos = []
+        for p in prods:
+            L = len(p)
+            run = p[-MAX_FACTOR_LEN:]
+            infos.append(FactorInfo(
                 Factor(tuple(run)),
-                min_start_to_fend=pre_min[k_end] + 1,
-                max_start_to_fend=_add(pre_max[k_end], 1),
-                min_fend_to_end=suf_min[k_end],
-                max_fend_to_end=suf_max[k_end],
-            )
-            options.append((_set_score([fi]), [fi]))
-        i = j
+                min_start_to_fend=pre_min[i] + L,
+                max_start_to_fend=_add(pre_max[i], L),
+                min_fend_to_end=suf_min[j - 1],
+                max_fend_to_end=suf_max[j - 1],
+            ))
+        options.append((_set_score(infos), infos))
 
     # (b) each child's own factor set, shifted by surrounding widths
     for i, r in enumerate(rs):

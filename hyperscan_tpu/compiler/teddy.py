@@ -55,8 +55,25 @@ class TeddyPlan:
 def build_teddy(factors: Sequence[Factor]) -> TeddyPlan:
     n = len(factors)
     M, B, W = plan_shape(n)
-    # bucket by length so short factors don't dilute long buckets' AND depth
-    order = sorted(range(n), key=lambda i: (len(factors[i]), factors[i].key()))
+    # bucket by (length class, reversed tail): factors sharing suffix
+    # bytes land together, keeping each bucket's per-position byte-set
+    # unions tight — the candidate rate is the product of those unions'
+    # densities (reference: assignStringsToBuckets packs by a
+    # similar-cost heuristic, src/fdr/teddy_compile.cpp:624). Short
+    # factors sort together so their all-pass padding rows poison few
+    # buckets.
+    def tail_key(i: int):
+        f = factors[i]
+        rev = []
+        for m in range(M):
+            if m < len(f):
+                a = f.atoms[-1 - m]
+                rev.append((int(a.value), int(a.mask)))
+            else:
+                rev.append((256, 0))  # short-factor sentinel
+        return (min(len(f), M), tuple(rev), f.key())
+
+    order = sorted(range(n), key=tail_key)
     buckets: List[List[int]] = [[] for _ in range(B)]
     bucket_of = [0] * n
     per = (n + B - 1) // B
