@@ -256,13 +256,10 @@ def _lit_key(lit) -> int:
     return lit._teddy_key
 
 
-@functools.lru_cache(maxsize=64)
-def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
+def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                         cap1: int, cap2: int, interpret: bool):
-    from ..runtime.lit_runtime import confirm_device_tables
-
-    lit = _LITS[lit_key]
-    groups = confirm_device_tables(lit)
+    """Traced body of the fused filter+confirm: shared by the
+    single-device jit and the shard_map multi-chip path."""
     R = ROWS_PER_CELL
     cap1_chunks = max(64, cap1 // 16)
     cap2_chunks = max(64, cap2 // 16)
@@ -362,7 +359,19 @@ def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
         )
         return meta1, meta2, packed2
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
+                        cap1: int, cap2: int, interpret: bool):
+    from ..runtime.lit_runtime import confirm_device_tables
+
+    lit = _LITS[lit_key]
+    groups = confirm_device_tables(lit)
+    return jax.jit(
+        filter_confirm_body(groups, M, W, n_cells, cap1, cap2, interpret)
+    )
 
 
 def teddy_confirm_scan(

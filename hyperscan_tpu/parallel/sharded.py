@@ -221,3 +221,150 @@ def sharded_scan_matches(engine, data: np.ndarray, lengths: np.ndarray,
         jnp.asarray(data),
         jnp.asarray(lengths),
     )
+
+
+# --------------------------------------------------------------------------
+# Product-path sharding: the real literal pipeline (fused teddy filter +
+# hash confirm) data-parallel over the mesh. Blocks partition contiguously
+# across chips; each chip filters+confirms its shard; fixed-capacity
+# confirmed-pair buffers all_gather over ICI; host stages run per shard
+# group (BASELINE north star: >=80 % linear scaling of the real path).
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_sharded_confirm(lit_key: int, mesh: Mesh, M: int, W: int,
+                         n_cells: int, cap1: int, cap2: int,
+                         interpret: bool):
+    from ..ops.teddy import _LITS, filter_confirm_body
+    from ..runtime.lit_runtime import confirm_device_tables
+
+    groups = confirm_device_tables(_LITS[lit_key])
+    body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2, interpret)
+
+    def per_dev(rows, masks, nv, h_tables, f_tables):
+        m1, m2, p2 = body(rows[0], masks, nv[0, 0], h_tables, f_tables)
+        g = lambda x: jax.lax.all_gather(x, SHARD_AXIS)  # noqa: E731
+        return g(m1), g(m2), g(p2)
+
+    fn = shard_map(
+        per_dev,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def partition_blocks(blocks, n_shards: int):
+    """Contiguous block partition balancing total bytes per shard."""
+    total = sum(len(b) for b in blocks)
+    target = max(1, -(-total // n_shards))
+    groups = []
+    cur = []
+    acc = 0
+    for i, b in enumerate(blocks):
+        cur.append(i)
+        acc += len(b)
+        if acc >= target and len(groups) < n_shards - 1:
+            groups.append(cur)
+            cur, acc = [], 0
+    groups.append(cur)
+    while len(groups) < n_shards:
+        groups.append([])
+    return groups
+
+
+def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
+    """Fused filter+confirm of a block batch sharded across the mesh.
+
+    Returns per-shard (block_indices, fid_array, flat_pos_array,
+    corpus_array, starts, ends) — hash-matched pairs, to be exact-verified
+    and window-validated by the host stages per shard group.
+    """
+    import numpy as np
+
+    from ..ops.teddy import (
+        ROWS_PER_CELL,
+        _lit_key,
+        corpus_to_rows,
+        get_capacity_hint,
+        set_capacity_hint,
+    )
+    from ..runtime.lit_runtime import confirm_device_tables
+
+    D = mesh.devices.size
+    groups_blocks = partition_blocks(blocks, D)
+    shard_meta = []
+    corpora = []
+    for g in groups_blocks:
+        lens = np.asarray([len(blocks[i]) for i in g], dtype=np.int64)
+        starts = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        ends = starts + lens
+        corpus = (
+            np.concatenate(
+                [np.frombuffer(blocks[i], np.uint8) for i in g]
+            )
+            if len(g) and int(lens.sum())
+            else np.zeros(0, np.uint8)
+        )
+        corpora.append(corpus)
+        shard_meta.append((g, starts, ends))
+
+    cell = ROWS_PER_CELL * 128
+    n_cells = max(1, max(-(-c.shape[0] // cell) for c in corpora))
+    rows = np.zeros((D, 1 + n_cells * ROWS_PER_CELL, 128), np.uint8)
+    n_valid = np.zeros((D, 1, 1), np.int32)
+    for d, corpus in enumerate(corpora):
+        r = corpus_to_rows(corpus)
+        rows[d, : r.shape[0]] = r
+        n_valid[d, 0, 0] = corpus.shape[0]
+
+    conf = confirm_device_tables(lit)
+    if not hasattr(lit, "_dev_tables"):
+        lit._dev_tables = (
+            jnp.asarray(lit.masks),
+            tuple(jnp.asarray(g[3]) for g in conf),
+            tuple(jnp.asarray(g[4]) for g in conf),
+        )
+    masks_d, h_tables, f_tables = lit._dev_tables
+    M, W = int(lit.masks.shape[0]), int(lit.masks.shape[1])
+    interpret = jax.default_backend() == "cpu"
+    key = _lit_key(lit)
+
+    cap1 = capacity
+    cap2 = max(1 << 12, capacity // 4)
+    hint = get_capacity_hint(lit, "teddy_sh")
+    if hint:
+        cap1 = max(cap1, hint[0])
+        cap2 = max(cap2, hint[1])
+    rows_j = jnp.asarray(rows)
+    nv_j = jnp.asarray(n_valid)
+    while True:
+        fn = _jit_sharded_confirm(key, mesh, M, W, n_cells, cap1, cap2,
+                                  interpret)
+        m1, m2, p2 = fn(rows_j, masks_d, nv_j, h_tables, f_tables)
+        m1 = np.asarray(m1)
+        m2 = np.asarray(m2)
+        t1 = int(m1[:, 0].max())
+        t2 = int(m2[:, 0].max())
+        if t1 <= cap1 and t2 <= cap2:
+            break
+        if t1 > cap1:
+            cap1 = 1 << (t1 - 1).bit_length()
+        if t2 > cap2:
+            cap2 = 1 << (t2 - 1).bit_length()
+    set_capacity_hint(lit, "teddy_sh", cap1, cap2)
+
+    p2 = np.asarray(p2)  # [D, 3, cap2]
+    out = []
+    for d, (g, starts, ends) in enumerate(shard_meta):
+        k = min(int(m2[d, 0]), cap2)
+        fid = p2[d, 1, :k].astype(np.int64) - 1
+        pos = p2[d, 2, :k].astype(np.int64)
+        keep = fid >= 0
+        out.append((g, fid[keep], pos[keep], corpora[d], starts, ends))
+    return out

@@ -196,19 +196,37 @@ def _engine_device_arrays(engine: DfaEngine):
 
 
 def scan_blocks_raw(
-    db: Database, blocks: Sequence[bytes], capacity: int
+    db: Database, blocks: Sequence[bytes], capacity: int, mesh=None
 ) -> List[RecordBatch]:
     """Scan a batch of independent blocks; returns per-block RecordBatch
     of internal (expr_index, to, from) records (pre report-processing),
     deduped and sorted. Capacity overflow retries happen inside the
-    device kernel wrappers (teddy_scan_rows / dfa_scan_corpus_device)."""
+    device kernel wrappers (teddy_scan_rows / dfa_scan_corpus_device).
+    With `mesh`, the literal pipeline shards blocks data-parallel across
+    the device mesh (parallel.sharded)."""
     B = len(blocks)
     per_block: List[RecordSink] = [RecordSink() for _ in range(B)]
 
     # literal path: Teddy filter over the concatenated corpus, then
     # confirm + window validation (reference: Rose floating literal
     # matcher path, src/rose/block.c roseBlockFloating)
-    if db.lit is not None:
+    total_lit_bytes = sum(len(b) for b in blocks)
+    if db.lit is not None and mesh is not None \
+            and total_lit_bytes > 1 << 16:
+        from ..parallel.sharded import sharded_literal_confirm
+        from .lit_runtime import finish_confirmed, verify_pairs
+
+        for (g, fid_a, p_a, corpus_d, starts_d, ends_d) in \
+                sharded_literal_confirm(db.lit, blocks, mesh, capacity):
+            if not len(g):
+                continue
+            fid_a, p_a = verify_pairs(db.lit, corpus_d, starts_d, fid_a, p_a)
+            recs = finish_confirmed(
+                db, corpus_d, starts_d, ends_d, fid_a, p_a
+            )
+            for (bi_local, eidx, to, frm) in recs:
+                per_block[g[bi_local]].add(eidx, to, frm)
+    elif db.lit is not None:
         from .lit_runtime import scan_literal_path
 
         lens = np.asarray([len(b) for b in blocks], dtype=np.int64)
@@ -719,14 +737,17 @@ def scan_batch(
     db: Database,
     blocks: Sequence[bytes],
     scratch: Optional[Scratch] = None,
+    mesh=None,
 ) -> List[List[Match]]:
     """Batched block scan — the TPU-native entry point: many blocks advance
     in lockstep across VPU lanes (reference's per-core thread model
-    replaced by batch parallelism)."""
+    replaced by batch parallelism). Pass a `jax.sharding.Mesh` to shard
+    the batch data-parallel across chips (SURVEY §2.11)."""
     if base_mode(db.mode) != HS_MODE_BLOCK:
         raise DbModeError("database not compiled for block mode")
     scratch = scratch or Scratch()
-    all_recs = scan_blocks_raw(db, [bytes(b) for b in blocks], scratch.capacity)
+    all_recs = scan_blocks_raw(db, [bytes(b) for b in blocks],
+                               scratch.capacity, mesh=mesh)
     return [
         finalize_reports(db, recs, end_offset=len(blocks[i]))[0]
         for i, recs in enumerate(all_recs)

@@ -132,3 +132,29 @@ def test_sharded_teddy_count():
     got = sharded_teddy_count(corpus, db2.lit.masks, mesh)
     pos, _w = teddy_filter_host(corpus, db2.lit.masks)
     assert got == len(pos) and got >= 4
+
+
+def test_sharded_scan_batch_product_path():
+    """scan_batch(mesh=...) runs the real literal pipeline sharded and
+    must reproduce single-device match tuples exactly (SURVEY §2.11)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.parallel.sharded import make_mesh
+
+    pats = ["attack" + str(i) if i % 2 else rf"q{i}h[a-f0-9]{{4}}"
+            for i in range(120)]
+    db = hs.compile_multi(pats, ids=list(range(120)))
+    rng = np.random.default_rng(3)
+    blocks = []
+    for b in range(19):
+        c = (32 + rng.integers(
+            0, 95, size=int(rng.integers(3000, 50000)))).astype(np.uint8)
+        i = int(rng.integers(0, len(c) - 20))
+        c[i : i + 8] = np.frombuffer(b"attack1 ", np.uint8)
+        blocks.append(c.tobytes())
+    mesh = make_mesh(8)
+    single = hs.scan_batch(db, blocks)
+    sharded = hs.scan_batch(db, blocks, mesh=mesh)
+    assert all(sorted(a) == sorted(b) for a, b in zip(single, sharded))
+    assert sum(len(x) for x in single) >= 19
