@@ -236,6 +236,76 @@ class NfaEngine:
 
 
 @dataclasses.dataclass
+class LbrEngine:
+    """Large-bounded-repeat engine — `X{n,m}` patterns as a run-length
+    counter instead of n expanded positions (reference: src/nfa/lbr.c +
+    repeat models, src/nfa/repeat_internal.h:50-91).
+
+    Match-end semantics of a floating `X{n,m}`: offset e matches iff the
+    run of class-X bytes ending at e has length >= n (any n-length
+    sub-run ends there); m never affects the end set. State carried
+    across stream writes is the current run length (one int — the O(1)
+    repeat state the reference's ring/counter models exist for).
+    """
+
+    class_bits: np.ndarray  # [256] bool
+    lo: int
+    hi: Optional[int]
+    eidx: int  # expression index reported
+    max_depth: Optional[int] = None  # scans host-vectorized; no halo path
+    start_reports: List[Tuple[bool, bool, int, int]] = dataclasses.field(
+        default_factory=list
+    )
+
+    @property
+    def start_state(self) -> int:
+        return 0  # run length so far
+
+    @property
+    def float_state(self) -> int:
+        return 0
+
+    @property
+    def num_states(self) -> int:
+        return 1
+
+    def expand_set(self, _sid: int) -> List[Tuple[int, int]]:
+        return [(self.eidx, 0)]
+
+    def eod_set(self, _state: int) -> int:
+        return 0
+
+    def scan_runs(self, data: np.ndarray, lengths: np.ndarray,
+                  init_runs) -> Tuple[List[np.ndarray], List[int]]:
+        """Vectorized run-length scan of a [B, L] batch.
+
+        Returns (per-row arrays of matching byte indices t — report
+        to = t + 1 — and final run lengths)."""
+        B, L = data.shape
+        hits: List[np.ndarray] = []
+        finals: List[int] = []
+        inc = self.class_bits
+        for b in range(B):
+            n = int(lengths[b])
+            row = data[b, :n]
+            good = inc[row]
+            if n == 0:
+                hits.append(np.zeros(0, dtype=np.int64))
+                finals.append(int(init_runs[b]))
+                continue
+            idx = np.arange(n, dtype=np.int64)
+            lastbad = np.maximum.accumulate(np.where(~good, idx, -1))
+            run = idx - lastbad
+            # carried prefix run extends runs that start at offset 0
+            carry = int(init_runs[b])
+            if carry:
+                run = np.where(lastbad == -1, run + carry, run)
+            hits.append(np.flatnonzero(run >= self.lo).astype(np.int64))
+            finals.append(int(run[-1]))
+        return hits, finals
+
+
+@dataclasses.dataclass
 class SomEngine(NfaEngine):
     """Bit-NFA with leftmost-start (SOM) registers — the Gough analogue
     (reference: src/nfa/gough.c SOM register file, src/som/slot_manager;
@@ -401,6 +471,15 @@ class Database:
 
     @classmethod
     def _pack_engine(cls, e, prefix: str, arrays: Dict) -> dict:
+        if isinstance(e, LbrEngine):
+            arrays[f"{prefix}_class_bits"] = e.class_bits
+            return {
+                "kind": "lbr",
+                "lo": e.lo,
+                "hi": e.hi,
+                "eidx": e.eidx,
+                "start_reports": e.start_reports,
+            }
         if isinstance(e, NfaEngine):
             for name in cls._NFA_ENGINE_ARRAYS:
                 arrays[f"{prefix}_{name}"] = getattr(e, name)
@@ -424,6 +503,14 @@ class Database:
     @classmethod
     def _unpack_engine(cls, em: dict, prefix: str, z):
         md = em.get("max_depth")
+        if em.get("kind") == "lbr":
+            return LbrEngine(
+                class_bits=z[f"{prefix}_class_bits"],
+                lo=int(em["lo"]),
+                hi=None if em["hi"] is None else int(em["hi"]),
+                eidx=int(em["eidx"]),
+                start_reports=[tuple(r) for r in em["start_reports"]],
+            )
         if em.get("kind") in ("nfa", "som"):
             kw = {name: z[f"{prefix}_{name}"] for name in cls._NFA_ENGINE_ARRAYS}
             if em["kind"] == "som":
@@ -792,6 +879,27 @@ def _build_bitnfa_engine(
     return NfaEngine.from_bitnfa(nfa, max_depth=width)
 
 
+LBR_MIN_REPEAT = 32  # below this, position expansion is cheap enough
+
+
+def detect_lbr(node) -> Optional[Tuple[np.ndarray, int, Optional[int]]]:
+    """(class_bits, lo, hi) when the whole pattern is a floating
+    `X{n,m}` single-class repeat with large n (reference: ng_lbr.cpp
+    isLBR selection). Detected on the AST, BEFORE Glushkov expansion, so
+    huge counts never materialize positions."""
+    from .compiler.ast import Pos, Rep, Seq
+
+    while isinstance(node, Seq) and len(node.children) == 1:
+        node = node.children[0]
+    if not (isinstance(node, Rep) and isinstance(node.child, Pos)):
+        return None
+    if node.child.bos or node.child.eos:
+        return None
+    if node.lo < LBR_MIN_REPEAT:
+        return None
+    return node.child.cr.bits.copy(), int(node.lo), node.hi
+
+
 def _build_som_engine(g: NFAGraph, eidx: int,
                       width: Optional[int]) -> SomEngine:
     """Gough-analogue SOM engine: bit-NFA tables + hop mask."""
@@ -895,9 +1003,24 @@ def compile_patterns(
                 raise CompileError("empty literal", i)
         else:
             node = parse(expr, f, i)
-        g = build_nfa(node)
         e = ext[i] or ExprExt()
         fuzzy = bool(e.edit_distance or e.hamming_distance)
+        if not fuzzy and not (f & HS_FLAG_SOM_LEFTMOST) \
+                and not e.min_length and not literal:
+            lbr = detect_lbr(node)
+            if lbr is not None:
+                # counter engine: no Glushkov expansion, O(1) state
+                bits, lo, hi = lbr
+                patterns.append(PatternInfo(
+                    external_id=ids[i], flags=f,
+                    min_offset=e.min_offset, max_offset=e.max_offset,
+                    min_width=lo, max_width=hi,
+                ))
+                som_engines.append(LbrEngine(
+                    class_bits=bits, lo=lo, hi=hi, eidx=i,
+                ))
+                continue
+        g = build_nfa(node)
         if fuzzy:
             if e.edit_distance and e.hamming_distance:
                 raise CompileError(

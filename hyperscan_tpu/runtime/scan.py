@@ -264,10 +264,10 @@ def scan_blocks_raw(
     lengths = np.asarray([len(b) for b in blocks], dtype=np.int32)
     blocks_b = [bytes(b) for b in blocks]
     host_engines = []
-    from ..database import SomEngine
+    from ..database import LbrEngine, SomEngine
 
     for engine in db.engines:
-        if isinstance(engine, SomEngine):
+        if isinstance(engine, (SomEngine, LbrEngine)):
             host_engines.append(engine)
             continue
         if isinstance(engine, NfaEngine):
@@ -362,9 +362,16 @@ def _host_engine_scan(engines, blocks, per_block) -> np.ndarray:
     for i, blk in enumerate(blocks):
         data[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
         lengths[i] = len(blk)
-    from ..database import SomEngine
+    from ..database import LbrEngine, SomEngine
 
     for engine in engines:
+        if isinstance(engine, LbrEngine):
+            runs, _finals = engine.scan_runs(
+                data, lengths, [0] * B
+            )
+            for bi in range(B):
+                per_block[bi].add_batch(engine.eidx, runs[bi] + 1)
+            continue
         hits, finals = engine_scan_host(engine, data, lengths)
         if isinstance(engine, SomEngine):
             for bi in range(B):

@@ -114,10 +114,27 @@ def _engine_pass(db, streams, chunks, recs_abs, ranges_abs):
         a = np.frombuffer(c, dtype=np.uint8)
         data[i, : len(a)] = a
         lengths[i] = len(a)
-    from ..database import SomEngine
+    from ..database import LbrEngine, SomEngine
 
     for ei, engine in enumerate(db.engines):
         init = [st.engine_states[ei] for st in streams]
+        if isinstance(engine, LbrEngine):
+            # counter engine: one carried run length per stream; match
+            # ends inside a run are contiguous, so emit to-ranges
+            runs, finals = engine.scan_runs(data, lengths, init)
+            for bi, st in enumerate(streams):
+                r = runs[bi]
+                if len(r):
+                    tos = st.offset + r + 1
+                    cuts = np.flatnonzero(np.diff(tos) > 1)
+                    los = np.concatenate([[0], cuts + 1])
+                    his = np.concatenate([cuts, [len(tos) - 1]])
+                    for (a, b) in zip(los.tolist(), his.tolist()):
+                        ranges_abs[bi].append(
+                            (engine.eidx, int(tos[a]), int(tos[b]))
+                        )
+                st.engine_states[ei] = int(finals[bi])
+            continue
         if isinstance(engine, SomEngine):
             # SOM engines carry (activation, leftmost-start registers)
             # per stream; registers hold absolute offsets

@@ -136,3 +136,44 @@ def test_reverse_graph_som_roundtrip():
             for (_e, adj) in rev.accept_sets[aid]:
                 starts.add(j + adj)
     assert starts == {0, 1, 2}
+
+
+def test_lbr_counter_engine():
+    """`X{n,m}` with large n compiles to the counter engine in O(1)
+    states, independent of n (reference: src/nfa/lbr.c + repeat models,
+    repeat_internal.h:50-91)."""
+    import time
+
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.database import LbrEngine
+    from hyperscan_tpu.utils.oracle import ast_match_ends
+
+    t0 = time.time()
+    db = hs.compile_multi(
+        [rf"[0-9]{{{500 + i},{1000 + i}}}" for i in range(50)]
+        + [rf"[^ ]{{{5000 + i},}}" for i in range(50)],
+        ids=list(range(100)),
+    )
+    dt = time.time() - t0
+    assert dt < 5.0, f"LBR compile took {dt:.1f}s"
+    assert all(isinstance(e, LbrEngine) for e in db.engines)
+    assert db.state_count() == 100  # one counter per pattern
+
+    ms = hs.scan(db, b"x" + b"7" * 600 + b" tail")
+    got0 = sorted(m[2] for m in ms if m[0] == 0)
+    assert got0[0] == 501 and got0[-1] == 601 and len(got0) == 101
+
+    # oracle differential at a feasible scale
+    pat = r"[0-9]{40,60}"
+    db2 = hs.compile_multi([pat])
+    node = parse(pat, 0)
+    rng = np.random.default_rng(9)
+    for _ in range(15):
+        d = bytes(rng.choice(np.frombuffer(b"0123x", np.uint8),
+                             p=[0.24, 0.24, 0.24, 0.24, 0.04],
+                             size=int(rng.integers(0, 180))))
+        got2 = {t for (_i, _f, t) in hs.scan(db2, d)}
+        assert got2 == ast_match_ends(node, d)
