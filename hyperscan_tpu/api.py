@@ -181,7 +181,11 @@ def clone_scratch(scratch: Scratch) -> Scratch:
 
 
 def scratch_size(scratch: Scratch) -> int:
-    return scratch.capacity * 12  # 3 int32 buffers
+    """reference: hs_scratch_size. Device buffers are functional (XLA
+    owns them), so the scratch's host footprint is its match-capacity
+    policy: the packed candidate fetch buffers (pos + value rows, int32)
+    plus the record sink bookkeeping."""
+    return scratch.capacity * 3 * 4
 
 
 # --- serialization ----------------------------------------------------------
@@ -233,7 +237,25 @@ def expression_info(expression: str, flags: int = 0) -> dict:
 
 def expression_ext_info(expression: str, flags: int = 0,
                         ext: Optional[ExprExt] = None) -> dict:
+    """reference: hs_expression_ext_info — width info adjusted for the
+    extended parameters (min/max offset clamp widths; edit/Hamming
+    distance widens them, src/hs.cpp)."""
     info = expression_info(expression, flags)
+    if ext is None:
+        return info
+    min_w, max_w = info["min_width"], info["max_width"]
+    if ext.edit_distance:
+        min_w = max(0, min_w - ext.edit_distance)
+        if max_w != 0xFFFFFFFF:
+            max_w = max_w + ext.edit_distance
+    if ext.min_length:
+        min_w = max(min_w, ext.min_length)
+    if ext.max_offset != UNBOUNDED and max_w != 0xFFFFFFFF:
+        # a match cannot be wider than its end offset bound
+        max_w = min(max_w, ext.max_offset)
+    if max_w != 0xFFFFFFFF and min_w > max_w:
+        min_w = max_w
+    info["min_width"], info["max_width"] = min_w, max_w
     return info
 
 
