@@ -44,11 +44,32 @@ def dump(db) -> None:
             print(f"  factor {fid}: {txt!r} -> exprs {refs}")
         if lit.num_factors > 40:
             print(f"  ... {lit.num_factors - 40} more factors")
+    if db.lit is not None and db.lit.chains:
+        for eidx, ch in sorted(db.lit.chains.items()):
+            gaps = ", ".join(
+                f"[{lo},{'inf' if hi is None else hi}]"
+                for (lo, hi) in zip(ch.gap_lo, ch.gap_hi)
+            )
+            print(f"Chain expr {eidx}: {ch.num_roles} roles, gaps {gaps}")
+    from hyperscan_tpu.database import LbrEngine, NfaEngine, SomEngine
+
     for ei, e in enumerate(db.engines):
-        exprs = sorted(set(e.set_exprs.tolist()))
         depth = "unbounded" if e.max_depth is None else str(e.max_depth)
-        print(f"DFA engine {ei}: states={e.num_states} "
-              f"classes={e.trans.shape[1]} depth={depth} exprs={exprs}")
+        if isinstance(e, LbrEngine):
+            print(f"LBR engine {ei}: repeat[{e.lo},"
+                  f"{'inf' if e.hi is None else e.hi}] expr={e.eidx}")
+        elif isinstance(e, SomEngine):
+            exprs = sorted(set(e.set_exprs.tolist()))
+            print(f"SOM-NFA engine {ei}: positions={e.num_positions} "
+                  f"depth={depth} exprs={exprs}")
+        elif isinstance(e, NfaEngine):
+            exprs = sorted(set(e.set_exprs.tolist()))
+            print(f"bit-NFA engine {ei}: positions={e.num_positions} "
+                  f"acyclic={e.acyclic} depth={depth} exprs={exprs}")
+        else:
+            exprs = sorted(set(e.set_exprs.tolist()))
+            print(f"DFA engine {ei}: states={e.num_states} "
+                  f"classes={e.trans.shape[1]} depth={depth} exprs={exprs}")
 
 
 def main(argv=None) -> int:
