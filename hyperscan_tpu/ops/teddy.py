@@ -357,7 +357,10 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
         meta2, packed2 = sparse_extract(
             [fid_flat, pos_flat], fid_flat.shape[0], cap2, cap2_chunks
         )
-        return meta1, meta2, packed2
+        # one [4] meta buffer = one host fetch round trip (the tunnel
+        # costs ~30ms per fetch)
+        meta = jnp.concatenate([meta1, meta2])
+        return meta, packed2
 
     return run
 
@@ -417,12 +420,11 @@ def teddy_confirm_scan_rows(
         cap2 = max(cap2, hint[1])
     while True:
         run = _jit_filter_confirm(key, M, W, n_cells, cap1, cap2, interpret)
-        meta1, meta2, packed2 = run(
+        meta, packed2 = run(
             rows_all, masks_d, jnp.int32(n_valid),
             h_tables, f_tables,
         )
-        t1, _h1 = (int(x) for x in np.asarray(meta1))
-        t2, _h2 = (int(x) for x in np.asarray(meta2))
+        t1, _h1, t2, _h2 = (int(x) for x in np.asarray(meta))
         if t1 <= cap1 and t2 <= cap2:
             break
         if t1 > cap1:
@@ -431,6 +433,9 @@ def teddy_confirm_scan_rows(
             cap2 = 1 << (t2 - 1).bit_length()
     set_capacity_hint(lit, "teddy_c", cap1, cap2)
     k = min(t2, cap2)
+    if k == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
     got = np.asarray(packed2[:, :k])
     fid = got[1].astype(np.int64) - 1
     pos = got[2].astype(np.int64)

@@ -243,15 +243,15 @@ def _jit_sharded_confirm(lit_key: int, mesh: Mesh, M: int, W: int,
     body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2, interpret)
 
     def per_dev(rows, masks, nv, h_tables, f_tables):
-        m1, m2, p2 = body(rows[0], masks, nv[0, 0], h_tables, f_tables)
+        meta, p2 = body(rows[0], masks, nv[0, 0], h_tables, f_tables)
         g = lambda x: jax.lax.all_gather(x, SHARD_AXIS)  # noqa: E731
-        return g(m1), g(m2), g(p2)
+        return g(meta), g(p2)
 
     fn = shard_map(
         per_dev,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS), P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -346,11 +346,11 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
     while True:
         fn = _jit_sharded_confirm(key, mesh, M, W, n_cells, cap1, cap2,
                                   interpret)
-        m1, m2, p2 = fn(rows_j, masks_d, nv_j, h_tables, f_tables)
-        m1 = np.asarray(m1)
-        m2 = np.asarray(m2)
-        t1 = int(m1[:, 0].max())
-        t2 = int(m2[:, 0].max())
+        meta, p2 = fn(rows_j, masks_d, nv_j, h_tables, f_tables)
+        meta = np.asarray(meta)
+        m2 = meta[:, 2:]
+        t1 = int(meta[:, 0].max())
+        t2 = int(meta[:, 2].max())
         if t1 <= cap1 and t2 <= cap2:
             break
         if t1 > cap1:
