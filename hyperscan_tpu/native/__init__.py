@@ -70,6 +70,16 @@ def _build() -> Optional[ctypes.CDLL]:
         _I32P, _I32P, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.hstpu_somnfa_scan_batch.restype = ctypes.c_int64
+    lib.hstpu_somnfa_scan_batch.argtypes = [
+        _U64P, _I32P, _I32P, _I32P,
+        _I32P, _I32P, ctypes.c_int32,
+        _I32P, _I32P, ctypes.c_int32,
+        _I32P, ctypes.c_int32, ctypes.c_int32,
+        _U8P, ctypes.c_int64, ctypes.c_int64, _I32P, _I64P,
+        _U64P, _I64P, _U8P,
+        _I32P, _I32P, _I32P, _I64P, ctypes.c_int64,
+    ]
     lib.hstpu_bitnfa_scan_batch.restype = ctypes.c_int64
     lib.hstpu_bitnfa_scan_batch.argtypes = [
         _U64P, _U64P, _I32P, _I32P, _U64P, _U64P, _U64P,
@@ -195,10 +205,100 @@ def bitnfa_scan_batch_native(engine, data, lengths, init_states):
     return _split_hits(int(n), out_row, out_pos, out_bits, B), finals
 
 
+def _som_c_arrays(engine):
+    if not hasattr(engine, "_som_c"):
+        P = engine.num_positions
+        F = engine.follow
+        succ_off = [0]
+        succ_idx = []
+        for u in range(P):
+            vs = np.flatnonzero(F[u])
+            succ_idx.extend(int(v) for v in vs)
+            succ_off.append(len(succ_idx))
+        hop = engine.hop_mask.astype(np.int32)
+        ent = np.flatnonzero(engine.float_mask).astype(np.int32)
+        anc = np.flatnonzero(engine.anch_mask).astype(np.int32)
+        engine._som_c = (
+            np.ascontiguousarray(succ_off, dtype=np.int32),
+            np.ascontiguousarray(succ_idx, dtype=np.int32),
+            np.ascontiguousarray(ent),
+            np.ascontiguousarray(hop[ent]),
+            np.ascontiguousarray(anc),
+            np.ascontiguousarray(hop[anc]),
+        )
+    return engine._som_c
+
+
 def somnfa_scan_batch_native(engine, data, lengths, init_states,
                              base_offsets):
-    """SOM-register NFA scan (native impl pending; numpy path used)."""
-    return None
+    """SOM-register NFA scan. Returns (hits per row
+    [(pos, set_id, frm)...], final (mask, soms) states) or None."""
+    lib = get_lib()
+    if lib is None or engine.num_sets > 16:
+        return None
+    from ..runtime.nfa_host import _int_to_words, _words_to_int, pack_words
+
+    _fw, reach_w, _flw, _aw, _acc, KW = pack_words(engine)
+    if KW > 64:
+        return None
+    P = engine.num_positions
+    B, L = data.shape
+    succ_off, succ_idx, ent, ent_hop, anc, anc_hop = _som_c_arrays(engine)
+    gid = np.ascontiguousarray(engine.accept_gid, dtype=np.int32)
+    b2c = np.ascontiguousarray(engine.byte_to_class, dtype=np.int32)
+    data = np.ascontiguousarray(data)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    base = np.ascontiguousarray(base_offsets, dtype=np.int64)
+    INF = np.int64((1 << 63) - 1)
+    start_bit = 1 << P
+    states0 = np.zeros((B, KW), np.uint64)
+    soms0 = np.full((B, P), INF, np.int64)
+    starts0 = np.zeros(B, np.uint8)
+    for b, (s, sv) in enumerate(init_states):
+        s = int(s)
+        starts0[b] = 1 if s & start_bit else 0
+        m = s & (start_bit - 1)
+        states0[b] = _int_to_words(m, KW)
+        si = 0
+        while m:
+            low = m & (-m)
+            soms0[b, low.bit_length() - 1] = sv[si]
+            si += 1
+            m ^= low
+    cap = 4096
+    while True:
+        out_row = np.empty(cap, np.int32)
+        out_pos = np.empty(cap, np.int32)
+        out_gid = np.empty(cap, np.int32)
+        out_frm = np.empty(cap, np.int64)
+        states = states0.copy()
+        soms = soms0.copy()
+        starts = starts0.copy()
+        n = lib.hstpu_somnfa_scan_batch(
+            reach_w, b2c, succ_off, succ_idx,
+            ent, ent_hop, len(ent), anc, anc_hop, len(anc),
+            gid, P, KW, data, B, L, lengths, base,
+            states, soms, starts,
+            out_row, out_pos, out_gid, out_frm, cap,
+        )
+        if n <= cap:
+            break
+        cap = 1 << int(n - 1).bit_length()
+    hits = [[] for _ in range(B)]
+    for j in range(int(n)):
+        hits[int(out_row[j])].append(
+            (int(out_pos[j]), int(out_gid[j]), int(out_frm[j]))
+        )
+    finals = []
+    for b in range(B):
+        m = _words_to_int(states[b])
+        sv = tuple(
+            int(soms[b, p]) for p in range(P) if (m >> p) & 1
+        )
+        if starts[b]:
+            m |= start_bit
+        finals.append((m, sv))
+    return hits, finals
 
 
 def teddy_filter_native(corpus, masks):

@@ -175,4 +175,132 @@ int64_t hstpu_bitnfa_scan_batch(
     return n;
 }
 
+// SOM-register NFA scan (Gough analogue; reference: src/nfa/gough.c SOM
+// register file). Like the bit-NFA step, but each active position
+// carries the minimum absolute start offset of any run reaching it;
+// accepts emit (row, pos, accept-set id, start) with per-set minima.
+// soms[] holds INT64_MAX for inactive positions.
+int64_t hstpu_somnfa_scan_batch(
+    const uint64_t* reach,      // [C * KW]
+    const int32_t* b2c,         // [256]
+    const int32_t* succ_off,    // [P + 1]
+    const int32_t* succ_idx,    // [E]
+    const int32_t* entry_idx,   // [NE] float-first positions
+    const int32_t* entry_hop,   // [NE] 1 = start is offset + 1
+    int32_t NE,
+    const int32_t* anch_idx,    // [NA] anchored-first positions
+    const int32_t* anch_hop,    // [NA]
+    int32_t NA,
+    const int32_t* accept_gid,  // [P]
+    int32_t P, int32_t KW,
+    const uint8_t* data, int64_t B, int64_t L, const int32_t* lengths,
+    const int64_t* base_offsets,  // [B] absolute offset of data[b, 0]
+    uint64_t* states,             // [B * KW] in/out
+    int64_t* soms,                // [B * P] in/out
+    uint8_t* is_start,            // [B] in/out
+    int32_t* out_row, int32_t* out_pos, int32_t* out_gid,
+    int64_t* out_frm, int64_t cap) {
+    const int64_t INF = INT64_MAX;
+    int64_t n = 0;
+    uint64_t cur[64], nxt[64];
+    // nsom buffer reused per byte
+    static thread_local int64_t* nsom = nullptr;
+    static thread_local int32_t nsom_cap = 0;
+    if (nsom_cap < P) {
+        delete[] nsom;
+        nsom = new int64_t[P];
+        nsom_cap = P;
+    }
+    for (int64_t b = 0; b < B; b++) {
+        const uint8_t* row = data + b * L;
+        const int64_t len = lengths[b] < L ? lengths[b] : L;
+        uint64_t* st = states + b * KW;
+        int64_t* sm = soms + b * P;
+        for (int32_t k = 0; k < KW; k++) cur[k] = st[k];
+        uint8_t start = is_start[b];
+        const int64_t base = base_offsets[b];
+        for (int64_t i = 0; i < len; i++) {
+            const uint64_t* rc = reach + (int64_t)b2c[row[i]] * KW;
+            for (int32_t k = 0; k < KW; k++) nxt[k] = 0;
+            for (int32_t p = 0; p < P; p++) nsom[p] = INF;
+            // successor relaxation from active positions
+            for (int32_t k = 0; k < KW; k++) {
+                uint64_t m = cur[k];
+                while (m) {
+                    const int32_t u = k * 64 + __builtin_ctzll(m);
+                    const int64_t su = sm[u];
+                    for (int32_t e = succ_off[u]; e < succ_off[u + 1]; e++) {
+                        const int32_t v = succ_idx[e];
+                        if ((rc[v >> 6] >> (v & 63)) & 1) {
+                            nxt[v >> 6] |= 1ull << (v & 63);
+                            if (su < nsom[v]) nsom[v] = su;
+                        }
+                    }
+                    m &= m - 1;
+                }
+            }
+            // entries
+            for (int32_t e = 0; e < NE; e++) {
+                const int32_t v = entry_idx[e];
+                if ((rc[v >> 6] >> (v & 63)) & 1) {
+                    nxt[v >> 6] |= 1ull << (v & 63);
+                    const int64_t s0 = base + i + entry_hop[e];
+                    if (s0 < nsom[v]) nsom[v] = s0;
+                }
+            }
+            if (start) {
+                for (int32_t e = 0; e < NA; e++) {
+                    const int32_t v = anch_idx[e];
+                    if ((rc[v >> 6] >> (v & 63)) & 1) {
+                        nxt[v >> 6] |= 1ull << (v & 63);
+                        const int64_t s0 = base + i + anch_hop[e];
+                        if (s0 < nsom[v]) nsom[v] = s0;
+                    }
+                }
+            }
+            start = 0;
+            for (int32_t k = 0; k < KW; k++) cur[k] = nxt[k];
+            for (int32_t p = 0; p < P; p++) sm[p] = nsom[p];
+            // accepts: min start per accept-set id
+            int32_t seen_gid[16];
+            int64_t seen_frm[16];
+            int32_t nseen = 0;
+            for (int32_t k = 0; k < KW; k++) {
+                uint64_t m = cur[k];
+                while (m) {
+                    const int32_t p = k * 64 + __builtin_ctzll(m);
+                    const int32_t g = accept_gid[p];
+                    if (g) {
+                        int32_t j = 0;
+                        for (; j < nseen; j++) {
+                            if (seen_gid[j] == g) {
+                                if (sm[p] < seen_frm[j]) seen_frm[j] = sm[p];
+                                break;
+                            }
+                        }
+                        if (j == nseen && nseen < 16) {
+                            seen_gid[nseen] = g;
+                            seen_frm[nseen] = sm[p];
+                            nseen++;
+                        }
+                    }
+                    m &= m - 1;
+                }
+            }
+            for (int32_t j = 0; j < nseen; j++) {
+                if (n < cap) {
+                    out_row[n] = (int32_t)b;
+                    out_pos[n] = (int32_t)i;
+                    out_gid[n] = seen_gid[j];
+                    out_frm[n] = seen_frm[j];
+                }
+                n++;
+            }
+        }
+        for (int32_t k = 0; k < KW; k++) st[k] = cur[k];
+        is_start[b] = start;
+    }
+    return n;
+}
+
 }  // extern "C"

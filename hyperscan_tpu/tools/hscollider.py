@@ -134,13 +134,19 @@ def run(entries, corpora, rng, verbose=False) -> int:
             if single != multi:
                 report("single-vs-multi", f"id {i} corpus {data[:40]!r}")
 
-        # streaming splits
+        # streaming splits; every other split also round-trips the
+        # stream state codec between writes and checks copy_stream
+        # independence (reference: UltimateTruth.cpp compression sweeps)
         want_set = {(m, t) for (m, _fr, t) in block}
-        for parts in _splits(data, rng):
+        for si, parts in enumerate(_splits(data, rng)):
             st = hs.open_stream(sdb)
             ms = []
-            for part in parts:
+            for pi, part in enumerate(parts):
                 ms.extend(hs.scan_stream(st, part))
+                if si % 2 == 1:
+                    st = hs.expand_stream(sdb, hs.compress_stream(st))
+                elif pi == 0 and len(parts) > 1:
+                    st = hs.copy_stream(st)
             ms.extend(hs.close_stream(st))
             got_s = {(m, t) for (m, _fr, t) in ms}
             if got_s != want_set:
