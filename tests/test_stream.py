@@ -221,3 +221,32 @@ def test_vacuous_empty_first_write_not_duplicated():
     assert got == want, f"{got} != {want}"
     got2 = _match_set(_stream_scan(sdb, [b"", b"", b"ab"]))
     assert got2 == want, f"{got2} != {want}"
+
+
+def test_large_stream_writes_device_path():
+    """Writes above HOST_SCAN_LIMIT route the stream extent through the
+    fused device filter+confirm and must equal the block scan
+    (reference: the shared SIMD runtime across block/stream,
+    src/rose/stream.c:545)."""
+    import numpy as np
+
+    pats = ["attack" + str(i) for i in range(60)] + [r"foo.*bar"]
+    sdb = hs.compile_multi(pats, ids=list(range(61)), mode=hs.HS_MODE_STREAM)
+    bdb = hs.compile_multi(pats, ids=list(range(61)))
+    rng = np.random.default_rng(4)
+    parts = []
+    for size in (500, 200_000, 120, 160_000):
+        c = (32 + rng.integers(0, 95, size=size)).astype(np.uint8)
+        i = int(rng.integers(0, size - 30))
+        c[i : i + 8] = np.frombuffer(b"attack5 ", np.uint8)
+        parts.append(c.tobytes())
+    parts[1] = parts[1][:1000] + b"foo" + parts[1][1000:]
+    parts[3] = b"bar " + parts[3]
+    data = b"".join(parts)
+    want = sorted((m[0], m[2]) for m in hs.scan(bdb, data))
+    st = hs.open_stream(sdb)
+    ms = []
+    for p in parts:
+        ms += hs.scan_stream(st, p)
+    ms += hs.close_stream(st)
+    assert sorted((m[0], m[2]) for m in ms) == want
