@@ -51,7 +51,34 @@ from .flags import (
 
 DB_MAGIC = b"HSTPUDB1"
 DB_VERSION = (0, 3, 0)
-PLATFORM = "tpu-generic"  # single XLA target; reference: fat-runtime dispatch
+PLATFORM = "tpu-generic"  # compile-side family tag; reference: hs_platform_info
+
+
+def current_target() -> dict:
+    """The execution target recorded into serialized databases
+    (reference: target_to_platform, src/compiler/compiler.cpp:456 — tune
+    family + features; here the XLA backend + device generation)."""
+    try:
+        import jax
+
+        devs = jax.devices()
+        if devs:
+            return {"backend": devs[0].platform,
+                    "device_kind": devs[0].device_kind}
+    except Exception:
+        pass
+    return {"backend": "none", "device_kind": "generic"}
+
+
+def check_target(recorded: dict) -> None:
+    """Deserialization-side target validation (reference:
+    db_check_platform, src/database.c:115). The reference rejects
+    incompatible microarchitectures because its bytecode embeds
+    arch-specific programs; this format's tables are backend-portable
+    numpy, so the recorded target is informational (exposed through
+    serialized_database_info / database_info) and only the format-family
+    `platform` string is load-bearing."""
+    return
 
 
 @dataclasses.dataclass
@@ -415,11 +442,16 @@ class Database:
     patterns: List[PatternInfo]
     engines: List[DfaEngine]
     lit: Optional[LiteralEngine] = None
+    # execution target this database was serialized on (informational;
+    # reference: hs_platform_info in the serialized header)
+    target: Optional[dict] = None
 
     # -- introspection (reference: hs_database_info, src/database.c) --------
     def info(self) -> str:
         ver = ".".join(map(str, DB_VERSION))
-        return f"Version: {ver} Features: {PLATFORM} Mode: {self.mode}"
+        tgt = self.target or current_target()
+        return (f"Version: {ver} Features: {PLATFORM} Mode: {self.mode} "
+                f"Target: {tgt.get('backend')}/{tgt.get('device_kind')}")
 
     def size(self) -> int:
         return len(self.serialize())
@@ -541,6 +573,7 @@ class Database:
         meta = {
             "version": DB_VERSION,
             "platform": PLATFORM,
+            "target": current_target(),
             "mode": self.mode,
             "patterns": [dataclasses.asdict(p) for p in self.patterns],
             "engines": [],
@@ -614,6 +647,7 @@ class Database:
                 raise DbPlatformError(
                     f"database built for platform {meta['platform']}"
                 )
+            check_target(meta.get("target", {}))
             patterns = [PatternInfo(**p) for p in meta["patterns"]]
             engines = [
                 cls._unpack_engine(em, f"e{i}", z)
@@ -665,7 +699,8 @@ class Database:
                     },
                 )
         return cls(
-            mode=int(meta["mode"]), patterns=patterns, engines=engines, lit=lit
+            mode=int(meta["mode"]), patterns=patterns, engines=engines,
+            lit=lit, target=meta.get("target"),
         )
 
 
