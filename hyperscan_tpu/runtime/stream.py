@@ -223,14 +223,62 @@ def _vacuous_stream_reports(engine, streams, chunks, recs_abs,
                     ranges_abs[bi].append((eid, lo_to, hi_to))
 
 
+def _scan_streams_sharded(db, exts, anchored, mesh, chain_ctx, chain_out,
+                          has_chains, deliver) -> None:
+    """Literal path of a stream write batch sharded across the mesh:
+    streams partition data-parallel; chain role state remaps between
+    global stream indices and shard-local block indices."""
+    from ..parallel.sharded import sharded_literal_confirm
+    from .lit_runtime import finish_confirmed, verify_pairs
+
+    B = len(exts)
+    lens = np.asarray([len(e) for e in exts], dtype=np.int64)
+    g_starts = np.zeros(B, dtype=np.int64)
+    if B > 1:
+        np.cumsum(lens[:-1], out=g_starts[1:])
+    for (g, fid_a, p_a, corpus_d, starts_d, ends_d) in \
+            sharded_literal_confirm(db.lit, exts, mesh, 1 << 14):
+        if not len(g):
+            continue
+        anch_g = anchored[np.asarray(g, dtype=np.int64)]
+        ctx_g = None
+        out_g = None
+        if has_chains:
+            gmap = {gi: li for li, gi in enumerate(g)}
+            ctx_g = {
+                (gmap[b], e, r): v
+                for (b, e, r), v in chain_ctx.items() if b in gmap
+            }
+            out_g = {}
+        fid_a, p_a = verify_pairs(db.lit, corpus_d, starts_d, fid_a, p_a)
+        recs = finish_confirmed(
+            db, corpus_d, starts_d, ends_d, fid_a, p_a,
+            block_anchored=anch_g,
+            block_final=np.zeros(len(g), dtype=bool),
+            chain_ctx=ctx_g, chain_out=out_g,
+        )
+        for (li, eidx, to_local, frm) in recs:
+            deliver(g[li], eidx, to_local, frm)
+        if out_g:
+            for (li, e, r), arr in out_g.items():
+                gi = g[li]
+                chain_out[(gi, e, r)] = (
+                    np.asarray(arr, dtype=np.int64)
+                    - int(starts_d[li]) + int(g_starts[gi])
+                )
+
+
 def scan_streams(
     db: Database,
     streams: Sequence[Stream],
     chunks: Sequence[bytes],
     callbacks: Optional[Sequence[Optional[Callable]]] = None,
+    mesh=None,
 ) -> List[List[Match]]:
     """Batched stream write — the TPU-native entry point: all streams'
-    extents are filtered in one device dispatch."""
+    extents are filtered in one device dispatch. With `mesh`, streams
+    shard data-parallel across chips (SURVEY §2.11: stream-level
+    sharding; per-stream state stays sequential)."""
     B = len(streams)
     if B != len(chunks):
         raise InvalidError("streams/chunks length mismatch")
@@ -249,23 +297,10 @@ def scan_streams(
     # literal path over history+chunk extents
     if db.lit is not None:
         exts = [st.history + c for (st, c) in zip(streams, chunks)]
-        lens = np.asarray([len(e) for e in exts], dtype=np.int64)
-        starts = np.zeros(B, dtype=np.int64)
-        if B > 1:
-            np.cumsum(lens[:-1], out=starts[1:])
-        ends = starts + lens
-        corpus = (
-            np.concatenate([np.frombuffer(e, np.uint8) for e in exts])
-            if int(lens.sum())
-            else np.zeros(0, np.uint8)
-        )
         # anchored context applies iff the extent begins at stream offset 0
         anchored = np.asarray(
             [st.offset - len(st.history) == 0 for st in streams]
         )
-        final = np.zeros(B, dtype=bool)
-        from .lit_runtime import scan_literal_path
-
         # chain role state: carried prefix-end evidence per (stream, chain)
         chain_ctx = {}
         chain_out = {}
@@ -283,12 +318,8 @@ def scan_streams(
                             np.asarray(c_ends, dtype=np.int64), c_run,
                             base_abs,
                         )
-        for (bi, eidx, to_local, frm) in scan_literal_path(
-            db, corpus, starts, ends,
-            block_anchored=anchored, block_final=final,
-            chain_ctx=chain_ctx if has_chains else None,
-            chain_out=chain_out if has_chains else None,
-        ):
+
+        def deliver(bi, eidx, to_local, frm):
             st = streams[bi]
             base = st.offset - len(st.history)
             to_abs = base + to_local
@@ -299,8 +330,40 @@ def scan_streams(
             ):
                 recs_abs[bi].add((eidx, to_abs, base + frm))
 
+        total_ext = sum(len(e) for e in exts)
+        if mesh is not None and total_ext > 1 << 16:
+            _scan_streams_sharded(
+                db, exts, anchored, mesh, chain_ctx, chain_out,
+                has_chains, deliver,
+            )
+        else:
+            lens = np.asarray([len(e) for e in exts], dtype=np.int64)
+            starts = np.zeros(B, dtype=np.int64)
+            if B > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            ends = starts + lens
+            corpus = (
+                np.concatenate([np.frombuffer(e, np.uint8) for e in exts])
+                if int(lens.sum())
+                else np.zeros(0, np.uint8)
+            )
+            from .lit_runtime import scan_literal_path
+
+            for (bi, eidx, to_local, frm) in scan_literal_path(
+                db, corpus, starts, ends,
+                block_anchored=anchored, block_final=np.zeros(B, bool),
+                chain_ctx=chain_ctx if has_chains else None,
+                chain_out=chain_out if has_chains else None,
+            ):
+                deliver(bi, eidx, to_local, frm)
+
         if has_chains:
-            _update_chain_state(db, streams, exts, starts, chain_out)
+            starts_for_update = np.zeros(B, dtype=np.int64)
+            lens_u = np.asarray([len(e) for e in exts], dtype=np.int64)
+            if B > 1:
+                np.cumsum(lens_u[:-1], out=starts_for_update[1:])
+            _update_chain_state(db, streams, exts, starts_for_update,
+                                chain_out)
 
     _engine_pass(db, streams, chunks, recs_abs, ranges_abs)
 

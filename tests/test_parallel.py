@@ -158,3 +158,49 @@ def test_sharded_scan_batch_product_path():
     sharded = hs.scan_batch(db, blocks, mesh=mesh)
     assert all(sorted(a) == sorted(b) for a, b in zip(single, sharded))
     assert sum(len(x) for x in single) >= 19
+
+
+def test_sharded_scan_streams():
+    """scan_streams(mesh=...) shards streams data-parallel and must
+    reproduce single-device results exactly, including chain role state
+    carried across writes (SURVEY §2.11 stream sharding)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.parallel.sharded import make_mesh
+
+    pats = ["attack" + str(i) for i in range(30)] + [r"foo.*bar"]
+    sdb = hs.compile_multi(pats, ids=list(range(31)), mode=hs.HS_MODE_STREAM)
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(8)
+    S = 11
+    writes = []
+    for r in range(3):
+        ws = []
+        for s in range(S):
+            c = (32 + rng.integers(0, 95, size=10_000)).astype(np.uint8)
+            if (r + s) % 3 == 0:
+                c[50:58] = np.frombuffer(b"attack7 ", np.uint8)
+            if s == 2 and r == 0:
+                c[100:103] = np.frombuffer(b"foo", np.uint8)
+            if s == 2 and r == 2:
+                c[200:203] = np.frombuffer(b"bar", np.uint8)
+            ws.append(c.tobytes())
+        writes.append(ws)
+
+    def run(mesh_arg):
+        sts = [hs.open_stream(sdb) for _ in range(S)]
+        out = [[] for _ in range(S)]
+        for w in writes:
+            for i, o in enumerate(
+                hs.scan_streams(sdb, sts, w, mesh=mesh_arg)
+            ):
+                out[i] += o
+        for i, st in enumerate(sts):
+            out[i] += hs.close_stream(st)
+        return out
+
+    single = run(None)
+    sharded = run(mesh)
+    assert all(sorted(a) == sorted(b) for a, b in zip(single, sharded))
+    assert sum(len(x) for x in single) >= 8
