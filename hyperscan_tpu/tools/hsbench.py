@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--blocks-per-stream", type=int, default=16)
     ap.add_argument("--line-mode", action="store_true")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="wrap the timed scans in a jax.profiler trace "
+                         "written to DIR (view with TensorBoard/xprof; "
+                         "SURVEY §5.1 observability)")
     args = ap.parse_args(argv)
 
     entries = []
@@ -62,9 +66,17 @@ def main(argv=None) -> int:
         blocks = [blob[i : i + bs] for i in range(0, len(blob), bs)]
     total_bytes = sum(len(b) for b in blocks)
 
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
     nmatches = 0
     t0 = time.perf_counter()
-    for _ in range(args.repeats):
+    with prof:
+      for _ in range(args.repeats):
         if args.mode == "block":
             for ms in hs.scan_batch(db, blocks):
                 nmatches += len(ms)

@@ -72,12 +72,60 @@ def dump(db) -> None:
                   f"classes={e.trans.shape[1]} depth={depth} exprs={exprs}")
 
 
+def dump_dot(expression: str, flags: int = 0) -> str:
+    """Graphviz dot of one pattern's (assertion-resolved) Glushkov NFA
+    (reference: DUMP_SUPPORT dot dumps, src/nfagraph/ng_dump.cpp)."""
+    from hyperscan_tpu.compiler.glushkov import build_nfa
+    from hyperscan_tpu.compiler.parser import parse
+
+    g = build_nfa(parse(expression, flags))
+    lines = ["digraph nfa {", "  rankdir=LR;",
+             '  start [shape=point]; startds [shape=point];']
+    for p in range(g.num_positions):
+        bits = g.reach[p]
+        import numpy as np
+
+        members = np.flatnonzero(bits)
+        if len(members) == 256:
+            label = "."
+        elif len(members) <= 4:
+            label = "".join(
+                chr(b) if 32 <= b < 127 else f"\\x{b:02x}"
+                for b in members.tolist()
+            )
+        else:
+            label = f"[{len(members)} bytes]"
+        shape = "doublecircle" if (p in g.accept or p in g.accept_eod) \
+            else "circle"
+        lines.append(f'  p{p} [label="{label}", shape={shape}];')
+    for p in sorted(g.anchored_first):
+        lines.append(f"  start -> p{p};")
+    for p in sorted(g.float_first):
+        lines.append(f"  startds -> p{p};")
+    for u in range(g.num_positions):
+        for v in sorted(g.follow[u]):
+            lines.append(f"  p{u} -> p{v};")
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("patterns", nargs="?")
     ap.add_argument("--db")
     ap.add_argument("--mode", choices=sorted(MODES), default="block")
+    ap.add_argument("--dot", action="store_true",
+                    help="emit graphviz dot of each pattern's NFA instead")
     args = ap.parse_args(argv)
+
+    if args.dot and args.patterns:
+        with open(args.patterns, "r", errors="replace") as f:
+            for line in f:
+                e = parse_line(line)
+                if e:
+                    print(f"// id {e[0]}: {e[1]!r}")
+                    print(dump_dot(e[1], e[2]))
+        return 0
 
     if args.db:
         with open(args.db, "rb") as f:
