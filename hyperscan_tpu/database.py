@@ -1100,106 +1100,143 @@ def compile_patterns(
         )
 
         # route: literal path (Teddy + confirm + window validation) when a
-        # bounded mandatory factor set exists; otherwise general engines
-        routed = False
+        # bounded mandatory factor set exists; otherwise chains, counter
+        # repeats, SOM registers, or general engines
         want_som = bool(f & HS_FLAG_SOM_LEFTMOST) or need_minlen
-        if not g.is_vacuous() and not fuzzy:  # fuzzed factors can be edited
-            # away, so fuzzy patterns always use the general engines
-            lr = _try_literal_route(node, g, i, grey)
-            if lr is not None:
-                fs, lit_equiv = lr
-                ok = True
-                if (not lit_equiv or want_som) and not grey.allow_validators:
-                    ok = False
-                elif not lit_equiv or want_som:
-                    try:
-                        d = determinize([g], [i],
-                                        max_states=grey.validator_max_states)
-                        validators[i] = DfaEngine.from_scan_dfa(d)
-                        if want_som:
-                            from .compiler.dfa import reverse_graph
 
-                            rev_a = rev_e = None
-                            if g.accept:
-                                rev_a = DfaEngine.from_scan_dfa(
-                                    determinize(
-                                        [reverse_graph(g, eod=False)], [i],
-                                        max_states=grey.validator_max_states,
-                                    )
-                                )
-                            if g.accept_eod:
-                                rev_e = DfaEngine.from_scan_dfa(
-                                    determinize(
-                                        [reverse_graph(g, eod=True)], [i],
-                                        max_states=grey.validator_max_states,
-                                    )
-                                )
-                            rev_validators[i] = (rev_a, rev_e)
-                            lit_equiv = False  # SOM always validates windows
-                    except DfaLimitExceeded:
-                        ok = False
-                if ok:
-                    for fi in fs:
-                        _register_factor(
-                            factor_ids, factor_atoms, factor_refs,
-                            factor_objs, fi,
-                            (i, int(fi.max_start_to_fend),
-                             int(fi.max_fend_to_end),
-                             "equiv" if lit_equiv else "win"),
-                        )
-                    routed = True
-            if not routed and not want_som:
-                # chain decomposition: SEG <gap> SEG <gap> ... (Rose
-                # roles); streams carry boundary end-evidence per gap
-                from .compiler.chains import detect_chain
+        def _ensure_validator() -> bool:
+            """Whole-pattern window validator (+ SOM reverse DFAs); used
+            by every literal-routed branch of this expression."""
+            if i in validators:
+                return True
+            if not grey.allow_validators:
+                return False
+            try:
+                d = determinize([g], [i],
+                                max_states=grey.validator_max_states)
+                validators[i] = DfaEngine.from_scan_dfa(d)
+                if want_som:
+                    from .compiler.dfa import reverse_graph
 
-                cs = detect_chain(node, grey.min_factor_len, grey.max_window)
-                if cs is not None:
-                    try:
-                        from .compiler.dfa import reverse_graph
+                    rev_a = rev_e = None
+                    if g.accept:
+                        rev_a = DfaEngine.from_scan_dfa(determinize(
+                            [reverse_graph(g, eod=False)], [i],
+                            max_states=grey.validator_max_states,
+                        ))
+                    if g.accept_eod:
+                        rev_e = DfaEngine.from_scan_dfa(determinize(
+                            [reverse_graph(g, eod=True)], [i],
+                            max_states=grey.validator_max_states,
+                        ))
+                    rev_validators[i] = (rev_a, rev_e)
+                return True
+            except DfaLimitExceeded:
+                validators.pop(i, None)
+                return False
 
-                        roles: List[ChainRole] = []
-                        for ri, rs in enumerate(cs.roles):
-                            rg = build_nfa(rs.node)
-                            if rg.accept_eod or rg.is_vacuous():
-                                raise DfaLimitExceeded(
-                                    "chain segment unsupported")
-                            fwd = DfaEngine.from_scan_dfa(determinize(
-                                [rg], [i],
-                                max_states=grey.validator_max_states))
-                            rev = None
-                            if ri > 0:
-                                rev = DfaEngine.from_scan_dfa(determinize(
-                                    [reverse_graph(rg, eod=False)], [i],
-                                    max_states=grey.validator_max_states))
-                            roles.append(ChainRole(fwd=fwd, rev=rev))
-                    except DfaLimitExceeded:
-                        cs = None
-                if cs is not None:
-                    chains[i] = ChainInfo(
-                        roles=roles,
-                        gap_bits=np.stack([g[0] for g in cs.gaps]),
-                        gap_lo=[int(g[1]) for g in cs.gaps],
-                        gap_hi=[g[2] for g in cs.gaps],
-                    )
-                    for ri, rs in enumerate(cs.roles):
-                        for fi in rs.factors:
+        def route_branch(node_b, g_b) -> None:
+            w_b = _nfa_widths(g_b)[1]
+            if not g_b.is_vacuous() and not fuzzy:
+                if not want_som:
+                    lbr = detect_lbr(node_b)
+                    if lbr is not None:
+                        bits, lo, hi = lbr
+                        som_engines.append(LbrEngine(
+                            class_bits=bits, lo=lo, hi=hi, eidx=i,
+                        ))
+                        return
+                lr = _try_literal_route(node_b, g_b, i, grey)
+                if lr is not None:
+                    fs, lit_equiv = lr
+                    ok = True
+                    if not lit_equiv or want_som:
+                        ok = _ensure_validator()
+                        if ok and want_som:
+                            lit_equiv = False  # SOM always validates
+                    if ok:
+                        for fi in fs:
                             _register_factor(
                                 factor_ids, factor_atoms, factor_refs,
                                 factor_objs, fi,
                                 (i, int(fi.max_start_to_fend),
-                                 int(fi.max_fend_to_end), f"c{ri}"),
+                                 int(fi.max_fend_to_end),
+                                 "equiv" if lit_equiv else "win"),
                             )
-                    routed = True
-        if not routed:
+                        return
+                if not want_som and i not in chains:
+                    # chain decomposition: SEG <gap> SEG <gap> ... (Rose
+                    # roles); streams carry boundary evidence per gap
+                    from .compiler.chains import detect_chain
+
+                    cs = detect_chain(node_b, grey.min_factor_len,
+                                      grey.max_window)
+                    if cs is not None:
+                        try:
+                            from .compiler.dfa import reverse_graph
+
+                            roles: List[ChainRole] = []
+                            for ri, rs in enumerate(cs.roles):
+                                rg = build_nfa(rs.node)
+                                if rg.accept_eod or rg.is_vacuous():
+                                    raise DfaLimitExceeded(
+                                        "chain segment unsupported")
+                                fwd = DfaEngine.from_scan_dfa(determinize(
+                                    [rg], [i],
+                                    max_states=grey.validator_max_states))
+                                rev = None
+                                if ri > 0:
+                                    rev = DfaEngine.from_scan_dfa(
+                                        determinize(
+                                            [reverse_graph(rg, eod=False)],
+                                            [i],
+                                            max_states=grey.
+                                            validator_max_states))
+                                roles.append(ChainRole(fwd=fwd, rev=rev))
+                        except DfaLimitExceeded:
+                            cs = None
+                    if cs is not None:
+                        chains[i] = ChainInfo(
+                            roles=roles,
+                            gap_bits=np.stack([gb[0] for gb in cs.gaps]),
+                            gap_lo=[int(gb[1]) for gb in cs.gaps],
+                            gap_hi=[gb[2] for gb in cs.gaps],
+                        )
+                        for ri, rs in enumerate(cs.roles):
+                            for fi in rs.factors:
+                                _register_factor(
+                                    factor_ids, factor_atoms, factor_refs,
+                                    factor_objs, fi,
+                                    (i, int(fi.max_start_to_fend),
+                                     int(fi.max_fend_to_end), f"c{ri}"),
+                                )
+                        return
             if want_som:
                 # general SOM: bit-NFA with leftmost-start registers
                 # (reference: ng_som.cpp routing to Gough/som planning)
-                som_engines.append(_build_som_engine(g, i, max_w))
+                som_engines.append(_build_som_engine(g_b, i, w_b))
             else:
-                general_nfas.append(g)
+                general_nfas.append(g_b)
                 general_idx.append(i)
-                general_widths.append(max_w)
+                general_widths.append(w_b)
+
+        from .compiler.ast import Alt as _Alt
+
+        if isinstance(node, _Alt) and not fuzzy \
+                and 1 < len(node.children) <= 16:
+            # component splitting (reference: calcComponents,
+            # src/nfagraph/ng_calc_components.cpp): each top-level
+            # alternation branch routes to its own best engine; the match
+            # set is the union (records dedupe per (expr, to))
+            from .compiler.glushkov import reduce_graph as _rg
+
+            for bn in node.children:
+                g_b = build_nfa(bn)
+                if grey.reduce_graphs and not want_som:
+                    g_b = _rg(g_b)
+                route_branch(bn, g_b)
+        else:
+            route_branch(node, g)
 
     # validate + attach combination ASTs (referenced ids must name ordinary
     # sub-expressions in this database; reference: parseLogicalCombination)

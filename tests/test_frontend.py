@@ -205,3 +205,35 @@ def test_eos_chain():
         assert nfa_match_ends(g, data) == ast_match_ends(ast, data), data
     assert nfa_match_ends(g, b"a") == {1}
     assert nfa_match_ends(g, b"a\n") == set()
+
+
+def test_component_splitting_routes_branches():
+    """Top-level alternation branches route independently (reference:
+    calcComponents, ng_calc_components.cpp): a literal branch takes the
+    teddy path, a gap branch the chain path, a big repeat the counter
+    engine — no general-engine fallback for the whole pattern."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.database import LbrEngine
+    from hyperscan_tpu.utils.oracle import ast_match_ends
+
+    db = hs.compile_multi([r"attackword|foo.*bar|[0-9]{500,}"])
+    assert db.lit is not None and 0 in db.lit.chains
+    assert any(isinstance(e, LbrEngine) for e in db.engines)
+
+    pat = r"attackword|foo.*bar|[0-9]{40,}"
+    db2 = hs.compile_multi([pat])
+    node = parse(pat, 0)
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        d = b""
+        for plant in [b"attackword", b"foo", b"bar", b"5" * 45]:
+            if rng.integers(0, 2):
+                d += plant
+            d += bytes(rng.choice(
+                np.frombuffer(b"atfobr5 w", np.uint8),
+                size=int(rng.integers(0, 20))))
+        got = {t for (_i, _f, t) in hs.scan(db2, d)}
+        assert got == ast_match_ends(node, d)
