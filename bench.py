@@ -144,8 +144,16 @@ def run_stream_config(hs, n_patterns: int = 10_000):
     per-write machinery (history rescan, carried state, boundary
     dedupe). Writes stay on the host literal path — the dev tunnel
     cannot upload per-write corpora at device speeds."""
+    from hyperscan_tpu.database import compile_patterns
+    from hyperscan_tpu.grey import Grey
+
     pats, ids = _patterns(n_patterns)
-    db = hs.compile_multi(pats, ids=ids, mode=hs.HS_MODE_STREAM)
+    # the dev tunnel pays ~100ms per device dispatch and cannot upload
+    # per-write corpora at PCIe speeds; keep small stream writes on the
+    # host literal path (grey tunable — real deployments set this by
+    # their dispatch/upload economics)
+    db = compile_patterns(pats, ids=ids, mode=hs.HS_MODE_STREAM,
+                          grey=Grey(host_scan_limit=1 << 21))
     S, WRITE, ROUNDS = 16, 8192, 24
     rng = np.random.default_rng(7)
     writes = []

@@ -445,6 +445,10 @@ class Database:
     # execution target this database was serialized on (informational;
     # reference: hs_platform_info in the serialized header)
     target: Optional[dict] = None
+    # total batch bytes below which scanning stays on host (grey
+    # tunable; the dispatch-latency/host-rate crossover is deployment
+    # dependent — a dev tunnel pays ~100ms per dispatch, PCIe ~2ms)
+    host_scan_limit: int = 1 << 17
 
     # -- introspection (reference: hs_database_info, src/database.c) --------
     def info(self) -> str:
@@ -575,6 +579,7 @@ class Database:
             "platform": PLATFORM,
             "target": current_target(),
             "mode": self.mode,
+            "host_scan_limit": self.host_scan_limit,
             "patterns": [dataclasses.asdict(p) for p in self.patterns],
             "engines": [],
         }
@@ -701,6 +706,7 @@ class Database:
         return cls(
             mode=int(meta["mode"]), patterns=patterns, engines=engines,
             lit=lit, target=meta.get("target"),
+            host_scan_limit=int(meta.get("host_scan_limit", 1 << 17)),
         )
 
 
@@ -1278,4 +1284,5 @@ def compile_patterns(
             rev_validators=rev_validators,
             chains=chains,
         )
-    return Database(mode=mode, patterns=patterns, engines=engines, lit=lit)
+    return Database(mode=mode, patterns=patterns, engines=engines, lit=lit,
+                    host_scan_limit=grey.host_scan_limit)

@@ -57,15 +57,19 @@ int64_t hstpu_teddy_filter(
     int64_t* out_pos, int32_t* out_words, int64_t cap) {
     int64_t cnt = 0;
     for (int64_t i = 0; i < n; i++) {
-        int32_t any = 0;
         int32_t words[8];
-        for (int32_t w = 0; w < W; w++) {
-            int32_t acc = ~0;
-            for (int32_t m = 0; m < M && m <= i; m++) {
-                acc &= masks[((int64_t)m * W + w) * 256 + corpus[i - m]];
+        for (int32_t w = 0; w < W; w++) words[w] = ~0;
+        int32_t any = ~0;
+        // m-outer with early exit: nearly every position dies within the
+        // first mask row or two, so expected lookups/byte ~= 2*W, not M*W
+        for (int32_t m = 0; m < M && m <= i; m++) {
+            const int32_t* row = masks + (int64_t)m * W * 256;
+            any = 0;
+            for (int32_t w = 0; w < W; w++) {
+                words[w] &= row[(int64_t)w * 256 + corpus[i - m]];
+                any |= words[w];
             }
-            words[w] = acc;
-            any |= acc;
+            if (!any) break;
         }
         if (any) {
             if (cnt < cap) {

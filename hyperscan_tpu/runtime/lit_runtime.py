@@ -344,7 +344,7 @@ def scan_literal_path(
 
     from .smallwrite import HOST_SCAN_LIMIT, teddy_filter_host
 
-    if corpus.shape[0] <= HOST_SCAN_LIMIT:
+    if corpus.shape[0] <= getattr(db, "host_scan_limit", HOST_SCAN_LIMIT):
         # small-write path: host shift-AND, no device round trip
         pos, words = teddy_filter_host(corpus, lit.masks)
         return finish_literal_scan(

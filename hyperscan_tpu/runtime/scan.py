@@ -251,7 +251,7 @@ def scan_blocks_raw(
     total_bytes = sum(len(b) for b in blocks)
     from .smallwrite import HOST_SCAN_LIMIT, dfa_scan_host
 
-    if total_bytes <= HOST_SCAN_LIMIT:
+    if total_bytes <= getattr(db, "host_scan_limit", HOST_SCAN_LIMIT):
         # small-write path (reference: runSmallWriteEngine): host numpy
         lengths = _host_engine_scan(db.engines, blocks, per_block)
         return [

@@ -41,13 +41,16 @@ def history_required(db: Database) -> int:
     """Bytes of history each stream must keep so that any match ending in
     a new chunk has its factor candidate, confirm bytes and validation
     window fully inside history+chunk (reference analogue:
-    RoseEngine historyRequired)."""
+    RoseEngine historyRequired). Cached per database."""
+    if hasattr(db, "_hist_req"):
+        return db._hist_req
     h = 0
     if db.lit is not None:
         for fid, refs in enumerate(db.lit.factor_refs):
             flen = len(db.lit.factor_atoms[fid])
             for (_e, max_s2f, max_f2e, _le) in refs:
                 h = max(h, max_f2e + max(max_s2f + WINDOW_SLACK, flen) + 2)
+    db._hist_req = h
     return h
 
 
