@@ -10,6 +10,9 @@ Usage:
 
 The corpus file is split into blocks (one per line with --line-mode, else
 fixed --block-size chunks grouped into streams of --blocks-per-stream).
+SQLite corpus databases in the reference's format (a `chunk` table with
+id/stream_id/data, built by tools/hsbench/scripts) are detected by file
+magic and loaded with their stream grouping intact.
 """
 
 from __future__ import annotations
@@ -21,6 +24,29 @@ import time
 import hyperscan_tpu as hs
 
 from .hscheck import MODES, parse_line
+
+
+def load_sqlite_corpus(path):
+    """Blocks + stream grouping from the reference's SQLite corpus
+    format: `SELECT id, stream_id, data FROM chunk ORDER BY id`
+    (reference: tools/hsbench/data_corpus.cpp:86)."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        rows = con.execute(
+            "SELECT id, stream_id, data FROM chunk ORDER BY id;"
+        ).fetchall()
+    finally:
+        con.close()
+    blocks = []
+    groups = {}
+    for (_cid, stream_id, data) in rows:
+        if isinstance(data, str):
+            data = data.encode("latin-1", "replace")
+        groups.setdefault(stream_id, []).append(len(blocks))
+        blocks.append(bytes(data))
+    return blocks, [groups[k] for k in sorted(groups)]
 
 
 def main(argv=None) -> int:
@@ -58,12 +84,19 @@ def main(argv=None) -> int:
     compile_s = time.perf_counter() - t0
 
     with open(args.corpus, "rb") as f:
-        blob = f.read()
-    if args.line_mode:
-        blocks = blob.splitlines(keepends=True)
+        magic = f.read(16)
+    stream_groups = None
+    if magic.startswith(b"SQLite format 3"):
+        # reference corpus format (tools/hsbench/data_corpus.cpp:42-86)
+        blocks, stream_groups = load_sqlite_corpus(args.corpus)
     else:
-        bs = args.block_size
-        blocks = [blob[i : i + bs] for i in range(0, len(blob), bs)]
+        with open(args.corpus, "rb") as f:
+            blob = f.read()
+        if args.line_mode:
+            blocks = blob.splitlines(keepends=True)
+        else:
+            bs = args.block_size
+            blocks = [blob[i : i + bs] for i in range(0, len(blob), bs)]
     total_bytes = sum(len(b) for b in blocks)
 
     import contextlib
@@ -81,12 +114,20 @@ def main(argv=None) -> int:
             for ms in hs.scan_batch(db, blocks):
                 nmatches += len(ms)
         elif args.mode == "vectored":
-            k = args.blocks_per_stream
-            for i in range(0, len(blocks), k):
-                nmatches += len(hs.scan_vector(db, blocks[i : i + k]))
+            if stream_groups is not None:
+                for g in stream_groups:
+                    nmatches += len(hs.scan_vector(db, [blocks[j] for j in g]))
+            else:
+                k = args.blocks_per_stream
+                for i in range(0, len(blocks), k):
+                    nmatches += len(hs.scan_vector(db, blocks[i : i + k]))
         else:
-            k = args.blocks_per_stream
-            groups = [blocks[i : i + k] for i in range(0, len(blocks), k)]
+            if stream_groups is not None:
+                groups = [[blocks[j] for j in g] for g in stream_groups]
+            else:
+                k = args.blocks_per_stream
+                groups = [blocks[i : i + k]
+                          for i in range(0, len(blocks), k)]
             streams = [hs.open_stream(db) for _ in groups]
             for j in range(max(len(g) for g in groups)):
                 live = [(st, g[j]) for st, g in zip(streams, groups)
