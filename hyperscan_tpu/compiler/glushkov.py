@@ -692,6 +692,30 @@ def reduce_graph(g: NFAGraph) -> NFAGraph:
             if exits <= g.float_first:
                 removed.add(p)
                 changed = True
+    # anchored dominance (`^.*foo` with DOTALL == floating `foo`): when
+    # the sole anchored entry is an any-byte self-loop skip and there are
+    # no floating entries, every match goes start -> p^k -> successors,
+    # which is exactly a floating entry at the successors
+    new_float: Set[int] = set()
+    if not g.float_first and not g.start_accepts:
+        for p in sorted(g.anchored_first):
+            if (
+                p not in removed
+                and p not in g.accept
+                and p not in g.accept_eod
+                and p in g.follow[p]
+                and bool(g.reach[p].all())
+                and g.anchored_first <= ({p} | g.follow[p])
+                # the skip must be optional: its successors are already
+                # enterable at offset 0, so floating entry only restates
+                # existing paths (`^.+foo` must NOT reduce — a byte is
+                # mandatory before foo)
+                and (g.follow[p] - {p}) <= g.anchored_first
+            ):
+                removed.add(p)
+                new_float = {v for v in g.follow[p] if v != p}
+                break
+
     if not removed:
         return g
     keep = np.ones(P, dtype=bool)
@@ -705,8 +729,8 @@ def reduce_graph(g: NFAGraph) -> NFAGraph:
 
     return _prune(NFAGraph(
         reach=g.reach[keep],
-        anchored_first=rs(g.anchored_first),
-        float_first=rs(g.float_first),
+        anchored_first=rs(g.anchored_first) | rs(new_float),
+        float_first=rs(g.float_first) | rs(new_float),
         follow=[rs(g.follow[p]) for p in range(P) if keep[p]],
         accept={int(remap[p]): a for p, a in g.accept.items() if keep[p]},
         accept_eod={

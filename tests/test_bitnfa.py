@@ -166,3 +166,20 @@ def get_hint_count(eng):
     from hyperscan_tpu.ops.teddy import get_capacity_hint
 
     return get_capacity_hint(eng, "dfa")
+
+
+def test_anchored_dominance_reduction():
+    """`^.*foo` (DOTALL) reduces to floating `foo`; `^.+foo` must NOT
+    (a byte is mandatory before the literal)."""
+    from hyperscan_tpu.utils.oracle import nfa_match_ends
+
+    DOTALL = hs.HS_FLAG_DOTALL
+    g1 = build_nfa(parse(r"^.*foo", DOTALL))
+    r1 = reduce_graph(g1)
+    assert r1.num_positions == g1.num_positions - 1
+    assert nfa_match_ends(r1, b"foo") == {3}
+
+    g2 = build_nfa(parse(r"^.+foo", DOTALL))
+    r2 = reduce_graph(g2)
+    assert nfa_match_ends(r2, b"foo") == set()
+    assert nfa_match_ends(r2, b"xfoo") == {4}
