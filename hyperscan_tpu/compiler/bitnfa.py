@@ -88,11 +88,17 @@ def _topo_sort(follow_sets: List[set], P: int):
 
 
 def build_bitnfa(
-    nfas: Sequence[NFAGraph], expr_ids: Sequence[int]
+    nfas: Sequence[NFAGraph], expr_ids: Sequence[int],
+    prune_covered: bool = True,
 ) -> BitNfa:
-    """Flatten one or more position NFAs into bit-NFA tables."""
+    """Flatten one or more position NFAs into bit-NFA tables.
+
+    `prune_covered` must be False for SOM engines: a vacuous
+    every-offset report has from == to, so it does NOT subsume a
+    real accept's (smaller) leftmost start."""
     u = _flatten(nfas, expr_ids)
-    prune_covered_accepts(u)
+    if prune_covered:
+        prune_covered_accepts(u)
     P = u.reach.shape[0]
     byte_to_class, reps = _byte_classes(u.reach)
     C = len(reps)

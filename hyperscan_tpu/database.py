@@ -467,6 +467,16 @@ class Database:
     def state_count(self) -> int:
         return sum(e.num_states for e in self.engines)
 
+    def som_eids(self) -> frozenset:
+        """Expression indices with SOM_LEFTMOST (cached): their vacuous
+        range records have from == to and never dominate array records."""
+        if not hasattr(self, "_som_eids"):
+            self._som_eids = frozenset(
+                i for i, p in enumerate(self.patterns)
+                if p.flags & HS_FLAG_SOM_LEFTMOST
+            )
+        return self._som_eids
+
     def combos(self) -> List[Tuple[int, object, frozenset]]:
         """[(pattern_idx, ast, referenced external ids)] for combination
         patterns (cached; reference: CombInfo map)."""
@@ -946,7 +956,7 @@ def _build_som_engine(g: NFAGraph, eidx: int,
     """Gough-analogue SOM engine: bit-NFA tables + hop mask."""
     from .compiler.bitnfa import build_bitnfa
 
-    nfa = build_bitnfa([g], [eidx])
+    nfa = build_bitnfa([g], [eidx], prune_covered=False)
     if len(nfa.accept_sets) - 1 > NFA_MAX_ACCEPT_SETS:
         raise CompileError(
             "SOM pattern exceeds the bit-NFA accept-set limit "

@@ -111,11 +111,15 @@ class RecordSink:
         if hi >= lo:
             self.ranges.append((int(eid), int(lo), int(hi)))
 
-    def materialize(self, n: Optional[int]) -> RecordBatch:
+    def materialize(self, n: Optional[int],
+                    som_eids: frozenset = frozenset()) -> RecordBatch:
         """Bounds-check (0 <= to <= n when n is given), min-merge SOM
-        starts per (to, eid), and sort by offset. Ranges stay unexpanded:
-        they dominate any array record at the same (to, eid) (their frm
-        is 0, the minimum), so covered array records are dropped."""
+        starts per (to, eid), and sort by offset. Ranges of non-SOM
+        patterns stay unexpanded: they dominate any array record at the
+        same (to, eid) (their frm is 0, the minimum), so covered array
+        records are dropped. SOM patterns' ranges expand here with
+        frm == to (an empty match starts where it ends) so the min-merge
+        can prefer real matches' leftmost starts."""
         es: List[np.ndarray] = []
         ts: List[np.ndarray] = []
         fs: List[np.ndarray] = []
@@ -133,7 +137,14 @@ class RecordSink:
             lo = max(lo, 0)
             if n is not None:
                 hi = min(hi, n)
-            if hi >= lo:
+            if hi < lo:
+                continue
+            if eid in som_eids:
+                t = np.arange(lo, hi + 1, dtype=np.int64)
+                es.append(np.full_like(t, eid))
+                ts.append(t)
+                fs.append(t.copy())  # empty match: from == to
+            else:
                 ranges.append((eid, lo, hi))
         ranges.sort(key=lambda r: r[1])
         if not ts:
@@ -244,7 +255,8 @@ def scan_blocks_raw(
 
     if not db.engines:
         return [
-            per_block[bi].materialize(len(blocks[bi])) for bi in range(B)
+            per_block[bi].materialize(len(blocks[bi]), db.som_eids())
+            for bi in range(B)
         ]
 
     maxlen = max((len(b) for b in blocks), default=0)
@@ -255,7 +267,8 @@ def scan_blocks_raw(
         # small-write path (reference: runSmallWriteEngine): host numpy
         lengths = _host_engine_scan(db.engines, blocks, per_block)
         return [
-            per_block[bi].materialize(int(lengths[bi])) for bi in range(B)
+            per_block[bi].materialize(int(lengths[bi]), db.som_eids())
+            for bi in range(B)
         ]
 
     from ..database import MAX_HALO_DEPTH, NfaEngine
@@ -307,7 +320,8 @@ def scan_blocks_raw(
         # cannot halo-parallelize; the native host runtime scans them
         _host_engine_scan(host_engines, blocks_b, per_block)
 
-    return [per_block[bi].materialize(int(lengths[bi])) for bi in range(B)]
+    return [per_block[bi].materialize(int(lengths[bi]), db.som_eids())
+            for bi in range(B)]
 
 
 def _expand_device_records(engine, bi_a, pos_a, val_a, per_block) -> None:

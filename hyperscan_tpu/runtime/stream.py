@@ -380,7 +380,7 @@ def scan_streams(
         for (eid, lo, hi) in ranges_abs[bi]:
             sink.add_range(eid, lo, hi)
         ms, terminated = finalize_reports(
-            db, sink.materialize(None), callbacks[bi],
+            db, sink.materialize(None, db.som_eids()), callbacks[bi],
             seen_single=st.seen_single,
             combo_matched=st.combo_matched, at_end=False,
             som_horizon=som_horizon_span(db.mode),

@@ -128,6 +128,31 @@ def fuzz_round(rng, n_patterns: int = 8, n_corpora: int = 6) -> List[str]:
                     f"{sorted(got)} != {sorted(want_re)}"
                 )
                 continue
+            # SOM: leftmost starts must match the oracle (exercises the
+            # literal-route back-scans AND the som-register engine)
+            if rng.integers(0, 4) == 0 and not (p.startswith("^")):
+                try:
+                    somdb = hs.compile(p, flags=fl | hs.HS_FLAG_SOM_LEFTMOST)
+                except hs.CompileError:
+                    somdb = None
+                if somdb is not None:
+                    from hyperscan_tpu.utils.oracle import ast_leftmost_som
+
+                    want_som = {
+                        (s0, e)
+                        for (e, s0) in ast_leftmost_som(
+                            parse(p, fl | hs.HS_FLAG_SOM_LEFTMOST), data
+                        ).items()
+                    }
+                    got_som = {
+                        (m[1], m[2]) for m in hs.scan(somdb, data)
+                    }
+                    if got_som != want_som:
+                        fails.append(
+                            f"SOM pattern {p!r} corpus {data!r}: "
+                            f"{sorted(got_som)} != {sorted(want_som)}"
+                        )
+                        continue
             # streaming under a random write split must agree with block
             if len(data) > 1:
                 k = int(rng.integers(1, min(5, len(data)) + 1))
