@@ -417,13 +417,15 @@ def _add_start_reports(engine, per_block, lengths) -> None:
     for (anchored, eod, adj, eid) in engine.start_reports:
         for bi in range(len(per_block)):
             n = int(lengths[bi])
+            # an empty match starts where it ends: frm == to (correct
+            # leftmost under SOM; makes min_length reject empties)
             if anchored and eod:
                 if n == 0:
-                    per_block[bi].add(eid, adj)
+                    per_block[bi].add(eid, adj, adj)
             elif anchored:
-                per_block[bi].add(eid, adj)
+                per_block[bi].add(eid, adj, adj)
             elif eod:
-                per_block[bi].add(eid, n + adj)
+                per_block[bi].add(eid, n + adj, n + adj)
             else:
                 per_block[bi].add_range(eid, adj, n + adj)
 

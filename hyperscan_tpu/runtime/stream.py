@@ -215,7 +215,7 @@ def _vacuous_stream_reports(engine, streams, chunks, recs_abs,
                 # st.recent suppresses the re-report when a zero-length
                 # first write already delivered this (offset stays 0)
                 if st.offset == 0 and (eid, adj) not in st.recent:
-                    recs_abs[bi].add((eid, adj, 0))
+                    recs_abs[bi].add((eid, adj, adj))  # empty: frm == to
             else:
                 lo = 0 if st.offset == 0 else st.offset + 1
                 if lo == st.offset and (eid, lo + adj) in st.recent:
@@ -450,9 +450,9 @@ def _eod_pass(stream: Stream) -> List[Tuple[int, int, int]]:
                 continue
             if anchored:
                 if n == 0 and adj >= 0:
-                    recs.add((eid, adj, 0))
+                    recs.add((eid, adj, adj))  # empty match: frm == to
             elif n + adj >= 0:
-                recs.add((eid, n + adj, 0))
+                recs.add((eid, n + adj, n + adj))
     # literal path: rescan history with EOD semantics, keep only EOD records
     if db.lit is not None and stream.history:
         hist = np.frombuffer(stream.history, np.uint8)
