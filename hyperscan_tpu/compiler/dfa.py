@@ -161,9 +161,13 @@ def determinize(
     nfas: Sequence[NFAGraph],
     expr_ids: Sequence[int],
     max_states: int = 60000,
+    prune_covered: bool = True,
 ) -> ScanDFA:
     u = _flatten(nfas, expr_ids)
-    prune_covered_accepts(u)
+    if prune_covered:
+        # not valid under SOM: a vacuous report's from == to does not
+        # subsume a real accept's leftmost start
+        prune_covered_accepts(u)
     P = u.reach.shape[0]
     byte_to_class, reps = _byte_classes(u.reach)
     C = len(reps)

@@ -1129,7 +1129,8 @@ def compile_patterns(
                 return False
             try:
                 d = determinize([g], [i],
-                                max_states=grey.validator_max_states)
+                                max_states=grey.validator_max_states,
+                                prune_covered=not want_som)
                 validators[i] = DfaEngine.from_scan_dfa(d)
                 if want_som:
                     from .compiler.dfa import reverse_graph

@@ -45,6 +45,11 @@ MAX_DEVICE_SETS = 31  # accept-set bitmask must fit int32 planes
 # plane-memory budget per dispatch (bytes); bounds tiles per group
 GROUP_PLANE_BUDGET = 1 << 31
 
+import os as _os
+
+# tests force the Pallas layered kernel in interpret mode
+_FORCE_PALLAS = bool(_os.environ.get("HSTPU_FORCE_PALLAS_NFA"))
+
 
 def nfa_device_eligible(engine) -> bool:
     meta = _engine_meta(engine)
@@ -299,10 +304,22 @@ def nfa_scan_corpus_device(
         rel = ends[in_g] - lo
         eod_idx[in_g] = (rel // TILE_BODY) * NE + D + rel % TILE_BODY
 
+        use_pallas = (
+            engine.num_positions <= PALLAS_MAX_POSITIONS
+            and NE % 128 == 0
+            and (jax.default_backend() != "cpu"
+                 or _FORCE_PALLAS)
+        )
         cap = capacity
         cc = cap_chunks
         while True:
-            run = _jit_group(key, gt, NE, B, cap, cc)
+            if use_pallas:
+                run = _jit_group_pallas(
+                    key, gt, NE, B, cap, cc,
+                    jax.default_backend() == "cpu",
+                )
+            else:
+                run = _jit_group(key, gt, NE, B, cap, cc)
             meta, packed, eodb = run(
                 jnp.asarray(xg), jnp.asarray(vg), jnp.asarray(ag),
                 jnp.asarray(eod_idx, dtype=jnp.int32),
@@ -344,3 +361,148 @@ def nfa_scan_corpus_device(
         if rec_bi else (z, z, z)
     )
     return recs, eod_bits
+
+
+# --------------------------------------------------------------------------
+# Pallas variant of the layered sweep: each grid cell owns one tile, all
+# position planes live in VMEM scratch, so HBM traffic is just corpus in
+# and accept-bit planes out (the XLA variant round-trips every plane
+# through HBM). Routing: small-P acyclic engines on a real accelerator.
+# --------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+PALLAS_MAX_POSITIONS = 48  # VMEM budget: ~(P+2) planes of R x 128 bytes
+
+
+def _make_layered_kernel(engine, R: int):
+    meta = _engine_meta(engine)
+    ranges = meta["ranges"]
+    pos_class = meta["pos_class"]
+    preds = meta["preds"]
+    order = meta["order"]
+    float_mask = engine.float_mask
+    anch_mask = engine.anch_mask
+    accept_gid = engine.accept_gid
+    accept_eod_gid = engine.accept_eod_gid
+    has_eod = bool(accept_eod_gid.max()) if len(accept_eod_gid) else False
+    P = engine.num_positions
+
+    def kernel(x_ref, valid_ref, anch_ref, acc_ref, *rest):
+        if has_eod:
+            eod_ref, planes = rest
+        else:
+            (planes,) = rest
+        x = x_ref[...].astype(jnp.int32)          # [R, 128]
+        valid = valid_ref[...] != 0               # bool
+        anch = anch_ref[...] != 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        acc = jnp.zeros((R, 128), jnp.int32)
+        eod = jnp.zeros((R, 128), jnp.int32)
+        for p in order:
+            rs = ranges[int(pos_class[p])]
+            if rs:
+                cls = (x >= rs[0][0]) & (x <= rs[0][1])
+                for (a, b) in rs[1:]:
+                    cls = cls | ((x >= a) & (x <= b))
+            else:
+                cls = jnp.zeros((R, 128), bool)
+            pred_or = None
+            for u in preds[p]:
+                pu = planes[u] != 0
+                pred_or = pu if pred_or is None else (pred_or | pu)
+            srcs = []
+            if pred_or is not None:
+                # shift by one byte in row-major [R, 128] order
+                rolled = pltpu.roll(pred_or.astype(jnp.int32), 1, axis=1)
+                rows_up = jnp.concatenate(
+                    [jnp.zeros((1, 128), jnp.int32), rolled[:-1]], axis=0
+                )
+                shifted = jnp.where(lane == 0, rows_up, rolled) != 0
+                shifted = shifted & ~((lane == 0) & (row == 0))
+                srcs.append(shifted)
+            if float_mask[p]:
+                srcs.append(valid)
+            if anch_mask[p]:
+                srcs.append(anch)
+            if not srcs:
+                planes[p] = jnp.zeros((R, 128), jnp.int8)
+                continue
+            inp = srcs[0]
+            for s2 in srcs[1:]:
+                inp = inp | s2
+            plane = inp & cls & valid
+            planes[p] = plane.astype(jnp.int8)
+            g = int(accept_gid[p])
+            if g:
+                acc = acc | (plane.astype(jnp.int32) << (g - 1))
+            ge = int(accept_eod_gid[p])
+            if ge:
+                eod = eod | (plane.astype(jnp.int32) << (ge - 1))
+        acc_ref[...] = acc
+        if has_eod:
+            eod_ref[...] = eod
+
+    return kernel, P, has_eod
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_group_pallas(engine_key, NT: int, NE: int, B: int, capacity: int,
+                      cap_chunks: int, interpret: bool):
+    engine = _ENGINES[engine_key]
+    R = NE // 128
+    kernel, P, has_eod = _make_layered_kernel(engine, R)
+    D = _halo(engine)
+
+    def run(x, valid, anch, eod_idx, n_valid):
+        # [NT, NE] -> [NT*R, 128] row-major per tile
+        x2 = x.reshape(NT * R, 128)
+        v2 = valid.astype(jnp.int8).reshape(NT * R, 128)
+        a2 = anch.astype(jnp.int8).reshape(NT * R, 128)
+        n_out = 2 if has_eod else 1
+        outs = pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(NT,),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((NT * R, 128), jnp.int32)
+                for _ in range(n_out)
+            ),
+            in_specs=[
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_out)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((engine.num_positions, R, 128), jnp.int8)
+            ],
+        )(x2, v2, a2)
+        outs = outs if isinstance(outs, tuple) else (outs,)
+        acc = outs[0].reshape(NT, NE)
+        body = jnp.arange(NE, dtype=jnp.int32)[None, :] >= D
+        acc = jnp.where(body, acc, 0)
+        if has_eod:
+            eodp = outs[1].reshape(NT, NE)
+            eod_bits = jnp.where(
+                eod_idx >= 0, eodp.reshape(-1)[jnp.maximum(eod_idx, 0)], 0
+            )
+        else:
+            eod_bits = jnp.zeros(eod_idx.shape, jnp.int32)
+        from .teddy import sparse_extract
+
+        meta, packed = sparse_extract(
+            [acc.reshape(-1)], n_valid, capacity, cap_chunks
+        )
+        return meta, packed, eod_bits
+
+    return jax.jit(run)

@@ -151,3 +151,28 @@ def test_som_horizon_past_horizon():
     st = hs.open_stream(sdb)
     ms2 = hs.scan_stream(st, b"xxaz") + hs.close_stream(st)
     assert [tuple(m) for m in ms2] == [(0, 2, 4)]
+
+
+def test_som_vacuous_branch_with_literal_branch():
+    """(1xc)|.? under SOM: the vacuous branch must not prune the literal
+    branch's accepts out of the shared window validator (fuzzer
+    regression, third SOM catch)."""
+    import numpy as np
+
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.utils.oracle import ast_leftmost_som
+
+    p = r"(1xc)|.?"
+    fl = hs.HS_FLAG_ALLOWEMPTY | SOM
+    db = hs.compile(p, flags=fl)
+    assert {(m[1], m[2]) for m in hs.scan(db, b"z1xcz")} == {
+        (s, e) for (e, s) in ast_leftmost_som(parse(p, fl), b"z1xcz").items()
+    }
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        d = bytes(rng.choice(np.frombuffer(b"1xcz a", np.uint8),
+                             size=int(rng.integers(0, 35))))
+        got = {(m[1], m[2]) for m in hs.scan(db, d)}
+        want = {(s, e) for (e, s)
+                in ast_leftmost_som(parse(p, fl), d).items()}
+        assert got == want, (d, sorted(got), sorted(want))
