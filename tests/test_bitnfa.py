@@ -183,3 +183,41 @@ def test_anchored_dominance_reduction():
     r2 = reduce_graph(g2)
     assert nfa_match_ends(r2, b"foo") == set()
     assert nfa_match_ends(r2, b"xfoo") == {4}
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("HSTPU_SLOW_TESTS"),
+    reason="Pallas interpret mode takes minutes; set HSTPU_SLOW_TESTS=1",
+)
+def test_pallas_layered_kernel_interpret(monkeypatch):
+    """The Pallas layered kernel (VMEM-resident planes) matches the
+    reference scan in interpret mode, including EOD accepts (verified in
+    a full run with HSTPU_SLOW_TESTS=1; 334s on the dev CPU)."""
+    import numpy as np
+
+    from hyperscan_tpu.database import compile_patterns
+    from hyperscan_tpu.grey import Grey
+    from hyperscan_tpu.ops import nfa_kernel as NK
+    from hyperscan_tpu.runtime.scan import scan_block
+
+    monkeypatch.setattr(NK, "TILE_BODY", 1 << 12)
+    monkeypatch.setattr(NK, "_FORCE_PALLAS", True)
+    NK._jit_group_pallas.cache_clear()
+
+    pat = r".*x.{8}(y|z)$"
+    db = compile_patterns(
+        [pat], grey=Grey(max_dfa_states=8, allow_teddy=False,
+                         host_scan_limit=1 << 10)
+    )
+    from hyperscan_tpu.database import NfaEngine
+
+    eng = db.engines[0]
+    assert isinstance(eng, NfaEngine) and bool(eng.accept_eod_gid.max())
+    rng = np.random.default_rng(3)
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.utils.oracle import ast_match_ends
+
+    node = parse(pat, 0)
+    d = bytes(rng.choice(np.frombuffer(b"xyzab", np.uint8), size=9000))
+    got = {t for (_i, _f, t) in scan_block(db, d)[0]}
+    assert got == ast_match_ends(node, d)
