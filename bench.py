@@ -81,7 +81,11 @@ def _gen_host(n: int, salt: int) -> np.ndarray:
 
 
 def run_config(n_patterns: int, hs, jax, jnp):
-    from hyperscan_tpu.ops.teddy import ROWS_PER_CELL, teddy_confirm_scan_rows
+    from hyperscan_tpu.ops.teddy import (
+        ROWS_PER_CELL,
+        teddy_confirm_finish,
+        teddy_confirm_start,
+    )
     from hyperscan_tpu.runtime.lit_runtime import (
         finish_confirmed,
         verify_pairs,
@@ -116,9 +120,12 @@ def run_config(n_patterns: int, hs, jax, jnp):
     bs = np.zeros(1, dtype=np.int64)
     be = np.asarray([n], dtype=np.int64)
 
-    def one_scan(salt: int, corpus_np: np.ndarray) -> int:
+    def start_scan(salt: int):
         rows = gen_rows(jnp.uint32(salt))
-        fid_a, p_a = teddy_confirm_scan_rows(rows, db.lit, n)
+        return teddy_confirm_start(rows, db.lit, n)
+
+    def finish_scan(handle, corpus_np: np.ndarray) -> int:
+        fid_a, p_a = teddy_confirm_finish(handle)
         fid_a, p_a = verify_pairs(db.lit, corpus_np, bs, fid_a, p_a)
         recs = finish_confirmed(db, corpus_np, bs, be, fid_a, p_a)
         sink = RecordSink()
@@ -128,13 +135,19 @@ def run_config(n_patterns: int, hs, jax, jnp):
         return len(ms)
 
     host_corpora = [_gen_host(n, s) for s in range(ITERS + 1)]
-    nm = one_scan(0, host_corpora[0])  # warm compile
+    nm = finish_scan(start_scan(0), host_corpora[0])  # warm compile
     assert nm >= len(_PLANTS), f"warmup found only {nm} matches"
 
+    # depth-2 pipeline: scan s+1 is dispatched before scan s's results
+    # are fetched, so the tunnel fetch + host stages of s ride under the
+    # device compute of s+1 (hsbench analogue: repeated corpus scans)
     t0 = time.perf_counter()
     total_matches = 0
+    handle = start_scan(1)
     for s in range(1, ITERS + 1):
-        total_matches += one_scan(s, host_corpora[s])
+        nxt = start_scan(s + 1) if s < ITERS else None
+        total_matches += finish_scan(handle, host_corpora[s])
+        handle = nxt
     dt = time.perf_counter() - t0
     return n * ITERS / dt / 1e9, total_matches, t_compile
 

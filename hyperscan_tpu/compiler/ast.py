@@ -46,6 +46,12 @@ class Pos(Node):
     bos: bool = False
     eos: bool = False
     adjust: int = 0
+    # UCP word-ness tag: set on the lead and final byte positions of a
+    # codepoint chain whose codepoints are uniformly word (True) or
+    # non-word (False); None = untagged. Consulted by the uwordb/unwordb
+    # assertion rectangles (glushkov.py) to decide \b at the codepoint
+    # level without decoding UTF-8 at scan time.
+    wordcp: Optional[bool] = None
 
     def symbol_count(self) -> int:
         return self.cr.count() + int(self.bos) + int(self.eos)
@@ -80,8 +86,12 @@ A_MLINE_BOS = "mbos"   # ^ with MULTILINE
 A_EOS_NL = "eos_nl"    # $, \Z (end of data, or before a final \n)
 A_MLINE_EOS = "meos"   # $ with MULTILINE (before any \n, or end of data)
 A_EOS = "eos"          # \z (end of data only)
-A_WORDB = "wordb"      # \b (not yet supported at compile; parser accepts)
+A_WORDB = "wordb"      # \b (ASCII word set)
 A_NWORDB = "nwordb"    # \B
+A_UWORDB = "uwordb"    # \b under UCP+UTF8 (codepoint-level word set)
+A_UNWORDB = "unwordb"  # \B under UCP+UTF8
+A_UWORDB8 = "uwordb8"  # \b under UCP without UTF8 (Latin-1 word bytes)
+A_UNWORDB8 = "unwordb8"  # \B under UCP without UTF8
 
 
 @dataclasses.dataclass(frozen=True)

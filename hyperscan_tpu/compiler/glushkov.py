@@ -37,6 +37,7 @@ exactly the reference's offset-adjusted report scheme.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, FrozenSet, List, Optional, Set, Tuple
 
 import numpy as np
@@ -49,6 +50,10 @@ from .ast import (
     A_MLINE_BOS,
     A_MLINE_EOS,
     A_NWORDB,
+    A_UNWORDB,
+    A_UNWORDB8,
+    A_UWORDB,
+    A_UWORDB8,
     A_WORDB,
     Alt,
     Anchor,
@@ -95,6 +100,10 @@ class NFAGraph:
     # *before* the match start (".*[cr]" hops for \b/^m prev-context);
     # SOM reverse scans must report the start one byte to their right
     prev_hops: Set[int] = dataclasses.field(default_factory=set)
+    # UCP \b synthesized a multi-byte prev-context codepoint chain; the
+    # one-byte prev_hops adjustment no longer describes the match start,
+    # so SOM/min_length routes must reject this graph
+    long_hops: bool = False
 
     @property
     def num_positions(self) -> int:
@@ -229,42 +238,108 @@ class _Builder:
 
 @dataclasses.dataclass(frozen=True)
 class _PF:
-    """Prev-symbol filter: byte set + whether BOS (offset 0) is allowed."""
+    """Prev-symbol filter: byte set + whether BOS (offset 0) is allowed.
+
+    ``cp`` (UCP+UTF8 word boundaries only): additionally require the
+    codepoint *ending* at the previous byte to be a UCP word codepoint
+    (True) / non-word codepoint (False). The byte set then applies to the
+    final byte of that codepoint (used when other assertions conjoin)."""
 
     cr: CharReach
     bos: bool
+    cp: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)
 class _NF:
-    """Next-symbol filter: byte set + whether EOS (end of data) is allowed."""
+    """Next-symbol filter: byte set + whether EOS (end of data) is allowed.
+
+    ``cp``: require the codepoint *starting* at the next byte to be a UCP
+    word codepoint (True) / non-word codepoint (False)."""
 
     cr: CharReach
     eos: bool
+    cp: Optional[bool] = None
 
 
 _PF_ANY = _PF(_ANY, True)
 _NF_ANY = _NF(_ANY, True)
 
 
+def _cp_merge(a: Optional[bool], b: Optional[bool]):
+    """Conjoin two codepoint-wordness requirements; 'conflict' = dead."""
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    return "conflict"
+
+
 def _pf_and(a: Optional[_PF], b: _PF) -> _PF:
     if a is None:
         return b
-    return _PF(a.cr & b.cr, a.bos and b.bos)
+    cp = _cp_merge(a.cp, b.cp)
+    if cp == "conflict":
+        return _PF(_NONE, False)
+    return _PF(a.cr & b.cr, a.bos and b.bos, cp)
 
 
 def _nf_and(a: Optional[_NF], b: _NF) -> _NF:
     if a is None:
         return b
-    return _NF(a.cr & b.cr, a.eos and b.eos)
+    cp = _cp_merge(a.cp, b.cp)
+    if cp == "conflict":
+        return _NF(_NONE, False)
+    return _NF(a.cr & b.cr, a.eos and b.eos, cp)
 
 
 def _pf_trivial(f: Optional[_PF]) -> bool:
-    return f is None or (f.bos and f.cr.count() == 256)
+    return f is None or (f.bos and f.cr.count() == 256 and f.cp is None)
 
 
 def _nf_trivial(f: Optional[_NF]) -> bool:
-    return f is None or (f.eos and f.cr.count() == 256)
+    return f is None or (f.eos and f.cr.count() == 256 and f.cp is None)
+
+
+@functools.lru_cache(maxsize=1)
+def _ucp_word_bytes() -> CharReach:
+    from .ucp import word_byte_reach
+
+    return word_byte_reach()
+
+
+_ASCII = CharReach.range(0, 0x7F)
+
+
+def _ucp_cp_ranges(word: bool):
+    """UCP word / non-word codepoint ranges."""
+    from .ucp import nonword_ranges, word_ranges
+
+    return word_ranges() if word else nonword_ranges()
+
+
+def _cr_to_cp_ranges(cr: CharReach, word: bool):
+    """Byte filter ∧ codepoint-wordness → codepoint ranges for the class
+    of codepoints the context may hold. ASCII bytes translate 1:1; a byte
+    filter that passes every non-ASCII byte leaves multibyte codepoints
+    unrestricted; a filter that blocks them all removes them. Anything in
+    between cannot be expressed at the codepoint level."""
+    from .utf8 import charreach_to_ranges, intersect_ranges
+
+    base = _ucp_cp_ranges(word)
+    non_ascii = cr - _ASCII
+    ascii_rs = charreach_to_ranges(cr & _ASCII)
+    out = intersect_ranges(base, ascii_rs)
+    if non_ascii.count() == 128:
+        out = out + intersect_ranges(base, [(0x80, 0x10FFFF)])
+    elif non_ascii.count() != 0:
+        raise CompileError(
+            "\\b under UCP: cannot combine a partial non-ASCII byte "
+            "constraint with codepoint-level word context"
+        )
+    from .utf8 import normalize_ranges
+
+    return normalize_ranges(out)
 
 
 # rectangles per assertion kind; `nl_eod` marks the \Z/"$ before final
@@ -293,6 +368,28 @@ def _assert_rects(kind: str):
             (_PF(_W, False), _NF(_W, False), False),
             (_PF(_NW, True), _NF(_NW, True), False),
         ]
+    if kind == A_UWORDB8:  # UCP \b, byte == codepoint (no UTF8)
+        uw = _ucp_word_bytes()
+        return [
+            (_PF(uw, False), _NF(~uw, True), False),
+            (_PF(~uw, True), _NF(uw, False), False),
+        ]
+    if kind == A_UNWORDB8:
+        uw = _ucp_word_bytes()
+        return [
+            (_PF(uw, False), _NF(uw, False), False),
+            (_PF(~uw, True), _NF(~uw, True), False),
+        ]
+    if kind == A_UWORDB:  # UCP+UTF8 \b: codepoint-level rectangles
+        return [
+            (_PF(_ANY, False, True), _NF(_ANY, True, False), False),
+            (_PF(_ANY, True, False), _NF(_ANY, False, True), False),
+        ]
+    if kind == A_UNWORDB:
+        return [
+            (_PF(_ANY, False, True), _NF(_ANY, False, True), False),
+            (_PF(_ANY, True, False), _NF(_ANY, True, False), False),
+        ]
     raise CompileError(f"unsupported assertion kind {kind!r}")
 
 
@@ -309,10 +406,80 @@ class _Resolver:
         self.synth_acc: Dict[Tuple[bytes, bool, int], int] = {}
         self._nl_clones: Dict[Tuple, int] = {}
         self.extra_edges: List[_Edge] = []
+        # UCP codepoint-context tries: ranges key -> chain summaries
+        self.synth_prev_cp: Dict[Tuple, List[Tuple[int, int, int]]] = {}
+        self.synth_acc_cp: Dict[Tuple, List[int]] = {}
+        self.cp_hop_finals: Set[int] = set()  # 1-byte cp-trie finals
+        self.long_hops = False  # multi-byte prev context consumed
 
-    def _new_real(self, cr: CharReach) -> int:
-        pid = self.b.new_pos(Pos(cr))
+    def _new_real(self, cr: CharReach, wordcp: Optional[bool] = None) -> int:
+        pid = self.b.new_pos(Pos(cr, wordcp=wordcp))
         return pid
+
+    def _cp_chains(self, ranges, tag: bool) -> List[Tuple[int, int, int]]:
+        """Synthesize position chains matching one UTF-8 codepoint from
+        ``ranges`` (reference analogue: assert-vertex cloning over UTF-8
+        subgraphs, src/nfagraph/ng_asserts.cpp). Returns
+        (first, final, length) per chain; internal edges are queued."""
+        from .utf8 import cp_ranges_to_seqs, normalize_ranges
+
+        out: List[Tuple[int, int, int]] = []
+        for byteseq in cp_ranges_to_seqs(normalize_ranges(ranges)):
+            pids = []
+            for k, (blo, bhi) in enumerate(byteseq):
+                is_edge = k == 0 or k == len(byteseq) - 1
+                pids.append(self._new_real(
+                    CharReach.range(blo, bhi),
+                    wordcp=tag if is_edge else None,
+                ))
+            for a, bb in zip(pids, pids[1:]):
+                self.extra_edges.append((a, bb, None, None, 0))
+            out.append((pids[0], pids[-1], len(pids)))
+        return out
+
+    def _prev_cp_variants(self, pf: _PF) -> List[Tuple[int, None]]:
+        """Floating-start decomposition of a codepoint-level prev filter:
+        ``.*`` followed by one full codepoint from the class."""
+        ranges = _cr_to_cp_ranges(pf.cr, bool(pf.cp))
+        key = tuple(ranges) + (bool(pf.cp),)
+        if key not in self.synth_prev_cp:
+            chains = self._cp_chains(ranges, bool(pf.cp))
+            for (first, _final, _ln) in chains:
+                self.extra_edges.append((SD, first, None, None, 0))
+                self.extra_edges.append((S0, first, None, None, 0))
+            self.synth_prev_cp[key] = chains
+            for (_f, final, ln) in chains:
+                if ln == 1:
+                    self.cp_hop_finals.add(final)
+                else:
+                    self.long_hops = True
+                    self.cp_hop_finals.add(final)
+        return [(final, None) for (_f, final, _ln) in self.synth_prev_cp[key]]
+
+    def _resolve_pf_real(self, u: int, pf: _PF) -> Optional[Optional[_PF]]:
+        """Resolve a codepoint-level prev filter against a concrete
+        predecessor position. Returns the residual byte filter (possibly
+        None) if the edge survives, or the sentinel string 'drop'."""
+        leaf = self.b.leaves[u]
+        assert isinstance(leaf, Pos)
+        if pf.cp is None:
+            return pf if (pf.cr or pf.bos) else None
+        tag = leaf.wordcp
+        if tag is not None:
+            if tag != pf.cp:
+                return "drop"
+            return None if pf.cr.count() == 256 else _PF(pf.cr, pf.bos)
+        if (leaf.cr - _ASCII).count() == 0:
+            # single-byte codepoints: byte word-ness == codepoint word-ness
+            allowed = _ucp_word_bytes() if pf.cp else (~_ucp_word_bytes())
+            eff = pf.cr & allowed & _ASCII
+            if not eff:
+                return "drop"
+            return _PF(eff, pf.bos)
+        raise CompileError(
+            "\\b under UCP cannot resolve against an untagged non-ASCII "
+            "position (unsupported pattern shape)"
+        )
 
     def prev_variants(self, u: int, pf: Optional[_PF]):
         """Decompose a prev-filter for a given predecessor into concrete
@@ -330,7 +497,9 @@ class _Resolver:
         elif u == SD:
             if pf.bos:
                 out.append((S0, None))
-            if pf.cr:
+            if pf.cp is not None:
+                out.extend(self._prev_cp_variants(pf))
+            elif pf.cr:
                 k = pf.cr.key()
                 if k not in self.synth_prev:
                     w = self._new_real(pf.cr)
@@ -338,11 +507,42 @@ class _Resolver:
                     self.extra_edges.append((SD, w, None, None, 0))
                     self.extra_edges.append((S0, w, None, None, 0))
                 out.append((self.synth_prev[k], None))
+        elif isinstance(self.b.leaves[u], Pos):
+            # concrete predecessor: codepoint requirements resolve now,
+            # byte requirements ride the edge into atom splitting
+            resolved = self._resolve_pf_real(u, pf)
+            if resolved != "drop":
+                out.append((u, resolved))
         else:
-            # real position or assertion: carry the filter
-            if pf.cr or pf.bos:
+            # assertion predecessor: carry the filter to its elimination
+            if pf.cr or pf.bos or pf.cp is not None:
                 out.append((u, pf))
         return out
+
+    def _resolve_nf_real(self, v: int, nf: _NF):
+        """Resolve a codepoint-level next filter against a concrete
+        successor position: tag check for codepoint chains, byte
+        translation for single-byte (ASCII) positions."""
+        leaf = self.b.leaves[v]
+        if not isinstance(leaf, Pos):
+            raise CompileError(
+                "\\b under UCP adjacent to an unresolved assertion"
+            )
+        tag = leaf.wordcp
+        if tag is not None:
+            if tag != bool(nf.cp):
+                return "drop"
+            return None if nf.cr.count() == 256 else _NF(nf.cr, nf.eos)
+        if (leaf.cr - _ASCII).count() == 0:
+            allowed = _ucp_word_bytes() if nf.cp else (~_ucp_word_bytes())
+            eff = nf.cr & allowed & _ASCII
+            if not eff:
+                return "drop"
+            return _NF(eff, nf.eos)
+        raise CompileError(
+            "\\b under UCP cannot resolve against an untagged non-ASCII "
+            "position (unsupported pattern shape)"
+        )
 
     def accept_edges(self, u: int, upf: Optional[_PF], nf: Optional[_NF],
                      adjust: int, eod_only: bool, nl_eod: bool) -> List[_Edge]:
@@ -356,7 +556,28 @@ class _Resolver:
         if nf.eos and not nl_eod:
             # accept exactly at end-of-data
             out.append((u, ACCEOD, upf, None, adjust))
-        if nf.cr and not eod_only:
+        if eod_only:
+            return out
+        if nf.cp is not None:
+            # consume one full constrained codepoint, report at its start
+            # (offset-adjusted by the codepoint's byte length)
+            ranges = _cr_to_cp_ranges(nf.cr, bool(nf.cp))
+            key = tuple(ranges) + (bool(nf.cp), nl_eod, adjust)
+            if key not in self.synth_acc_cp:
+                firsts = []
+                for (first, final, ln) in self._cp_chains(
+                    ranges, bool(nf.cp)
+                ):
+                    self.extra_edges.append((
+                        final, ACCEOD if nl_eod else ACC, None, None,
+                        adjust - ln,
+                    ))
+                    firsts.append(first)
+                self.synth_acc_cp[key] = firsts
+            for first in self.synth_acc_cp[key]:
+                out.append((u, first, upf, None, 0))
+            return out
+        if nf.cr:
             # consume one constrained byte, report one byte earlier
             eod_flag = nl_eod
             k = (nf.cr.key(), eod_flag, adjust - 1)
@@ -439,11 +660,18 @@ class _Resolver:
                             if nl_eod:
                                 # "$ before final \n" then a successor that
                                 # consumes exactly that final \n
+                                if nf.cp is True:
+                                    continue  # \n is not a word codepoint
                                 w = self._nl_eod_clone(v, nf.cr, edges)
                                 if w is not None:
                                     out.append((uu, w, eff_pf, None, adj))
                                 continue
-                            out.append((uu, v, eff_pf, _NF(nf.cr, nf.eos), adj))
+                            vf_out = _NF(nf.cr, nf.eos)
+                            if nf.cp is not None:
+                                vf_out = self._resolve_nf_real(v, nf)
+                                if vf_out == "drop":
+                                    continue
+                            out.append((uu, v, eff_pf, vf_out, adj))
         return out
 
 
@@ -524,6 +752,48 @@ def build_nfa(node: Node) -> NFAGraph:
             kept.append((u, v, uf, vf, adj))
     edges = kept
 
+    # --- resolve residual codepoint-level filters -------------------------
+    # Filters carried through chained-assertion eliminations can still
+    # hold a cp requirement; materialization is byte-only, so resolve
+    # them against the concrete endpoint positions here.
+    if any(
+        (uf is not None and uf.cp is not None)
+        or (vf is not None and vf.cp is not None)
+        for (_u, _v, uf, vf, _a) in edges
+    ):
+        resolved_edges: List[_Edge] = []
+        for (u, v, uf, vf, adj) in edges:
+            if uf is not None and uf.cp is not None:
+                if u >= 0:
+                    uf = resolver._resolve_pf_real(u, uf)
+                    if uf == "drop":
+                        continue
+                elif u == S0:
+                    if not uf.bos:
+                        continue
+                    uf = None
+                else:  # SD with an unresolved cp context
+                    raise CompileError(
+                        "\\b under UCP: unresolved floating codepoint "
+                        "context (unsupported pattern shape)"
+                    )
+            if vf is not None and vf.cp is not None:
+                if v >= 0:
+                    vf = resolver._resolve_nf_real(v, vf)
+                    if vf == "drop":
+                        continue
+                elif v == ACCEOD:
+                    if not vf.eos:
+                        continue
+                    vf = None
+                else:
+                    raise CompileError(
+                        "\\b under UCP: unresolved codepoint context on "
+                        "an accept (unsupported pattern shape)"
+                    )
+            resolved_edges.append((u, v, uf, vf, adj))
+        edges = resolved_edges
+
     # --- materialize filters by atom-splitting ----------------------------
     leaves = b.leaves
     classes: List[CharReach] = [
@@ -597,7 +867,7 @@ def build_nfa(node: Node) -> NFAGraph:
     for i, cr in enumerate(new_reach):
         reach[i] = cr.bits
 
-    hop_src = set(resolver.synth_prev.values())
+    hop_src = set(resolver.synth_prev.values()) | resolver.cp_hop_finals
     prev_hops = {
         nid for (p, i), nid in new_ids.items() if p in hop_src
     }
@@ -611,6 +881,7 @@ def build_nfa(node: Node) -> NFAGraph:
         accept_eod={k: frozenset(v) for k, v in accept_eod.items()},
         start_accepts=start_accepts,
         prev_hops=prev_hops,
+        long_hops=resolver.long_hops,
     )
     return _prune(g)
 
@@ -661,6 +932,7 @@ def _prune(g: NFAGraph) -> NFAGraph:
         accept_eod={int(remap[p]): a for p, a in g.accept_eod.items() if keep[p]},
         start_accepts=set(g.start_accepts),
         prev_hops=rs(g.prev_hops),
+        long_hops=g.long_hops,
     )
 
 
@@ -738,4 +1010,5 @@ def reduce_graph(g: NFAGraph) -> NFAGraph:
         },
         start_accepts=set(g.start_accepts),
         prev_hops=rs(g.prev_hops),
+        long_hops=g.long_hops,
     ))

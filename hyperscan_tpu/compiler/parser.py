@@ -32,6 +32,10 @@ from .ast import (
     A_MLINE_BOS,
     A_MLINE_EOS,
     A_NWORDB,
+    A_UNWORDB,
+    A_UNWORDB8,
+    A_UWORDB,
+    A_UWORDB8,
     A_WORDB,
     Alt,
     Anchor,
@@ -105,6 +109,17 @@ class _Parser:
             ucp=bool(flags & HS_FLAG_UCP),
             prefilter=bool(flags & HS_FLAG_PREFILTER),
         )
+        # UCP word boundaries resolve at the codepoint level: classes must
+        # be split into uniformly-word / uniformly-nonword chains so the
+        # uwordb rectangles can decide \b per neighbor position (see
+        # glushkov.py). A textual pre-scan enables the split — it may fire
+        # spuriously on "\b" inside a class (backspace), which only costs
+        # a few extra positions, never correctness.
+        self._split_word = (
+            self.flags.ucp
+            and self.flags.utf8
+            and ("\\b" in self.pat or "\\B" in self.pat)
+        )
 
     # -- utilities -----------------------------------------------------
     def error(self, msg: str) -> CompileError:
@@ -169,6 +184,22 @@ class _Parser:
                 ranges = fold_ascii(ranges)
         if negate:
             ranges = complement_ranges(ranges)
+        if self._split_word:
+            from .ucp import nonword_ranges, word_ranges
+            from .utf8 import intersect_ranges
+
+            from .ast import alt as _alt
+
+            w = intersect_ranges(ranges, word_ranges())
+            nw = intersect_ranges(ranges, nonword_ranges())
+            if w and nw:
+                return _alt(
+                    ranges_to_node(w, wordcp=True),
+                    ranges_to_node(nw, wordcp=False),
+                )
+            if w:
+                return ranges_to_node(w, wordcp=True)
+            return ranges_to_node(nw, wordcp=False)
         return ranges_to_node(ranges)
 
     def _ucp_class(self, ranges, negate: bool = False) -> Node:
@@ -566,17 +597,15 @@ class _Parser:
             return Anchor(A_EOS)
         if c == "b":
             if self.flags.ucp:
-                raise self.error(
-                    "\\b under UCP needs codepoint context (not yet "
-                    "supported)"
-                )
+                if self.flags.prefilter:
+                    return Empty()  # over-approximation: drop the constraint
+                return Anchor(A_UWORDB if self.flags.utf8 else A_UWORDB8)
             return Anchor(A_WORDB)
         if c == "B":
             if self.flags.ucp:
-                raise self.error(
-                    "\\B under UCP needs codepoint context (not yet "
-                    "supported)"
-                )
+                if self.flags.prefilter:
+                    return Empty()
+                return Anchor(A_UNWORDB if self.flags.utf8 else A_UNWORDB8)
             return Anchor(A_NWORDB)
         if c == "G":
             raise self.error("\\G is not supported")

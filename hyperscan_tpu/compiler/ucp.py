@@ -4,8 +4,9 @@ Reference: HS_FLAG_UCP (src/hs_compile.h:929) + the parser's ucp_table.cpp
 property tables. Here the property sets are derived from Python's
 unicodedata at first use and cached as codepoint ranges; \\w, \\d, \\s and
 \\p{...}/\\P{...} switch to Unicode semantics, and CASELESS closes classes
-under simple case folding. Word-boundary assertions under UCP need
-codepoint-level context and are rejected this round (documented gap).
+under simple case folding. Word-boundary assertions under UCP resolve at
+the codepoint level (see glushkov.py's uwordb rectangles); this module
+supplies the word-codepoint set and membership tests.
 """
 
 from __future__ import annotations
@@ -67,6 +68,51 @@ def space_ranges() -> List[Range]:
     """UCP \\s = Unicode whitespace."""
     out = [(cp, cp) for cp in range(0x3000 + 1) if chr(cp).isspace()]
     return normalize_ranges(out)
+
+
+@functools.lru_cache(maxsize=1)
+def nonword_ranges() -> List[Range]:
+    """Complement of word_ranges over the valid codepoint space."""
+    from .utf8 import complement_ranges
+
+    return [
+        (lo, min(hi, MAX_CP))
+        for (lo, hi) in complement_ranges(word_ranges())
+        if lo <= MAX_CP
+    ]
+
+
+@functools.lru_cache(maxsize=1)
+def _word_bytes() -> bytes:
+    """Latin-1 clip of the UCP word set (one flag byte per codepoint)."""
+    bits = bytearray(256)
+    for (lo, hi) in word_ranges():
+        if lo > 255:
+            break
+        for cp in range(lo, min(hi, 255) + 1):
+            bits[cp] = 1
+    return bytes(bits)
+
+
+def word_byte_reach():
+    """UCP word set clipped to the byte alphabet, as a CharReach (used by
+    \\b/\\B under UCP without UTF-8, where bytes ARE codepoints)."""
+    import numpy as np
+
+    from .charclass import CharReach
+
+    return CharReach(np.frombuffer(_word_bytes(), np.uint8).astype(bool))
+
+
+def is_word_cp(cp: int) -> bool:
+    """Codepoint membership in the UCP word set (oracle-side)."""
+    if cp < 256:
+        return bool(_word_bytes()[cp])
+    import bisect
+
+    rs = word_ranges()
+    i = bisect.bisect_right(rs, (cp, MAX_CP + 1)) - 1
+    return i >= 0 and rs[i][0] <= cp <= rs[i][1]
 
 
 def fold_case(ranges: List[Range]) -> List[Range]:

@@ -99,13 +99,21 @@ def cp_ranges_to_seqs(ranges: List[Range]) -> List[List[Range]]:
     return seqs
 
 
-def ranges_to_node(ranges: List[Range]) -> Node:
-    """Codepoint ranges → byte-level AST node."""
+def ranges_to_node(ranges: List[Range], wordcp=None) -> Node:
+    """Codepoint ranges → byte-level AST node.
+
+    With ``wordcp`` set, the lead and final position of every chain is
+    tagged with that UCP word-ness (caller guarantees the ranges are
+    uniformly word or non-word); see ast.Pos.wordcp.
+    """
     branches = []
     for byteseq in cp_ranges_to_seqs(normalize_ranges(ranges)):
-        branches.append(
-            seq(*[Pos(CharReach.range(blo, bhi)) for (blo, bhi) in byteseq])
-        )
+        poss = [
+            Pos(CharReach.range(blo, bhi),
+                wordcp=wordcp if (k == 0 or k == len(byteseq) - 1) else None)
+            for k, (blo, bhi) in enumerate(byteseq)
+        ]
+        branches.append(seq(*poss))
     if not branches:
         # empty class matches nothing: a position with empty reach
         return Pos(CharReach.none())
@@ -133,6 +141,23 @@ def complement_ranges(ranges: List[Range]) -> List[Range]:
         prev = max(prev, hi + 1)
     if prev <= MAX_CP:
         out.append((prev, MAX_CP))
+    return out
+
+
+def intersect_ranges(a: List[Range], b: List[Range]) -> List[Range]:
+    """Intersection of two normalized codepoint range lists."""
+    a, b = normalize_ranges(a), normalize_ranges(b)
+    out: List[Range] = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo <= hi:
+            out.append((lo, hi))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
     return out
 
 

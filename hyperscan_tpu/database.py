@@ -1119,6 +1119,14 @@ def compile_patterns(
         # bounded mandatory factor set exists; otherwise chains, counter
         # repeats, SOM registers, or general engines
         want_som = bool(f & HS_FLAG_SOM_LEFTMOST) or need_minlen
+        if want_som and g.long_hops:
+            # UCP \b prev-context chains consume a variable number of
+            # bytes before the match start; the one-byte hop adjustment
+            # the SOM back-scans rely on no longer holds
+            raise CompileError(
+                "SOM_LEFTMOST / min_length with \\b under UCP is not "
+                "supported", i
+            )
 
         def _ensure_validator() -> bool:
             """Whole-pattern window validator (+ SOM reverse DFAs); used

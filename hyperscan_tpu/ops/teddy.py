@@ -63,6 +63,54 @@ def _make_kernel(M: int, W: int, R: int):
 
 
 @functools.lru_cache(maxsize=64)
+def _make_kernel_fused(M: int, W: int, R: int):
+    """Fused-path variant: emits (cand_or, tail_lo, tail_hi) planes.
+
+    cand_or is the OR across bucket words (the fused confirm never needs
+    per-bucket identity — the hash confirm checks exact tail bytes, and a
+    real occurrence always fires its own bucket). tail_lo/tail_hi pack
+    bytes [pos-7..pos-4] / [pos-3..pos] little-endian (oldest byte at the
+    low end), computed with in-VMEM rolls so the confirm stage never does
+    a random-access gather against the HBM-resident corpus (reference:
+    do_confirm_fdr reads the tail from the scan pointer it already holds,
+    src/fdr/fdr.c:330; here the vector analogue is materializing the
+    packed tail words during the filter pass)."""
+    def kernel(halo_ref, body_ref, masks_ref, out_c, out_lo, out_hi):
+        data = jnp.concatenate(
+            [halo_ref[0:1, :], body_ref[...]], axis=0
+        ).astype(jnp.int32)  # [R+1, 128]
+        is_lo = data < 128
+        idx_lo = jnp.where(is_lo, data, 0)
+        idx_hi = jnp.where(is_lo, 0, data - 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        cand_or = None
+        for w in range(W):
+            planes = []
+            for m in range(M):
+                lo_t = jnp.broadcast_to(masks_ref[m, w, :128][None, :], data.shape)
+                hi_t = jnp.broadcast_to(masks_ref[m, w, 128:][None, :], data.shape)
+                lo = jnp.take_along_axis(lo_t, idx_lo, axis=1)
+                hi = jnp.take_along_axis(hi_t, idx_hi, axis=1)
+                planes.append(jnp.where(is_lo, lo, hi))  # [R+1, 128]
+            cand = planes[0][1:, :]
+            for m in range(1, M):
+                rolled = pltpu.roll(planes[m], m, axis=1)
+                shifted = jnp.where(lane >= m, rolled[1:, :], rolled[:-1, :])
+                cand = cand & shifted
+            cand_or = cand if cand_or is None else (cand_or | cand)
+        out_c[...] = cand_or
+        # shifted raw-byte planes sh[k][i] = byte at pos i-k (k=0..7);
+        # the one-row halo covers the cross-row reach (7 < 128)
+        sh = [data[1:, :]]
+        for k in range(1, 8):
+            rolled = pltpu.roll(data, k, axis=1)
+            sh.append(jnp.where(lane >= k, rolled[1:, :], rolled[:-1, :]))
+        out_lo[...] = (sh[7] | (sh[6] << 8) | (sh[5] << 16) | (sh[4] << 24))
+        out_hi[...] = (sh[3] | (sh[2] << 8) | (sh[1] << 16) | (sh[0] << 24))
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
 def _jit_filter(M: int, W: int, n_cells: int, capacity: int, cap_chunks: int,
                 interpret: bool):
     R = ROWS_PER_CELL
@@ -100,7 +148,7 @@ def _jit_filter(M: int, W: int, n_cells: int, capacity: int, cap_chunks: int,
     return jax.jit(run)
 
 
-def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int):
+def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int, nz=None):
     """Two-level sparse extraction of nonzero entries from flat planes.
 
     A flat cumsum+scatter over the whole plane costs ~1.3s/128MB on TPU
@@ -113,10 +161,15 @@ def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int):
     minimize host fetch round trips. Whole chunks past n_valid are
     zeroed; stragglers inside the boundary chunk are rejected by the
     callers' bounds checks.
+
+    With `nz`, candidacy is taken from that plane instead of OR-ing the
+    value planes (the fused path's tail-word planes are dense, so their
+    OR is not a candidacy signal).
     """
-    nz = flats[0]
-    for f in flats[1:]:
-        nz = nz | f
+    if nz is None:
+        nz = flats[0]
+        for f in flats[1:]:
+            nz = nz | f
     N = nz.shape[0]
     CHUNK = 1024
     nchunk = N // CHUNK
@@ -267,12 +320,12 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
     def run(rows_all, masks, n_valid, h_tables, f_tables):
         body = rows_all[1:]
         outs = pl.pallas_call(
-            _make_kernel(M, W, R),
+            _make_kernel_fused(M, W, R),
             interpret=interpret,
             grid=(n_cells,),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((n_cells * R, 128), jnp.int32)
-                for _ in range(W)
+                for _ in range(3)
             ),
             in_specs=[
                 pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
@@ -285,77 +338,50 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
             out_specs=tuple(
                 pl.BlockSpec((R, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-                for _ in range(W)
+                for _ in range(3)
             ),
         )(rows_all, body, masks)
-        outs = outs if isinstance(outs, tuple) else (outs,)
+        cand_or, tail_lo, tail_hi = outs
         N = n_cells * R * 128
         meta1, packed1 = sparse_extract(
-            [o.reshape(N) for o in outs], n_valid, cap1, cap1_chunks
+            [tail_lo.reshape(N), tail_hi.reshape(N)], n_valid,
+            cap1, cap1_chunks, nz=cand_or.reshape(N),
         )
         pos = packed1[0]  # [cap1] candidate flat positions (0 = dead)
+        lo_w = packed1[1].astype(jnp.uint32)  # packed bytes pos-7..pos-4
+        hi_w = packed1[2].astype(jnp.uint32)  # packed bytes pos-3..pos
         have = (
             jnp.arange(cap1, dtype=jnp.int32)
             < jnp.minimum(meta1[0], cap1)
         )
-        corpus_flat = body.reshape(-1)
-        # 8-byte tails, oldest..newest
-        tidx = jnp.maximum(
-            pos[:, None] - jnp.arange(7, -1, -1, dtype=jnp.int32)[None, :],
-            0,
-        )
-        tails = jnp.take(corpus_flat, tidx.reshape(-1), axis=0).reshape(
-            cap1, 8
-        ).astype(jnp.uint32)
 
-        fid_planes = []
+        cls_planes = []
         pos_planes = []
-        for gi, (cl, mlo, mhi, h_s, f_s, maxmult) in enumerate(groups):
-            t = tails[:, 8 - cl:]
-            sh = jnp.arange(cl, dtype=jnp.uint32) * jnp.uint32(8)
-            lo = jnp.uint32(0)
-            hi = jnp.uint32(0)
-            lo_terms = []
-            hi_terms = []
-            for k in range(cl):
-                byte = t[:, k]
-                if k < 4:
-                    lo_terms.append(byte << jnp.uint32(8 * k))
-                else:
-                    hi_terms.append(byte << jnp.uint32(8 * (k - 4)))
-            lo = lo_terms[0]
-            for term in lo_terms[1:]:
-                lo = lo | term
-            lo = lo & jnp.uint32(mlo)
-            if hi_terms:
-                hi = hi_terms[0]
-                for term in hi_terms[1:]:
-                    hi = hi | term
-                hi = hi & jnp.uint32(mhi)
-            else:
-                hi = jnp.zeros_like(lo)
+        for gi, (cl, mlo, mhi, h_s, c_s, maxmult) in enumerate(groups):
+            lo = lo_w & jnp.uint32(mlo)
+            hi = hi_w & jnp.uint32(mhi)
             h = ((lo * jnp.uint32(0x9E3779B1))
                  ^ (hi * jnp.uint32(0x85EBCA6B))).astype(jnp.int32)
             tbl = h_tables[gi]
-            ftb = f_tables[gi]
+            ctb = f_tables[gi]  # class-id table (dedup'd tails)
             F = tbl.shape[0]
             i0 = jnp.searchsorted(tbl, h, side="left").astype(jnp.int32)
             ok_g = have & (pos >= cl - 1)
             for k in range(maxmult):
                 idx = jnp.minimum(i0 + k, F - 1)
                 valid = ok_g & (i0 + k < F) & (jnp.take(tbl, idx) == h)
-                fid_planes.append(
-                    jnp.where(valid, jnp.take(ftb, idx) + 1, 0)
+                cls_planes.append(
+                    jnp.where(valid, jnp.take(ctb, idx) + 1, 0)
                 )
                 pos_planes.append(jnp.where(valid, pos, 0))
-        if fid_planes:
-            fid_flat = jnp.concatenate(fid_planes)
+        if cls_planes:
+            cls_flat = jnp.concatenate(cls_planes)
             pos_flat = jnp.concatenate(pos_planes)
         else:
-            fid_flat = jnp.zeros(cap1, jnp.int32)
+            cls_flat = jnp.zeros(cap1, jnp.int32)
             pos_flat = jnp.zeros(cap1, jnp.int32)
         meta2, packed2 = sparse_extract(
-            [fid_flat, pos_flat], fid_flat.shape[0], cap2, cap2_chunks
+            [cls_flat, pos_flat], cls_flat.shape[0], cap2, cap2_chunks
         )
         # one [4] meta buffer = one host fetch round trip (the tunnel
         # costs ~30ms per fetch)
@@ -365,6 +391,9 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
     return run
 
 
+PREFETCH = 1024  # packed-pair prefix fetched together with the meta
+
+
 @functools.lru_cache(maxsize=64)
 def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
                         cap1: int, cap2: int, interpret: bool):
@@ -372,9 +401,19 @@ def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
 
     lit = _LITS[lit_key]
     groups = confirm_device_tables(lit)
-    return jax.jit(
-        filter_confirm_body(groups, M, W, n_cells, cap1, cap2, interpret)
-    )
+    body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2, interpret)
+    pre = min(PREFETCH, cap2)
+
+    def run(rows_all, masks, n_valid, h_tables, f_tables):
+        meta, packed2 = body(rows_all, masks, n_valid, h_tables, f_tables)
+        # ship meta + a pair prefix in ONE buffer: scans whose confirmed
+        # set fits the prefix finish in a single ~30ms fetch round trip
+        combined = jnp.concatenate(
+            [meta, packed2[:, :pre].reshape(-1)]
+        )
+        return combined, packed2
+
+    return jax.jit(run)
 
 
 def teddy_confirm_scan(
@@ -386,13 +425,14 @@ def teddy_confirm_scan(
     )
 
 
-def teddy_confirm_scan_rows(
-    rows_all, lit, n_valid: int, capacity: int = 1 << 14
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Device filter + hash confirm over a device-resident rows layout.
+def teddy_confirm_start(rows_all, lit, n_valid: int,
+                        capacity: int = 1 << 14):
+    """Dispatch the fused device filter+confirm without waiting.
 
-    Returns hash-matched (fid_array, pos_array) pairs — callers must
-    exact-verify with runtime.lit_runtime.verify_pairs.
+    Returns an opaque handle for teddy_confirm_finish. Dispatch is async
+    (XLA queues the work); callers overlap several scans by starting
+    them all before finishing the first — the per-dispatch tunnel round
+    trip then rides under the next scan's device compute.
     """
     from ..runtime.lit_runtime import confirm_device_tables
 
@@ -418,26 +458,58 @@ def teddy_confirm_scan_rows(
     if hint:
         cap1 = max(cap1, hint[0])
         cap2 = max(cap2, hint[1])
+    run = _jit_filter_confirm(key, M, W, n_cells, cap1, cap2, interpret)
+    combined, packed2 = run(
+        rows_all, masks_d, jnp.int32(n_valid), h_tables, f_tables
+    )
+    return (lit, rows_all, n_valid, cap1, cap2, combined, packed2)
+
+
+def teddy_confirm_finish(handle) -> Tuple[np.ndarray, np.ndarray]:
+    """Fetch a started scan's confirmed pairs, retrying on capacity
+    overflow. Returns hash-matched (fid_array, pos_array) pairs —
+    callers must exact-verify with runtime.lit_runtime.verify_pairs."""
+    from ..runtime.lit_runtime import expand_confirm_classes
+
+    (lit, rows_all, n_valid, cap1, cap2, combined, packed2) = handle
     while True:
-        run = _jit_filter_confirm(key, M, W, n_cells, cap1, cap2, interpret)
-        meta, packed2 = run(
-            rows_all, masks_d, jnp.int32(n_valid),
-            h_tables, f_tables,
-        )
-        t1, _h1, t2, _h2 = (int(x) for x in np.asarray(meta))
+        pre = min(PREFETCH, cap2)
+        got = np.asarray(combined)  # ONE fetch: meta + pair prefix
+        t1, _h1, t2, _h2 = (int(x) for x in got[:4])
         if t1 <= cap1 and t2 <= cap2:
             break
         if t1 > cap1:
             cap1 = 1 << (t1 - 1).bit_length()
         if t2 > cap2:
             cap2 = 1 << (t2 - 1).bit_length()
+        # persist the raised caps so the re-dispatch (which reads the
+        # hint) sizes both buffers correctly
+        set_capacity_hint(lit, "teddy_c", cap1, cap2)
+        handle = teddy_confirm_start(rows_all, lit, n_valid, cap1)
+        (lit, rows_all, n_valid, cap1, cap2, combined, packed2) = handle
     set_capacity_hint(lit, "teddy_c", cap1, cap2)
     k = min(t2, cap2)
     if k == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    got = np.asarray(packed2[:, :k])
-    fid = got[1].astype(np.int64) - 1
-    pos = got[2].astype(np.int64)
-    keep = fid >= 0
-    return fid[keep], pos[keep]
+    pairs = got[4:].reshape(3, pre)[:, :min(k, pre)]
+    if k > pre:
+        rest = np.asarray(packed2[:, pre:k])
+        pairs = np.concatenate([pairs, rest], axis=1)
+    cls = pairs[1].astype(np.int64) - 1
+    pos = pairs[2].astype(np.int64)
+    keep = cls >= 0
+    return expand_confirm_classes(lit, cls[keep], pos[keep])
+
+
+def teddy_confirm_scan_rows(
+    rows_all, lit, n_valid: int, capacity: int = 1 << 14
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Device filter + hash confirm over a device-resident rows layout.
+
+    Returns hash-matched (fid_array, pos_array) pairs — callers must
+    exact-verify with runtime.lit_runtime.verify_pairs.
+    """
+    return teddy_confirm_finish(
+        teddy_confirm_start(rows_all, lit, n_valid, capacity)
+    )

@@ -359,12 +359,15 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
             cap2 = 1 << (t2 - 1).bit_length()
     set_capacity_hint(lit, "teddy_sh", cap1, cap2)
 
+    from ..runtime.lit_runtime import expand_confirm_classes
+
     p2 = np.asarray(p2)  # [D, 3, cap2]
     out = []
     for d, (g, starts, ends) in enumerate(shard_meta):
         k = min(int(m2[d, 0]), cap2)
-        fid = p2[d, 1, :k].astype(np.int64) - 1
+        cls = p2[d, 1, :k].astype(np.int64) - 1
         pos = p2[d, 2, :k].astype(np.int64)
-        keep = fid >= 0
-        out.append((g, fid[keep], pos[keep], corpora[d], starts, ends))
+        keep = cls >= 0
+        fid, pos = expand_confirm_classes(lit, cls[keep], pos[keep])
+        out.append((g, fid, pos, corpora[d], starts, ends))
     return out

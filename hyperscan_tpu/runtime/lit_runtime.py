@@ -68,27 +68,50 @@ def confirm_device_tables(lit):
     """Confirm tables in device form (reference: FDRConfirm hash tables).
 
     Each (tail_len, tail_mask) group becomes a sorted int32 hash table:
-    h = (lo32 * 0x9E3779B1) ^ (hi32 * 0x85EBCA6B) over the masked tail.
-    The device emits hash-matched (pos, fid) pairs; the host re-verifies
-    exactly (32-bit collisions and >8-byte factors), so false positives
-    only cost fetch bytes, never correctness.
-    Returns [(cl, mlo, mhi, h_sorted i32, fid_sorted i32, maxmult)].
+    h = (lo32 * 0x9E3779B1) ^ (hi32 * 0x85EBCA6B) over the masked tail,
+    with the tail aligned so the newest byte is the top byte of hi32 —
+    matching the fixed 8-byte tail words the fused kernel packs for
+    every position.
+
+    Entries are deduplicated by distinct masked tail *value* (one class
+    per value), so the device multiplicity loop is bounded by genuine
+    32-bit hash collisions (≈1), not by how many factors share a tail —
+    rulesets built from a phrase vocabulary routinely have 100+ factors
+    with identical 8-byte tails, and probing each on device costs a full
+    pass over the candidate buffer. The device emits (pos, class) pairs;
+    expand_confirm_classes maps classes back to factor ids on host and
+    verify_pairs re-checks exact bytes, so hash collisions only cost
+    fetch bytes, never correctness.
+    Returns [(cl, mlo, mhi, h_sorted i32, class_sorted i32, maxmult)].
     """
     if hasattr(lit, "_confirm_dev"):
         return lit._confirm_dev
     packed, _flen = _confirm_index(lit)
     out = []
+    cls_fids: List[np.ndarray] = []
+    cls_offs = [0]
+    next_cls = 0
     for (cl, mask64, vals, fids, _long) in packed:
-        mask64 = int(mask64)
-        mlo = np.uint32(mask64 & 0xFFFFFFFF)
-        mhi = np.uint32(mask64 >> 32)
-        lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        hi = (vals >> np.uint64(32)).astype(np.uint32)
+        shift = np.uint64(8 * (8 - cl))
+        mask_f = int(mask64) << int(shift)
+        vals_f = vals << shift  # fixed alignment: newest byte at the top
+        mlo = np.uint32(mask_f & 0xFFFFFFFF)
+        mhi = np.uint32((mask_f >> 32) & 0xFFFFFFFF)
+        # one class per distinct masked tail value (vals is sorted)
+        uvals, first = np.unique(vals_f, return_index=True)
+        counts = np.diff(np.append(first, len(vals_f)))
+        for j in range(len(uvals)):
+            cls_fids.append(fids[first[j]:first[j] + counts[j]])
+            cls_offs.append(cls_offs[-1] + counts[j])
+        lo = (uvals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (uvals >> np.uint64(32)).astype(np.uint32)
         h = ((lo * np.uint32(0x9E3779B1)) ^ (hi * np.uint32(0x85EBCA6B)))
         h = h.view(np.int32)
+        cids = np.arange(next_cls, next_cls + len(uvals), dtype=np.int32)
+        next_cls += len(uvals)
         order = np.argsort(h, kind="stable")
         h_s = np.ascontiguousarray(h[order])
-        f_s = np.ascontiguousarray(fids[order].astype(np.int32))
+        c_s = np.ascontiguousarray(cids[order])
         # max run of equal hashes bounds the device multiplicity loop
         if len(h_s) == 0:
             maxmult = 0
@@ -96,9 +119,32 @@ def confirm_device_tables(lit):
             runs = np.flatnonzero(np.diff(h_s) != 0)
             seg = np.diff(np.concatenate([[-1], runs, [len(h_s) - 1]]))
             maxmult = int(seg.max())
-        out.append((int(cl), mlo, mhi, h_s, f_s, maxmult))
+        out.append((int(cl), mlo, mhi, h_s, c_s, maxmult))
+    lit._confirm_cls = (
+        np.asarray(cls_offs, dtype=np.int64),
+        np.concatenate(cls_fids).astype(np.int64)
+        if cls_fids else np.zeros(0, np.int64),
+    )
     lit._confirm_dev = out
     return out
+
+
+def expand_confirm_classes(
+    lit, cls_a: np.ndarray, pos_a: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand device (class, pos) pairs to (fid, pos) pairs (a class is
+    the set of factors sharing one masked tail value)."""
+    if cls_a.size == 0:
+        return cls_a, pos_a
+    offs, fids = lit._confirm_cls
+    starts = offs[cls_a]
+    counts = offs[cls_a + 1] - starts
+    total = int(counts.sum())
+    ends_c = np.cumsum(counts)
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(ends_c - counts, counts)
+           + np.repeat(starts, counts))
+    return fids[idx], np.repeat(pos_a, counts)
 
 
 def verify_pairs(

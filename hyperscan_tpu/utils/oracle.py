@@ -24,6 +24,10 @@ from ..compiler.ast import (
     A_MLINE_BOS,
     A_MLINE_EOS,
     A_NWORDB,
+    A_UNWORDB,
+    A_UNWORDB8,
+    A_UWORDB,
+    A_UWORDB8,
     A_WORDB,
     Alt,
     Anchor,
@@ -43,6 +47,67 @@ def _is_word(data: bytes, i: int) -> bool:
     return 0 <= i < len(data) and bool(_WORD_BITS[data[i]])
 
 
+def _is_uword_byte(data: bytes, i: int) -> bool:
+    """UCP word-ness of a byte codepoint (UCP without UTF8: Latin-1)."""
+    from ..compiler.ucp import is_word_cp
+
+    return 0 <= i < len(data) and is_word_cp(data[i])
+
+
+def _decode_cp_at(data: bytes, i: int):
+    """Decode the UTF-8 codepoint starting at i; None if invalid/oob."""
+    n = len(data)
+    if not (0 <= i < n):
+        return None
+    b0 = data[i]
+    if b0 < 0x80:
+        return b0
+    if b0 < 0xC2:
+        return None
+    if b0 < 0xE0:
+        ln, cp, lo = 2, b0 & 0x1F, 0x80
+    elif b0 < 0xF0:
+        ln, cp, lo = 3, b0 & 0x0F, 0x800
+    elif b0 < 0xF5:
+        ln, cp, lo = 4, b0 & 0x07, 0x10000
+    else:
+        return None
+    if i + ln > n:
+        return None
+    for k in range(1, ln):
+        b = data[i + k]
+        if (b & 0xC0) != 0x80:
+            return None
+        cp = (cp << 6) | (b & 0x3F)
+    if cp < lo or (0xD800 <= cp <= 0xDFFF) or cp > 0x10FFFF:
+        return None
+    return cp
+
+
+def _decode_cp_before(data: bytes, pos: int):
+    """Decode the UTF-8 codepoint ending at pos-1; None if none/invalid."""
+    j = pos - 1
+    while j >= 0 and pos - j < 4 and (data[j] & 0xC0) == 0x80:
+        j -= 1
+    if j < 0:
+        return None
+    cp = _decode_cp_at(data, j)
+    # must end exactly at pos (reject mid-codepoint boundaries)
+    if cp is None:
+        return None
+    ln = 1 if cp < 0x80 else 2 if cp < 0x800 else 3 if cp < 0x10000 else 4
+    if j + ln != pos:
+        return None
+    return cp
+
+
+def _is_uword_utf8(data: bytes, pos: int, before: bool) -> bool:
+    from ..compiler.ucp import is_word_cp
+
+    cp = _decode_cp_before(data, pos) if before else _decode_cp_at(data, pos)
+    return cp is not None and is_word_cp(cp)
+
+
 def _assert_holds(kind: str, data: bytes, pos: int) -> bool:
     n = len(data)
     if kind == A_BOS:
@@ -59,6 +124,18 @@ def _assert_holds(kind: str, data: bytes, pos: int) -> bool:
         return _is_word(data, pos - 1) != _is_word(data, pos)
     if kind == A_NWORDB:
         return _is_word(data, pos - 1) == _is_word(data, pos)
+    if kind == A_UWORDB8:
+        return _is_uword_byte(data, pos - 1) != _is_uword_byte(data, pos)
+    if kind == A_UNWORDB8:
+        return _is_uword_byte(data, pos - 1) == _is_uword_byte(data, pos)
+    if kind in (A_UWORDB, A_UNWORDB):
+        # UTF-8 word boundaries are only tested at codepoint boundaries
+        # (PCRE UTF semantics advance by characters, never mid-codepoint)
+        if 0 < pos < n and (data[pos] & 0xC0) == 0x80:
+            return False
+        same = (_is_uword_utf8(data, pos, True)
+                == _is_uword_utf8(data, pos, False))
+        return same if kind == A_UNWORDB else not same
     raise ValueError(kind)
 
 

@@ -15,18 +15,27 @@ U = hs.HS_FLAG_UTF8
 
 
 def _oracle_ends(pattern: str, data: bytes, reflags=0):
-    """Match-end byte offsets via Python re over the decoded text."""
+    """Match-end byte offsets via Python re over the decoded text.
+
+    Each candidate (s, e) pair is tested with the FULL text visible:
+    `match(text, s)` keeps the char before s for lookbehind/\\b, and a
+    `(?=suffix\\Z)` lookahead pins the match end at e without hiding the
+    following context (fullmatch's endpos would make e look like
+    end-of-string to a trailing \\b)."""
     text = data.decode("utf-8")
     # byte offset of each char boundary
     boundaries = [0]
     for ch in text:
         boundaries.append(boundaries[-1] + len(ch.encode("utf-8")))
     ends = set()
-    rx = pyre.compile(pattern, reflags)
-    for s in range(len(text) + 1):
-        for e in range(s, len(text) + 1):
-            if rx.fullmatch(text, s, e):
+    for e in range(len(text) + 1):
+        rx = pyre.compile(
+            "(?:%s)(?=%s\\Z)" % (pattern, pyre.escape(text[e:])), reflags
+        )
+        for s in range(e + 1):
+            if rx.match(text, s):
                 ends.add(boundaries[e])
+                break
     return ends
 
 
@@ -67,10 +76,38 @@ def test_invalid_utf8_pattern_rejected():
         hs.compile(b"\xff\xfe", flags=U)
 
 
-def test_ucp_word_boundary_rejected():
-    # UCP \b needs codepoint-level context — still a documented gap
+UCP_WB_CASES = [
+    # UCP+UTF8: word-ness decided per codepoint (é is a word codepoint)
+    (r"\bfoo", "foo éfoo .foo afoo".encode()),
+    (r"foo\b", "foo fooé foo. fooa".encode()),
+    (r"\bλx", "λx αλx (λx".encode()),
+    (r"x\B\w", "xé x. xa αxβ".encode()),
+    (r"\Bred", "αred .red ared".encode()),
+    (r"\bσ+\b", "σσ ασ σ, βσσγ".encode()),
+]
+
+
+@pytest.mark.parametrize("pat,data", UCP_WB_CASES)
+def test_ucp_utf8_word_boundary(pat, data):
+    db = hs.compile(pat, flags=U | hs.HS_FLAG_UCP)
+    got = {t for (_i, _f, t) in hs.scan(db, data)}
+    want = _oracle_ends(pat, data, pyre.UNICODE)
+    assert got == want, f"{pat!r}: {sorted(got)} != {sorted(want)}"
+
+
+def test_ucp_word_boundary_latin1():
+    # UCP without UTF8: bytes are Latin-1 codepoints; 0xE9 (é) is word
+    db = hs.compile(r"\bfoo\b", flags=hs.HS_FLAG_UCP)
+    data = b"foo \xe9foo foo\xe9 .foo."
+    got = {t for (_i, _f, t) in hs.scan(db, data)}
+    assert got == {3, 18}
+
+
+def test_ucp_utf8_som_word_boundary_rejected():
+    # UCP \b prev-context consumes whole codepoints; SOM back-scan
+    # offsets no longer hold — documented unsupported combination
     with pytest.raises(CompileError):
-        hs.compile(r"\bfoo\b", flags=U | hs.HS_FLAG_UCP)
+        hs.compile(r"\bλfoo", flags=U | hs.HS_FLAG_UCP | hs.HS_FLAG_SOM_LEFTMOST)
 
 
 def test_non_utf8_rejects_wide_codepoint():
