@@ -27,7 +27,7 @@ positions only.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -235,9 +235,16 @@ def _layout_corpus(blocks: List[bytes], H: int, CS: int):
 
 def dfa_scan_corpus_device(
     engine, blocks: List[bytes], block_anchored: np.ndarray,
-    capacity: int = 1 << 14,
+    capacity: int = 1 << 14, init_states: Optional[np.ndarray] = None,
 ):
     """Scan concatenated blocks with a bounded-depth engine.
+
+    With ``init_states`` (int32 [n_blocks]), each block's first chunk
+    enters in that carried state (streaming: per-stream end-of-write
+    states; the halo is skipped for first chunks, so the carried state
+    fully determines continuation — reference analogue: stream state
+    resumption, src/rose/stream.c:545). Otherwise first chunks enter
+    anchored-start or float per ``block_anchored``.
 
     Returns (records as parallel arrays (block_idx, pos_local,
     accept_set_id), finals [n_blocks] end-of-block states).
@@ -250,11 +257,14 @@ def dfa_scan_corpus_device(
      ngroups) = _layout_corpus(blocks, H, CS)
     n_tb = (H + CS) // T_BLOCK
 
-    # entry states: anchored start for a block's first chunk at offset 0,
-    # float rest otherwise
+    # entry states: carried per-block state / anchored start for a
+    # block's first chunk, float otherwise (halo re-derivation)
     init_flat = np.full(vfrom.size, engine.float_state, np.int32)
-    anch = first & block_anchored[chunk_block]
-    init_flat[: nchunks][anch] = engine.start_state
+    if init_states is not None:
+        init_flat[: nchunks][first] = init_states[chunk_block[first]]
+    else:
+        anch = first & block_anchored[chunk_block]
+        init_flat[: nchunks][anch] = engine.start_state
     init = init_flat.reshape(vfrom.shape)
 
     from .teddy import get_capacity_hint, set_capacity_hint
@@ -303,10 +313,13 @@ def dfa_scan_corpus_device(
         last_chunk_of[int(chunk_block[ci])] = ci
     for bi in range(n_blocks):
         if len(blocks[bi]) == 0:
-            finals[bi] = (
-                engine.start_state if block_anchored[bi]
-                else engine.float_state
-            )
+            if init_states is not None:
+                finals[bi] = init_states[bi]
+            else:
+                finals[bi] = (
+                    engine.start_state if block_anchored[bi]
+                    else engine.float_state
+                )
         else:
             finals[bi] = fin_np[last_chunk_of[bi]]
     return recs, finals

@@ -157,9 +157,38 @@ def _engine_pass(db, streams, chunks, recs_abs, ranges_abs):
             continue
         if not isinstance(engine, NfaEngine):
             init = np.asarray(init, dtype=np.int32)
+            from ..database import MAX_HALO_DEPTH
+            from .smallwrite import HOST_SCAN_LIMIT
+
+            total = int(lengths.sum())
+            limit = getattr(db, "host_scan_limit", HOST_SCAN_LIMIT)
+            if (total > limit and engine.max_depth is not None
+                    and engine.max_depth <= MAX_HALO_DEPTH):
+                # large write, bounded engine: same chunk-halo device
+                # kernel as block mode, entered in the carried per-stream
+                # states (reference: src/rose/stream.c:545 scans stream
+                # bodies with the block engines + resumed state)
+                from ..ops.dfa_kernel import dfa_scan_corpus_device
+
+                (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device(
+                    engine, chunks, np.zeros(B, dtype=bool),
+                    init_states=init,
+                )
+                for bi, st in enumerate(streams):
+                    sel = bi_a == bi
+                    for sid in np.unique(sid_a[sel]):
+                        pp = pos_a[sel][sid_a[sel] == sid]
+                        for (eidx, adj) in engine.expand_set(int(sid)):
+                            tos = st.offset + pp + 1 + adj
+                            tos = tos[tos >= 0]
+                            for t in tos.tolist():
+                                recs_abs[bi].add((eidx, int(t), 0))
+                    st.engine_states[ei] = int(finals[bi])
+                _vacuous_stream_reports(engine, streams, chunks, recs_abs,
+                                        ranges_abs)
+                continue
         # general engines carry per-stream state byte-serially; the
-        # native host runtime handles this (device chunk-halo scanning
-        # applies to the literal path and block mode)
+        # native host runtime handles this
         hits, finals = engine_scan_host(engine, data, lengths, init)
         for bi, st in enumerate(streams):
             hp, hv = hits[bi]

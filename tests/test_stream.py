@@ -250,3 +250,38 @@ def test_large_stream_writes_device_path():
         ms += hs.scan_stream(st, p)
     ms += hs.close_stream(st)
     assert sorted((m[0], m[2]) for m in ms) == want
+
+
+def test_large_stream_writes_general_engine_device_path():
+    """General (no-literal) bounded engines also scan large stream
+    writes on the device chunk-halo kernel, entered in the carried
+    per-stream states; matches spanning write boundaries must survive
+    (reference: resumed stream state, src/rose/stream.c:545)."""
+    import numpy as np
+
+    from hyperscan_tpu.database import compile_patterns
+    from hyperscan_tpu.grey import Grey
+    from hyperscan_tpu.runtime.stream import (
+        close_stream, open_stream, scan_stream,
+    )
+
+    pat = r"[0-9]{6}[a-f]"
+    db = compile_patterns([pat], grey=Grey(host_scan_limit=1 << 10))
+    db.mode = hs.HS_MODE_STREAM
+    assert db.engines and db.engines[0].max_depth is not None
+
+    rng = np.random.default_rng(7)
+    data = bytes(rng.choice(np.frombuffer(b"0123abgh ", np.uint8),
+                            size=6000))
+    # plant one match straddling the write boundary at 3000
+    data = data[:2997] + b"456789c" + data[3004:]
+
+    bdb = compile_patterns([pat])
+    want = {(m[0], m[2]) for m in __import__("hyperscan_tpu").scan(bdb, data)}
+    assert want, "planted match missing from block scan"
+
+    st = open_stream(db)
+    ms = list(scan_stream(st, data[:3000]))
+    ms += scan_stream(st, data[3000:])
+    ms += close_stream(st)
+    assert {(m[0], m[2]) for m in ms} == want
