@@ -41,6 +41,14 @@ class ChainSpec:
     roles: List[RoleSpec]
     # per gap between role r and r+1: (class bitmap, lo, hi|None)
     gaps: List[Tuple[np.ndarray, int, Optional[int]]]
+    # leading gap before role 0 / trailing gap after the last role
+    # (reference analogues: a Castle-fed prefix and the MPV "puff"
+    # suffix engines — src/nfa/castle.c, src/nfa/mpv.c): the match-end
+    # set of `SEG X{n,m}` is a *range* per segment end (every offset the
+    # class run covers in [n, m]), and `X{n,m} SEG` requires an n-long
+    # class run immediately before the segment start
+    lead: Optional[Tuple[np.ndarray, int, Optional[int]]] = None
+    trail: Optional[Tuple[np.ndarray, int, Optional[int]]] = None
 
 
 def _widths(node: Node) -> Tuple[int, Optional[int]]:
@@ -67,18 +75,28 @@ def detect_chain(node: Node, min_factor_len: int = 3,
     segs: List[List[Node]] = []
     gaps: List[Rep] = []
     cur: List[Node] = []
+    lead: Optional[Rep] = None
+    trail: Optional[Rep] = None
     for child in node.children:
         if _is_gap(child):
             if not cur:
-                return None  # leading or doubled gap: not chain shape
+                if segs or lead is not None:
+                    return None  # doubled gap: not chain shape
+                lead = child  # leading gap (Castle-prefix analogue)
+                continue
             segs.append(cur)
             gaps.append(child)
             cur = []
         else:
             cur.append(child)
-    if not gaps or not cur:
-        return None  # no gap, or trailing gap
-    segs.append(cur)
+    if cur:
+        segs.append(cur)
+    elif gaps:
+        trail = gaps.pop()  # trailing gap (MPV-puff analogue)
+        if not segs:
+            return None
+    if not segs or not (gaps or lead is not None or trail is not None):
+        return None  # no roles, or no gap at all
     if len(segs) > MAX_CHAIN_ROLES:
         return None
 
@@ -98,7 +116,13 @@ def detect_chain(node: Node, min_factor_len: int = 3,
         ):
             return None
         roles.append(RoleSpec(node=n, factors=fs, wmin=wmin, wmax=wmax))
+
+    def _g(g: Optional[Rep]):
+        return None if g is None else (g.child.cr.bits.copy(), g.lo, g.hi)
+
     return ChainSpec(
         roles=roles,
         gaps=[(g.child.cr.bits.copy(), g.lo, g.hi) for g in gaps],
+        lead=_g(lead),
+        trail=_g(trail),
     )

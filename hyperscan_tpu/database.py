@@ -397,9 +397,18 @@ class ChainInfo:
     connected ends are the pattern's match ends."""
 
     roles: List[ChainRole]
-    gap_bits: np.ndarray  # [R-1, 256] bool — per-gap character class
+    gap_bits: np.ndarray  # [R-1+lead+trail, 256] bool — per-gap class
+    # (leading gap first when present, trailing gap last when present)
     gap_lo: List[int]
     gap_hi: List[Optional[int]]  # None = unbounded
+    # leading gap before role 0: match requires a gap-class run of
+    # length in [lo, hi] immediately before the role-0 start (Castle
+    # prefix analogue). Stored as an index into gap_bits, or None.
+    lead: Optional[Tuple[int, int, Optional[int]]] = None  # (gidx, lo, hi)
+    # trailing gap after the last role: every offset the gap-class run
+    # covers in [lo, hi] past a final-role end is a match end (MPV puff
+    # analogue, dense ends emitted as ranges)
+    trail: Optional[Tuple[int, int, Optional[int]]] = None
 
     @property
     def num_roles(self) -> int:
@@ -609,6 +618,8 @@ class Database:
                 ch_meta[str(k)] = {
                     "gap_lo": ch.gap_lo,
                     "gap_hi": ch.gap_hi,
+                    "lead": list(ch.lead) if ch.lead else None,
+                    "trail": list(ch.trail) if ch.trail else None,
                     "roles": [
                         {
                             "fwd": self._pack_engine(
@@ -697,6 +708,10 @@ class Database:
                             gap_bits=z[f"chg{k}"],
                             gap_lo=[int(v) for v in cm["gap_lo"]],
                             gap_hi=list(cm["gap_hi"]),
+                            lead=(tuple(cm["lead"])
+                                  if cm.get("lead") else None),
+                            trail=(tuple(cm["trail"])
+                                   if cm.get("trail") else None),
                             roles=[
                                 ChainRole(
                                     fwd=cls._unpack_engine(
@@ -773,19 +788,37 @@ def _nfa_widths(g: NFAGraph) -> Tuple[int, Optional[int]]:
             dfs(v)
     if has_cycle:
         return (0 if min_w == INF else min_w), None
-    # DAG: longest path via topo order
-    import functools
+    # DAG: longest path over an iterative reverse-finish-order topo sort
+    # (deep repeats like X{1000} would blow Python's recursion limit)
+    order: List[int] = []
+    color2 = [0] * P
 
-    @functools.lru_cache(maxsize=None)
-    def longest(u: int) -> int:
-        best = 1
+    def topo(u: int) -> None:
+        stack = [(u, iter(g.follow[u]))]
+        color2[u] = 1
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for v in it:
+                if color2[v] == 0:
+                    color2[v] = 1
+                    stack.append((v, iter(g.follow[v])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+
+    starts = g.anchored_first | g.float_first
+    for v in starts:
+        if color2[v] == 0:
+            topo(v)
+    longest = [1] * P
+    for u in order:  # children finish before parents
         for v in g.follow[u]:
-            best = max(best, 1 + longest(v))
-        return best
-
-    max_w = 0
-    for v in g.anchored_first | g.float_first:
-        max_w = max(max_w, longest(v))
+            if 1 + longest[v] > longest[u]:
+                longest[u] = 1 + longest[v]
+    max_w = max((longest[v] for v in starts), default=0)
     return (0 if min_w == INF else min_w), max_w
 
 
@@ -1210,7 +1243,7 @@ def compile_patterns(
                                     [rg], [i],
                                     max_states=grey.validator_max_states))
                                 rev = None
-                                if ri > 0:
+                                if ri > 0 or cs.lead is not None:
                                     rev = DfaEngine.from_scan_dfa(
                                         determinize(
                                             [reverse_graph(rg, eod=False)],
@@ -1221,11 +1254,23 @@ def compile_patterns(
                         except DfaLimitExceeded:
                             cs = None
                     if cs is not None:
+                        all_gaps = list(cs.gaps)
+                        lead = trail = None
+                        if cs.lead is not None:
+                            lead = (len(all_gaps), int(cs.lead[1]),
+                                    cs.lead[2])
+                            all_gaps.append(cs.lead)
+                        if cs.trail is not None:
+                            trail = (len(all_gaps), int(cs.trail[1]),
+                                     cs.trail[2])
+                            all_gaps.append(cs.trail)
                         chains[i] = ChainInfo(
                             roles=roles,
-                            gap_bits=np.stack([gb[0] for gb in cs.gaps]),
-                            gap_lo=[int(gb[1]) for gb in cs.gaps],
-                            gap_hi=[gb[2] for gb in cs.gaps],
+                            gap_bits=np.stack([gb[0] for gb in all_gaps]),
+                            gap_lo=[int(gb[1]) for gb in all_gaps],
+                            gap_hi=[gb[2] for gb in all_gaps],
+                            lead=lead,
+                            trail=trail,
                         )
                         for ri, rs in enumerate(cs.roles):
                             for fi in rs.factors:

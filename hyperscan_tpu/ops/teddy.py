@@ -64,49 +64,57 @@ def _make_kernel(M: int, W: int, R: int):
 
 @functools.lru_cache(maxsize=64)
 def _make_kernel_fused(M: int, W: int, R: int):
-    """Fused-path variant: emits (cand_or, tail_lo, tail_hi) planes.
+    """Fused-path variant: emits only the cand_or plane.
 
     cand_or is the OR across bucket words (the fused confirm never needs
     per-bucket identity — the hash confirm checks exact tail bytes, and a
-    real occurrence always fires its own bucket). tail_lo/tail_hi pack
-    bytes [pos-7..pos-4] / [pos-3..pos] little-endian (oldest byte at the
-    low end), computed with in-VMEM rolls so the confirm stage never does
-    a random-access gather against the HBM-resident corpus (reference:
-    do_confirm_fdr reads the tail from the scan pointer it already holds,
-    src/fdr/fdr.c:330; here the vector analogue is materializing the
-    packed tail words during the filter pass)."""
-    def kernel(halo_ref, body_ref, masks_ref, out_c, out_lo, out_hi):
+    real occurrence always fires its own bucket). The candidate tail
+    bytes are gathered from the HBM-resident corpus at the (sparse)
+    extracted positions instead of being materialized as packed planes:
+    at production candidate rates (~1e-5/byte) that is a few thousand
+    random gathers versus 2 GB of dense plane writes per 256 MB scanned
+    (reference: do_confirm_fdr reads the tail from the scan pointer it
+    already holds, src/fdr/fdr.c:330).
+
+    The per-suffix-offset alignment rolls are applied to the byte-index
+    planes once per offset m (2 rolls) rather than to every bucket word's
+    gather result (W rolls), so the kernel's vector-op count is dominated
+    by the irreducible M*W*2 table gathers."""
+    def kernel(halo_ref, body_ref, masks_ref, out_c):
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
         ).astype(jnp.int32)  # [R+1, 128]
         is_lo = data < 128
         idx_lo = jnp.where(is_lo, data, 0)
         idx_hi = jnp.where(is_lo, 0, data - 128)
+        sel_lo = is_lo.astype(jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        cand_or = None
-        for w in range(W):
-            planes = []
-            for m in range(M):
-                lo_t = jnp.broadcast_to(masks_ref[m, w, :128][None, :], data.shape)
-                hi_t = jnp.broadcast_to(masks_ref[m, w, 128:][None, :], data.shape)
-                lo = jnp.take_along_axis(lo_t, idx_lo, axis=1)
-                hi = jnp.take_along_axis(hi_t, idx_hi, axis=1)
-                planes.append(jnp.where(is_lo, lo, hi))  # [R+1, 128]
-            cand = planes[0][1:, :]
-            for m in range(1, M):
-                rolled = pltpu.roll(planes[m], m, axis=1)
-                shifted = jnp.where(lane >= m, rolled[1:, :], rolled[:-1, :])
-                cand = cand & shifted
-            cand_or = cand if cand_or is None else (cand_or | cand)
+        acc = [None] * W
+        for m in range(M):
+            if m == 0:
+                il, ih = idx_lo[1:, :], idx_hi[1:, :]
+                sl = is_lo[1:, :]
+            else:
+                rl = pltpu.roll(idx_lo, m, axis=1)
+                rh = pltpu.roll(idx_hi, m, axis=1)
+                rs = pltpu.roll(sel_lo, m, axis=1)
+                pick = lane >= m
+                il = jnp.where(pick, rl[1:, :], rl[:-1, :])
+                ih = jnp.where(pick, rh[1:, :], rh[:-1, :])
+                sl = jnp.where(pick, rs[1:, :], rs[:-1, :]) != 0
+            for w in range(W):
+                lo_t = jnp.broadcast_to(masks_ref[m, w, :128][None, :],
+                                        il.shape)
+                hi_t = jnp.broadcast_to(masks_ref[m, w, 128:][None, :],
+                                        ih.shape)
+                lo = jnp.take_along_axis(lo_t, il, axis=1)
+                hi = jnp.take_along_axis(hi_t, ih, axis=1)
+                v = jnp.where(sl, lo, hi)
+                acc[w] = v if acc[w] is None else (acc[w] & v)
+        cand_or = acc[0]
+        for w in range(1, W):
+            cand_or = cand_or | acc[w]
         out_c[...] = cand_or
-        # shifted raw-byte planes sh[k][i] = byte at pos i-k (k=0..7);
-        # the one-row halo covers the cross-row reach (7 < 128)
-        sh = [data[1:, :]]
-        for k in range(1, 8):
-            rolled = pltpu.roll(data, k, axis=1)
-            sh.append(jnp.where(lane >= k, rolled[1:, :], rolled[:-1, :]))
-        out_lo[...] = (sh[7] | (sh[6] << 8) | (sh[5] << 16) | (sh[4] << 24))
-        out_hi[...] = (sh[3] | (sh[2] << 8) | (sh[1] << 16) | (sh[0] << 24))
     return kernel
 
 
@@ -319,14 +327,11 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
 
     def run(rows_all, masks, n_valid, h_tables, f_tables):
         body = rows_all[1:]
-        outs = pl.pallas_call(
+        cand_or = pl.pallas_call(
             _make_kernel_fused(M, W, R),
             interpret=interpret,
             grid=(n_cells,),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct((n_cells * R, 128), jnp.int32)
-                for _ in range(3)
-            ),
+            out_shape=jax.ShapeDtypeStruct((n_cells * R, 128), jnp.int32),
             in_specs=[
                 pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
                              memory_space=pltpu.VMEM),
@@ -335,25 +340,30 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                 pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=tuple(
-                pl.BlockSpec((R, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(3)
-            ),
+            out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
         )(rows_all, body, masks)
-        cand_or, tail_lo, tail_hi = outs
         N = n_cells * R * 128
         meta1, packed1 = sparse_extract(
-            [tail_lo.reshape(N), tail_hi.reshape(N)], n_valid,
-            cap1, cap1_chunks, nz=cand_or.reshape(N),
+            [], n_valid, cap1, cap1_chunks, nz=cand_or.reshape(N),
         )
         pos = packed1[0]  # [cap1] candidate flat positions (0 = dead)
-        lo_w = packed1[1].astype(jnp.uint32)  # packed bytes pos-7..pos-4
-        hi_w = packed1[2].astype(jnp.uint32)  # packed bytes pos-3..pos
         have = (
             jnp.arange(cap1, dtype=jnp.int32)
             < jnp.minimum(meta1[0], cap1)
         )
+        # gather the 8 candidate tail bytes from the corpus (flat byte i
+        # lives at rows_all.reshape(-1)[128 + i]) and pack them into the
+        # two little-endian words the hash confirm expects: lo_w = bytes
+        # pos-7..pos-4, hi_w = bytes pos-3..pos (newest byte on top)
+        flat = rows_all.reshape(-1)
+        tb = []
+        for k in range(8):
+            src = pos - k
+            b = jnp.take(flat, jnp.maximum(src, -128) + 128, axis=0)
+            tb.append(jnp.where(src >= 0, b, 0).astype(jnp.uint32))
+        lo_w = tb[7] | (tb[6] << 8) | (tb[5] << 16) | (tb[4] << 24)
+        hi_w = tb[3] | (tb[2] << 8) | (tb[1] << 16) | (tb[0] << 24)
 
         cls_planes = []
         pos_planes = []

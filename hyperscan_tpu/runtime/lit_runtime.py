@@ -382,6 +382,7 @@ def scan_literal_path(
     block_anchored: np.ndarray = None, block_final: np.ndarray = None,
     eod_only: bool = False,
     chain_ctx: Dict = None, chain_out: Dict = None,
+    ranges_out: List = None,
 ) -> Set[Record]:
     """Full literal pipeline for one flat corpus of concatenated blocks."""
     lit = db.lit
@@ -397,6 +398,7 @@ def scan_literal_path(
             db, corpus, block_starts, block_ends, pos, words,
             block_anchored=block_anchored, block_final=block_final,
             eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
+            ranges_out=ranges_out,
         )
     # device path: fused filter + hash confirm — only (pos, fid) pairs
     # cross the device boundary; exact re-verify on host
@@ -408,6 +410,7 @@ def scan_literal_path(
         db, corpus, block_starts, block_ends, fid_a, p_a,
         block_anchored=block_anchored, block_final=block_final,
         eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
+        ranges_out=ranges_out,
     )
 
 
@@ -417,6 +420,7 @@ def finish_literal_scan(
     block_anchored: np.ndarray = None, block_final: np.ndarray = None,
     eod_only: bool = False,
     chain_ctx: Dict = None, chain_out: Dict = None,
+    ranges_out: List = None,
 ) -> Set[Record]:
     """Host stages after the device filter: confirm → windows → validate."""
     fid_a, p_a = confirm_candidates(
@@ -426,6 +430,7 @@ def finish_literal_scan(
         db, corpus, block_starts, block_ends, fid_a, p_a,
         block_anchored=block_anchored, block_final=block_final,
         eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
+        ranges_out=ranges_out,
     )
 
 
@@ -435,6 +440,7 @@ def finish_confirmed(
     block_anchored: np.ndarray = None, block_final: np.ndarray = None,
     eod_only: bool = False,
     chain_ctx: Dict = None, chain_out: Dict = None,
+    ranges_out: List = None,
 ) -> Set[Record]:
     """Window building + validation over exact-confirmed (fid, pos)
     pairs (reference: the rose literal program stage after confirm)."""
@@ -446,6 +452,16 @@ def finish_confirmed(
         block_final = np.ones(nb, dtype=bool)
     recs: Set[Record] = set()
     if fid_a.size == 0:
+        # carried chain evidence can produce matches without any new
+        # candidate in this extent (a trailing-gap run keeps firing, or
+        # a pending role end connects at the extent boundary)
+        if chain_ctx and not eod_only:
+            recs |= resolve_chains(
+                lit, corpus, block_starts, block_ends, block_anchored,
+                block_final, {},
+                chain_ctx=chain_ctx, chain_out=chain_out,
+                ranges_out=ranges_out,
+            )
         return recs
 
     # vectorized (confirmed factor) x (pattern ref) expansion
@@ -519,6 +535,7 @@ def finish_confirmed(
             lit, corpus, block_starts, block_ends, block_anchored,
             block_final, chain_windows,
             chain_ctx=chain_ctx, chain_out=chain_out,
+            ranges_out=ranges_out,
         )
     return recs
 
@@ -702,12 +719,30 @@ def validate_windows_batched(
 def _lastbad(corpus: np.ndarray, gap_bits: np.ndarray, cache: Dict) -> np.ndarray:
     """lastbad[i] = last index <= i whose byte is NOT in the gap class
     (-1 if none): bytes [p, s) are all in-class iff p > lastbad[s-1]."""
-    key = gap_bits.tobytes()
+    key = (0, gap_bits.tobytes())
     if key not in cache:
         idx = np.arange(corpus.shape[0], dtype=np.int64)
         bad = ~gap_bits[corpus]
         cache[key] = np.maximum.accumulate(np.where(bad, idx, -1))
     return cache[key]
+
+
+def _firstbad(corpus: np.ndarray, gap_bits: np.ndarray, cache: Dict) -> np.ndarray:
+    """firstbad[i] = first index >= i whose byte is NOT in the gap class
+    (n if none): bytes [p, e) are all in-class iff e <= firstbad[p]."""
+    key = (1, gap_bits.tobytes())
+    if key not in cache:
+        n = corpus.shape[0]
+        idx = np.arange(n, dtype=np.int64)
+        bad = ~gap_bits[corpus]
+        cache[key] = np.minimum.accumulate(
+            np.where(bad, idx, n)[::-1]
+        )[::-1]
+    return cache[key]
+
+
+# chain_ctx boundary key for the leading-gap run (streaming carried state)
+LEAD_BOUNDARY = -1
 
 
 def _merge_carried(ends, chain_ctx, eidx, boundary, block_starts):
@@ -864,6 +899,13 @@ def _connect_role(
         kk = np.flatnonzero(m)[conn]
         conn_pair[S_k[kk]] = True
 
+    return _emit_role_ends(role, conn_pair, starts_w, blks_w, A_i, A_t,
+                           A_aid, block_starts, block_ends)
+
+
+def _emit_role_ends(role, conn_pair, starts_w, blks_w, A_i, A_t, A_aid,
+                    block_starts, block_ends) -> Dict[int, np.ndarray]:
+    """Expand connected accept pairs into per-block sorted end arrays."""
     if not conn_pair.any():
         return {}
     sel = np.flatnonzero(conn_pair)
@@ -887,22 +929,63 @@ def _connect_role(
     }
 
 
+def _lead_connect_role(
+    role, corpus, spans, gap_bits, glo, lead_floor,
+    lastbad_cache, block_starts, block_ends,
+) -> Dict[int, np.ndarray]:
+    """Role-0 matches preceded by a leading-gap class run of length >= glo
+    (Castle-prefix analogue). A bounded gap hi adds no end-set constraint:
+    any run of length >= glo contains an in-bounds sub-run ending at the
+    role start. `lead_floor[b]` is the flat-coords lower bound of the run
+    start when the run extends before the block/extent start (streaming
+    carried run; defaults to the block start)."""
+    lastbad = _lastbad(corpus, gap_bits, lastbad_cache)
+    win, starts_w, blks_w, A_i, A_t, A_aid = _role_matches(
+        role, corpus, spans
+    )
+    if len(A_i) == 0:
+        return {}
+    S_k, S_j = _role_starts(role, win, A_i, A_t)
+    if len(S_k) == 0:
+        return {}
+    s_flat = starts_w[A_i[S_k]] + S_j
+    blk_s = blks_w[A_i[S_k]]
+    conn_pair = np.zeros(len(A_i), dtype=bool)
+    for b in np.unique(blk_s):
+        m = blk_s == b
+        s = s_flat[m]
+        bs = int(block_starts[b])
+        floor = int(lead_floor.get(int(b), bs))
+        prevb = np.where(s > 0, lastbad[np.maximum(s - 1, 0)], -1)
+        run_start = np.where(prevb >= bs, prevb + 1, floor)
+        conn = (s - run_start) >= glo
+        kk = np.flatnonzero(m)[conn]
+        conn_pair[S_k[kk]] = True
+    return _emit_role_ends(role, conn_pair, starts_w, blks_w, A_i, A_t,
+                           A_aid, block_starts, block_ends)
+
+
 def resolve_chains(
     lit, corpus: np.ndarray, block_starts: np.ndarray,
     block_ends: np.ndarray, block_anchored: np.ndarray,
     block_final: np.ndarray,
     chain_windows: Dict[Tuple[int, int], List[Tuple[int, int, int]]],
     chain_ctx: Dict = None, chain_out: Dict = None,
+    ranges_out: List = None,
 ) -> Set[Record]:
     """Multi-segment chain resolution, roles left to right.
 
     `chain_windows[(eidx, r)]` holds candidate windows for role r.
     `chain_ctx[(b, eidx, r)]` (streaming) carries boundary-r end evidence
-    as `(ends_abs, run_start_abs, base_abs)`; `chain_out[(b, eidx, r)]`
-    receives this write's flat boundary ends for the state update.
+    as `(ends_abs, run_start_abs, base_abs)`; boundary LEAD_BOUNDARY
+    carries the leading-gap run, boundary R-1 carries trailing-gap
+    pending ends. `chain_out[(b, eidx, r)]` receives this write's flat
+    boundary ends for the state update. Trailing-gap dense match ends are
+    appended to `ranges_out` as (b, eidx, lo_local, hi_local) when given,
+    else expanded into the returned records.
     """
     recs: Set[Record] = set()
-    lastbad_cache: Dict[bytes, np.ndarray] = {}
+    lastbad_cache: Dict = {}
     streaming = chain_out is not None
     active = {e for (e, _r) in chain_windows if e in lit.chains}
     if chain_ctx:
@@ -913,9 +996,21 @@ def resolve_chains(
         if not streaming and (eidx, R - 1) not in chain_windows:
             continue  # final role can't match in this block scan
 
-        spans0 = chain_windows.get((eidx, 0), [])
+        spans0 = _merge_spans(list(chain_windows.get((eidx, 0), [])))
         ends: Dict[int, np.ndarray] = {}
-        if spans0:
+        if spans0 and ch.lead is not None:
+            gi, glo, _ghi = ch.lead
+            lead_floor: Dict[int, int] = {}
+            if chain_ctx:
+                for (b, ce, rr), (_ce2, c_run, base_abs) in chain_ctx.items():
+                    if ce == eidx and rr == LEAD_BOUNDARY:
+                        bs = int(block_starts[b])
+                        lead_floor[b] = bs - (base_abs - int(c_run))
+            ends = _lead_connect_role(
+                ch.roles[0], corpus, spans0, ch.gap_bits[gi], glo,
+                lead_floor, lastbad_cache, block_starts, block_ends,
+            )
+        elif spans0:
             pre_recs = validate_windows(
                 ch.roles[0].fwd, eidx, corpus, spans0, block_starts,
                 block_ends, block_anchored, np.zeros_like(block_final),
@@ -925,7 +1020,7 @@ def resolve_chains(
                 tmp.setdefault(b, []).append(int(block_starts[b]) + to_local)
             for b, es in tmp.items():
                 ends[b] = np.asarray(sorted(set(es)), dtype=np.int64)
-        if streaming:
+        if streaming and R > 1:
             for b, arr in ends.items():
                 chain_out[(b, eidx, 0)] = arr
 
@@ -942,15 +1037,62 @@ def resolve_chains(
                     ch.gap_bits[r - 1], ch.gap_lo[r - 1], ch.gap_hi[r - 1],
                     lastbad_cache, block_starts, block_ends,
                 )
-            if r == R - 1:
-                for b, arr in new_ends.items():
-                    bs = int(block_starts[b])
-                    for e in arr.tolist():
-                        recs.add((b, eidx, e - bs, 0))
-            elif streaming:
+            if r < R - 1 and streaming:
                 for b, arr in new_ends.items():
                     chain_out[(b, eidx, r)] = arr
             ends = new_ends
-            if not streaming and not ends:
+            if not streaming and not ends and r < R - 1:
                 break
+
+        # final-role ends -> match reports
+        if ch.trail is None:
+            for b, arr in ends.items():
+                bs = int(block_starts[b])
+                for e in arr.tolist():
+                    recs.add((b, eidx, e - bs, 0))
+            continue
+
+        # trailing gap (MPV-puff analogue): every offset the class run
+        # covers in [lo, hi] past a final-role end is a match end
+        gi, glo, ghi = ch.trail
+        if streaming:
+            for b, arr in ends.items():
+                chain_out[(b, eidx, R - 1)] = arr
+        fb = _firstbad(corpus, ch.gap_bits[gi], lastbad_cache)
+        N = corpus.shape[0]
+        ends, carried_pre = _merge_carried(
+            ends, chain_ctx, eidx, R - 1, block_starts
+        )
+        for b in set(ends) | set(carried_pre):
+            bs = int(block_starts[b])
+            be = int(block_ends[b])
+            run_end = int(fb[bs]) if bs < N else bs  # run from block start
+            e0s: List[Tuple[int, int]] = []  # (e0_local, run_end_local)
+            arr = ends.get(b)
+            if arr is not None:
+                for e0 in arr.tolist():
+                    e0 = int(e0)
+                    e0_run = int(fb[e0]) if e0 < N else e0
+                    e0s.append((e0, e0_run))
+            C = carried_pre.get(b)
+            if C is not None:
+                c_ends, c_run, base_abs = C
+                # pre-extent pending ends: run alive through the carried
+                # region (pruned by c_run) and into this extent's prefix
+                for e0_abs in np.asarray(c_ends).tolist():
+                    if int(e0_abs) < int(c_run):
+                        continue
+                    e0s.append((bs + (int(e0_abs) - base_abs), run_end))
+            for (e0, e0_run) in e0s:
+                hi = min(e0_run, be)
+                if ghi is not None:
+                    hi = min(hi, e0 + ghi)
+                lo = max(e0 + glo, bs)
+                if hi < lo:
+                    continue
+                if ranges_out is not None:
+                    ranges_out.append((b, eidx, lo - bs, hi - bs))
+                else:
+                    for e in range(lo, hi + 1):
+                        recs.add((b, eidx, e - bs, 0))
     return recs

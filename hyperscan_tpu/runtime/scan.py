@@ -232,11 +232,14 @@ def scan_blocks_raw(
             if not len(g):
                 continue
             fid_a, p_a = verify_pairs(db.lit, corpus_d, starts_d, fid_a, p_a)
+            rng: List[Tuple[int, int, int, int]] = []
             recs = finish_confirmed(
-                db, corpus_d, starts_d, ends_d, fid_a, p_a
+                db, corpus_d, starts_d, ends_d, fid_a, p_a, ranges_out=rng
             )
             for (bi_local, eidx, to, frm) in recs:
                 per_block[g[bi_local]].add(eidx, to, frm)
+            for (bi_local, eidx, lo, hi) in rng:
+                per_block[g[bi_local]].add_range(eidx, lo, hi)
     elif db.lit is not None:
         from .lit_runtime import scan_literal_path
 
@@ -250,8 +253,13 @@ def scan_blocks_raw(
             if int(lens.sum())
             else np.zeros(0, dtype=np.uint8)
         )
-        for (bi, eidx, to, frm) in scan_literal_path(db, corpus, starts, ends):
+        rng = []
+        for (bi, eidx, to, frm) in scan_literal_path(
+            db, corpus, starts, ends, ranges_out=rng
+        ):
             per_block[bi].add(eidx, to, frm)
+        for (bi, eidx, lo, hi) in rng:
+            per_block[bi].add_range(eidx, lo, hi)
 
     if not db.engines:
         return [

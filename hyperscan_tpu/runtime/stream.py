@@ -206,14 +206,29 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
     """Advance per-stream chain evidence: merge newly validated prefix
     ends, restart gap runs at bad bytes, prune dead evidence (reference
     analogue: saving rose role state per stream)."""
+    from .lit_runtime import LEAD_BOUNDARY
+
     CAP = 4096  # evidence cap per (stream, chain, boundary)
     for bi, st in enumerate(streams):
         base_abs = st.offset - len(st.history)
         ext = np.frombuffer(exts[bi], np.uint8)
+        new_boundary = base_abs + len(ext)
         for eidx, ch in db.lit.chains.items():
-            for r in range(ch.num_roles - 1):
+            # boundaries to advance: mid gaps carry role ends inside the
+            # live gap run; the lead boundary carries only its run; the
+            # trail boundary (index R-1) carries final-role ends whose
+            # trailing run is still alive (MPV-puff pending state)
+            bounds = [(r, ch.gap_bits[r], None)
+                      for r in range(ch.num_roles - 1)]
+            if ch.lead is not None:
+                bounds.append(
+                    (LEAD_BOUNDARY, ch.gap_bits[ch.lead[0]], None))
+            if ch.trail is not None:
+                bounds.append(
+                    (ch.num_roles - 1, ch.gap_bits[ch.trail[0]],
+                     ch.trail[2]))
+            for (r, gb, ghi) in bounds:
                 c_ends, c_run = st.chain_state.get((eidx, r), ([], 0))
-                gb = ch.gap_bits[r]
                 bad = np.flatnonzero(~gb[ext]) if len(ext) else \
                     np.zeros(0, np.int64)
                 if len(bad):
@@ -226,8 +241,12 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
                         p_abs = base_abs + (int(p) - fs)
                         if p_abs >= c_run:
                             merged.add(p_abs)
+                if ghi is not None:
+                    # bounded trailing gap: ends fully emitted by the new
+                    # boundary are dead
+                    merged = {p for p in merged if p + ghi >= new_boundary}
                 ends = sorted(merged)[-CAP:]
-                if ends or c_run:
+                if ends or c_run or r == LEAD_BOUNDARY:
                     st.chain_state[(eidx, r)] = (ends, c_run)
 
 
@@ -256,7 +275,7 @@ def _vacuous_stream_reports(engine, streams, chunks, recs_abs,
 
 
 def _scan_streams_sharded(db, exts, anchored, mesh, chain_ctx, chain_out,
-                          has_chains, deliver) -> None:
+                          has_chains, deliver, deliver_range) -> None:
     """Literal path of a stream write batch sharded across the mesh:
     streams partition data-parallel; chain role state remaps between
     global stream indices and shard-local block indices."""
@@ -283,14 +302,18 @@ def _scan_streams_sharded(db, exts, anchored, mesh, chain_ctx, chain_out,
             }
             out_g = {}
         fid_a, p_a = verify_pairs(db.lit, corpus_d, starts_d, fid_a, p_a)
+        rng_g: List[Tuple[int, int, int, int]] = []
         recs = finish_confirmed(
             db, corpus_d, starts_d, ends_d, fid_a, p_a,
             block_anchored=anch_g,
             block_final=np.zeros(len(g), dtype=bool),
             chain_ctx=ctx_g, chain_out=out_g,
+            ranges_out=rng_g,
         )
         for (li, eidx, to_local, frm) in recs:
             deliver(g[li], eidx, to_local, frm)
+        for (li, eidx, lo, hi) in rng_g:
+            deliver_range(g[li], eidx, lo, hi)
         if out_g:
             for (li, e, r), arr in out_g.items():
                 gi = g[li]
@@ -338,14 +361,17 @@ def scan_streams(
         chain_out = {}
         has_chains = bool(db.lit.chains)
         if has_chains:
+            from .lit_runtime import LEAD_BOUNDARY
+
             for bi, st in enumerate(streams):
                 base_abs = st.offset - len(st.history)
                 for (eidx, r), (c_ends, c_run) in st.chain_state.items():
                     # carry ALL live evidence: in-extent ends whose factor
                     # bytes were trimmed out of history are not
                     # re-derivable by the rescan (lit_runtime merges and
-                    # dedupes them against re-derived ends)
-                    if c_ends:
+                    # dedupes them against re-derived ends). The lead
+                    # boundary carries its run even with no ends.
+                    if c_ends or r == LEAD_BOUNDARY:
                         chain_ctx[(bi, eidx, r)] = (
                             np.asarray(c_ends, dtype=np.int64), c_run,
                             base_abs,
@@ -362,11 +388,21 @@ def scan_streams(
             ):
                 recs_abs[bi].add((eidx, to_abs, base + frm))
 
+        def deliver_range(bi, eidx, lo_local, hi_local):
+            st = streams[bi]
+            base = st.offset - len(st.history)
+            # offsets <= the previous boundary were reported by earlier
+            # writes (the trail run was alive in their extents too)
+            lo_abs = max(base + lo_local, st.offset + 1)
+            hi_abs = base + hi_local
+            if hi_abs >= lo_abs:
+                ranges_abs[bi].append((eidx, lo_abs, hi_abs))
+
         total_ext = sum(len(e) for e in exts)
         if mesh is not None and total_ext > 1 << 16:
             _scan_streams_sharded(
                 db, exts, anchored, mesh, chain_ctx, chain_out,
-                has_chains, deliver,
+                has_chains, deliver, deliver_range,
             )
         else:
             lens = np.asarray([len(e) for e in exts], dtype=np.int64)
@@ -381,13 +417,17 @@ def scan_streams(
             )
             from .lit_runtime import scan_literal_path
 
+            rng: List[Tuple[int, int, int, int]] = []
             for (bi, eidx, to_local, frm) in scan_literal_path(
                 db, corpus, starts, ends,
                 block_anchored=anchored, block_final=np.zeros(B, bool),
                 chain_ctx=chain_ctx if has_chains else None,
                 chain_out=chain_out if has_chains else None,
+                ranges_out=rng,
             ):
                 deliver(bi, eidx, to_local, frm)
+            for (bi, eidx, lo, hi) in rng:
+                deliver_range(bi, eidx, lo, hi)
 
         if has_chains:
             starts_for_update = np.zeros(B, dtype=np.int64)

@@ -63,6 +63,14 @@ def gen_pattern(rng) -> str:
                 gap = ["[a-c]*", ".*", "[^x]+", "b*"][rng.integers(0, 4)]
                 k = int(rng.integers(1, len(parts)))
                 parts.insert(k, gap)
+        if rng.integers(0, 5) == 0:
+            # leading / trailing gap shape (Castle-prefix / MPV-puff):
+            # gap SEG or SEG gap, incl. counted runs
+            gap = ["[a-c]*", ".*", "[a-c]{2,}", "b+"][rng.integers(0, 4)]
+            if rng.integers(0, 2):
+                parts = [gap] + parts
+            else:
+                parts = parts + [gap]
         if rng.integers(0, 6) == 0:
             # DFA-blowup shape (bit-NFA route): leading skip + wide
             # bounded window, `.*a.{k}b`-class

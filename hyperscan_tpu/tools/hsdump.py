@@ -46,11 +46,20 @@ def dump(db) -> None:
             print(f"  ... {lit.num_factors - 40} more factors")
     if db.lit is not None and db.lit.chains:
         for eidx, ch in sorted(db.lit.chains.items()):
+            R = ch.num_roles
             gaps = ", ".join(
-                f"[{lo},{'inf' if hi is None else hi}]"
-                for (lo, hi) in zip(ch.gap_lo, ch.gap_hi)
+                f"[{ch.gap_lo[r]},"
+                f"{'inf' if ch.gap_hi[r] is None else ch.gap_hi[r]}]"
+                for r in range(R - 1)
             )
-            print(f"Chain expr {eidx}: {ch.num_roles} roles, gaps {gaps}")
+            extra = ""
+            if ch.lead is not None:
+                extra += (f" lead[{ch.lead[1]},"
+                          f"{'inf' if ch.lead[2] is None else ch.lead[2]}]")
+            if ch.trail is not None:
+                extra += (f" trail[{ch.trail[1]},"
+                          f"{'inf' if ch.trail[2] is None else ch.trail[2]}]")
+            print(f"Chain expr {eidx}: {R} roles, gaps {gaps}{extra}")
     from hyperscan_tpu.database import LbrEngine, NfaEngine, SomEngine
 
     for ei, e in enumerate(db.engines):

@@ -197,3 +197,118 @@ def test_multigap_chain_streaming_splits():
             prev = c
         ms += hs.close_stream(st)
         assert {m[2] for m in ms} == want, cuts
+
+
+# --- leading / trailing counted gaps (Castle-prefix / MPV-puff analogues,
+# reference: src/nfa/castle.c, src/nfa/mpv.c) --------------------------------
+
+LEAD_TRAIL_PATTERNS = [
+    r"foo[0-9]{600,}",        # trailing unbounded counted gap
+    r"xyz[0-9]{512,1200}",    # trailing bounded counted gap
+    r"[0-9]{600,}foo",        # leading unbounded counted gap
+    r"[a-z]{512,1200}END",    # leading bounded counted gap
+    r"abc.*",                 # trailing .* (dense ends)
+    r"hdr[^\n]{600,}stop.*",  # mid gap + trailing gap
+]
+
+
+def _lead_trail_db(mode=0):
+    kw = {"mode": mode} if mode else {}
+    d = hs.compile_multi(
+        LEAD_TRAIL_PATTERNS, ids=list(range(len(LEAD_TRAIL_PATTERNS))), **kw
+    )
+    assert d.lit is not None and not d.engines, "all must literal-route"
+    for i in (0, 1, 4):
+        assert d.lit.chains[i].trail is not None
+    for i in (2, 3):
+        assert d.lit.chains[i].lead is not None
+    return d
+
+
+def _lt_corpora():
+    return [
+        b"",
+        b"foo" + b"7" * 599,                      # one short of trail lo
+        b"foo" + b"7" * 800,                      # long run
+        b"foo" + b"7" * 650 + b"q" + b"7" * 700,  # broken run
+        b"xyz" + b"1" * 1400,                     # bounded trail caps ends
+        b"7" * 700 + b"foo " + b"7" * 599 + b"foo",
+        b"m" * 600 + b"END " + b"m" * 200 + b"END",
+        b"abc tail abc",
+        b"hdr" + b"x" * 700 + b"stop...",
+        b"hdr" + b"x" * 700 + b"\n" + b"x" * 10 + b"stop..",
+    ]
+
+
+def test_lead_trail_chain_vs_oracle():
+    db = _lead_trail_db()
+    for data in _lt_corpora():
+        got = {}
+        for (mid, _f, to) in hs.scan(db, data):
+            got.setdefault(mid, set()).add(to)
+        for i, pat in enumerate(LEAD_TRAIL_PATTERNS):
+            want = ast_match_ends(parse(pat, 0), data)
+            assert got.get(i, set()) == want, (
+                f"{pat!r} on {data[:32]!r}...: missing "
+                f"{sorted(want - got.get(i, set()))[:5]} extra "
+                f"{sorted(got.get(i, set()) - want)[:5]}"
+            )
+
+
+def test_lead_trail_serialize_roundtrip():
+    db = _lead_trail_db()
+    db2 = hs.deserialize_database(hs.serialize_database(db))
+    ch = db2.lit.chains[0]
+    assert ch.trail is not None and ch.trail[1] == 600
+    data = b"foo" + b"7" * 700
+    assert hs.scan(db2, data) == hs.scan(db, data)
+
+
+def test_lead_trail_stream_equals_block_random_splits():
+    bdb = _lead_trail_db()
+    sdb = _lead_trail_db(mode=hs.HS_MODE_STREAM)
+    rng = np.random.default_rng(17)
+    for data in _lt_corpora():
+        if not data:
+            continue
+        want = {(m, t) for (m, _f, t) in hs.scan(bdb, data)}
+        for _ in range(3):
+            k = int(rng.integers(1, 6))
+            cuts = sorted(
+                rng.choice(len(data), size=min(k, len(data) - 1),
+                           replace=False).tolist()
+            )
+            st = hs.open_stream(sdb)
+            ms, prev = [], 0
+            for c in cuts + [len(data)]:
+                ms.extend(hs.scan_stream(st, data[prev:c]))
+                prev = c
+            ms.extend(hs.close_stream(st))
+            got = {(m, t) for (m, _f, t) in ms}
+            assert got == want, (
+                f"{data[:32]!r} cuts={cuts}: missing "
+                f"{sorted(want - got)[:6]} extra {sorted(got - want)[:6]}"
+            )
+
+
+def test_trail_chain_stream_run_survives_many_writes():
+    # the pending trail run crosses many writes; ends keep firing
+    d = hs.compile(r"foo[0-9]{600,}", mode=hs.HS_MODE_STREAM)
+    st = hs.open_stream(d)
+    ms = hs.scan_stream(st, b"foo" + b"5" * 10)
+    for _ in range(7):
+        ms += hs.scan_stream(st, b"5" * 100)
+    ms += hs.close_stream(st)
+    tos = sorted(t for (_m, _f, t) in ms)
+    assert tos == list(range(603, 714))  # every offset from lo to run end
+
+
+def test_trail_chain_stream_compress_roundtrip():
+    d = hs.compile(r"foo[0-9]{600,}", mode=hs.HS_MODE_STREAM)
+    st = hs.open_stream(d)
+    hs.scan_stream(st, b"foo" + b"5" * 300)
+    buf = hs.compress_stream(st)
+    st2 = hs.expand_stream(d, buf)
+    a = hs.scan_stream(st, b"5" * 400) + hs.close_stream(st)
+    b = hs.scan_stream(st2, b"5" * 400) + hs.close_stream(st2)
+    assert a == b and len(a) == 101

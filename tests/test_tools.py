@@ -14,6 +14,7 @@ def patfile(tmp_path):
         "2:/foo(bar|baz)/i\n"
         "# comment\n"
         "3:/err(or)?/\n"
+        "4:/[ab]+c[de]+/\n"
     )
     return str(p)
 
@@ -31,7 +32,7 @@ def corpusfile(tmp_path):
 
 def test_hscheck_ok(patfile, capsys):
     assert hscheck.main([patfile]) == 0
-    assert "3 compiled, 0 failed" in capsys.readouterr().out
+    assert "4 compiled, 0 failed" in capsys.readouterr().out
 
 
 def test_hscheck_reports_bad(tmp_path, capsys):
