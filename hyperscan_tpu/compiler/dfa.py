@@ -293,9 +293,9 @@ def reverse_graph(g: NFAGraph, eod: bool) -> NFAGraph:
     acc: Dict[int, Set[int]] = {}
     acc_eod: Dict[int, Set[int]] = {}
     for p in g.float_first:
-        acc.setdefault(p, set()).add(1 if p in g.prev_hops else 0)
+        acc.setdefault(p, set()).add(g.hop_lens.get(p, 0))
     for p in g.anchored_first:
-        acc_eod.setdefault(p, set()).add(1 if p in g.prev_hops else 0)
+        acc_eod.setdefault(p, set()).add(g.hop_lens.get(p, 0))
     return NFAGraph(
         reach=g.reach,
         anchored_first=starts,
@@ -304,7 +304,7 @@ def reverse_graph(g: NFAGraph, eod: bool) -> NFAGraph:
         accept={k: frozenset(v) for k, v in acc.items()},
         accept_eod={k: frozenset(v) for k, v in acc_eod.items()},
         start_accepts=set(),
-        prev_hops=set(),
+        hop_lens={},
     )
 
 

@@ -210,5 +210,5 @@ def fuzzy_graph(g: NFAGraph, edit: int, hamming: int) -> NFAGraph:
         accept={p: frozenset(s) for p, s in accept.items()},
         accept_eod={p: frozenset(s) for p, s in accept_eod.items()},
         start_accepts=start_accepts,
-        prev_hops=set(),
+        hop_lens={},
     )

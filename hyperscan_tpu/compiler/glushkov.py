@@ -96,14 +96,12 @@ class NFAGraph:
     #  (True,  True,  a): empty input only, to = a
     #  (False, True,  a): empty match at EOD, to = len + a
     start_accepts: Set[Tuple[bool, bool, int]] = dataclasses.field(default_factory=set)
-    # positions synthesized by assertion resolution that consume the byte
-    # *before* the match start (".*[cr]" hops for \b/^m prev-context);
-    # SOM reverse scans must report the start one byte to their right
-    prev_hops: Set[int] = dataclasses.field(default_factory=set)
-    # UCP \b synthesized a multi-byte prev-context codepoint chain; the
-    # one-byte prev_hops adjustment no longer describes the match start,
-    # so SOM/min_length routes must reject this graph
-    long_hops: bool = False
+    # entry positions synthesized by assertion resolution that consume
+    # bytes *before* the match start (".*[cr]" hops for \b/^m
+    # prev-context; UCP \b codepoint chains consume 1-4 bytes): maps the
+    # chain's entry position to its byte length, so SOM reverse scans and
+    # register seeding report the start that many bytes to the right
+    hop_lens: Dict[int, int] = dataclasses.field(default_factory=dict)
 
     @property
     def num_positions(self) -> int:
@@ -409,8 +407,9 @@ class _Resolver:
         # UCP codepoint-context tries: ranges key -> chain summaries
         self.synth_prev_cp: Dict[Tuple, List[Tuple[int, int, int]]] = {}
         self.synth_acc_cp: Dict[Tuple, List[int]] = {}
-        self.cp_hop_finals: Set[int] = set()  # 1-byte cp-trie finals
-        self.long_hops = False  # multi-byte prev context consumed
+        self.cp_hop_finals: Set[int] = set()  # cp-trie final positions
+        # chain ENTRY position -> prev-context byte count (SOM hop)
+        self.hop_first_lens: Dict[int, int] = {}
 
     def _new_real(self, cr: CharReach, wordcp: Optional[bool] = None) -> int:
         pid = self.b.new_pos(Pos(cr, wordcp=wordcp))
@@ -448,12 +447,9 @@ class _Resolver:
                 self.extra_edges.append((SD, first, None, None, 0))
                 self.extra_edges.append((S0, first, None, None, 0))
             self.synth_prev_cp[key] = chains
-            for (_f, final, ln) in chains:
-                if ln == 1:
-                    self.cp_hop_finals.add(final)
-                else:
-                    self.long_hops = True
-                    self.cp_hop_finals.add(final)
+            for (first, final, ln) in chains:
+                self.cp_hop_finals.add(final)
+                self.hop_first_lens[first] = ln
         return [(final, None) for (_f, final, _ln) in self.synth_prev_cp[key]]
 
     def _resolve_pf_real(self, u: int, pf: _PF) -> Optional[Optional[_PF]]:
@@ -504,6 +500,7 @@ class _Resolver:
                 if k not in self.synth_prev:
                     w = self._new_real(pf.cr)
                     self.synth_prev[k] = w
+                    self.hop_first_lens[w] = 1
                     self.extra_edges.append((SD, w, None, None, 0))
                     self.extra_edges.append((S0, w, None, None, 0))
                 out.append((self.synth_prev[k], None))
@@ -867,9 +864,9 @@ def build_nfa(node: Node) -> NFAGraph:
     for i, cr in enumerate(new_reach):
         reach[i] = cr.bits
 
-    hop_src = set(resolver.synth_prev.values()) | resolver.cp_hop_finals
-    prev_hops = {
-        nid for (p, i), nid in new_ids.items() if p in hop_src
+    hop_lens = {
+        nid: resolver.hop_first_lens[p]
+        for (p, i), nid in new_ids.items() if p in resolver.hop_first_lens
     }
 
     g = NFAGraph(
@@ -880,8 +877,7 @@ def build_nfa(node: Node) -> NFAGraph:
         accept={k: frozenset(v) for k, v in accept.items()},
         accept_eod={k: frozenset(v) for k, v in accept_eod.items()},
         start_accepts=start_accepts,
-        prev_hops=prev_hops,
-        long_hops=resolver.long_hops,
+        hop_lens=hop_lens,
     )
     return _prune(g)
 
@@ -931,8 +927,8 @@ def _prune(g: NFAGraph) -> NFAGraph:
         accept={int(remap[p]): a for p, a in g.accept.items() if keep[p]},
         accept_eod={int(remap[p]): a for p, a in g.accept_eod.items() if keep[p]},
         start_accepts=set(g.start_accepts),
-        prev_hops=rs(g.prev_hops),
-        long_hops=g.long_hops,
+        hop_lens={int(remap[p]): L for p, L in g.hop_lens.items()
+                  if keep[p]},
     )
 
 
@@ -1009,6 +1005,6 @@ def reduce_graph(g: NFAGraph) -> NFAGraph:
             int(remap[p]): a for p, a in g.accept_eod.items() if keep[p]
         },
         start_accepts=set(g.start_accepts),
-        prev_hops=rs(g.prev_hops),
-        long_hops=g.long_hops,
+        hop_lens={int(remap[p]): L for p, L in g.hop_lens.items()
+                  if keep[p]},
     ))

@@ -996,9 +996,9 @@ def _build_som_engine(g: NFAGraph, eidx: int,
             f"({NFA_MAX_ACCEPT_SETS})", eidx
         )
     base = NfaEngine.from_bitnfa(nfa, max_depth=width)
-    hop = np.zeros(base.num_positions, dtype=bool)
-    for p in g.prev_hops:
-        hop[p] = True
+    hop = np.zeros(base.num_positions, dtype=np.int32)
+    for p, L in g.hop_lens.items():
+        hop[p] = L
     return SomEngine(
         **{f.name: getattr(base, f.name)
            for f in dataclasses.fields(NfaEngine)},
@@ -1152,14 +1152,6 @@ def compile_patterns(
         # bounded mandatory factor set exists; otherwise chains, counter
         # repeats, SOM registers, or general engines
         want_som = bool(f & HS_FLAG_SOM_LEFTMOST) or need_minlen
-        if want_som and g.long_hops:
-            # UCP \b prev-context chains consume a variable number of
-            # bytes before the match start; the one-byte hop adjustment
-            # the SOM back-scans rely on no longer holds
-            raise CompileError(
-                "SOM_LEFTMOST / min_length with \\b under UCP is not "
-                "supported", i
-            )
 
         def _ensure_validator() -> bool:
             """Whole-pattern window validator (+ SOM reverse DFAs); used

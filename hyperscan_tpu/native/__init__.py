@@ -168,7 +168,7 @@ def bitnfa_scan_batch_native(engine, data, lengths, init_states):
     from ..runtime.nfa_host import _int_to_words, _words_to_int, pack_words
 
     follow_w, reach_w, float_w, anch_w, acc_any, KW = pack_words(engine)
-    if KW > 64:  # native scratch word cap (P <= 4096)
+    if KW > 512:  # native scratch word cap (P <= 32768)
         return None
     P = engine.num_positions
     B, L = data.shape
@@ -239,7 +239,7 @@ def somnfa_scan_batch_native(engine, data, lengths, init_states,
     from ..runtime.nfa_host import _int_to_words, _words_to_int, pack_words
 
     _fw, reach_w, _flw, _aw, _acc, KW = pack_words(engine)
-    if KW > 64:
+    if KW > 512:  # native scratch word cap (P <= 32768)
         return None
     P = engine.num_positions
     B, L = data.shape

@@ -127,7 +127,7 @@ int64_t hstpu_bitnfa_scan_batch(
     uint8_t* is_start,           // [B] in/out
     int32_t* out_row, int32_t* out_pos, int64_t* out_bits, int64_t cap) {
     int64_t n = 0;
-    uint64_t cur[64], nxt[64];  // KW <= 64 (P <= 4096)
+    uint64_t cur[512], nxt[512];  // KW <= 512 (P <= 32768, parser cap)
     for (int64_t b = 0; b < B; b++) {
         const uint8_t* row = data + b * L;
         const int64_t len = lengths[b] < L ? lengths[b] : L;
@@ -206,7 +206,7 @@ int64_t hstpu_somnfa_scan_batch(
     int64_t* out_frm, int64_t cap) {
     const int64_t INF = INT64_MAX;
     int64_t n = 0;
-    uint64_t cur[64], nxt[64];
+    uint64_t cur[512], nxt[512];  // KW <= 512 (P <= 32768, parser cap)
     // nsom buffer reused per byte
     static thread_local int64_t* nsom = nullptr;
     static thread_local int32_t nsom_cap = 0;

@@ -114,7 +114,10 @@ def _make_kernel_fused(M: int, W: int, R: int):
         cand_or = acc[0]
         for w in range(1, W):
             cand_or = cand_or | acc[w]
-        out_c[...] = cand_or
+        # uint8 candidacy plane: the confirm stage re-derives everything
+        # from the corpus, so only the nonzero positions matter — a 1-byte
+        # plane quarters the HBM write+read traffic of the extraction
+        out_c[...] = (cand_or != 0).astype(jnp.uint8)
     return kernel
 
 
@@ -179,7 +182,8 @@ def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int, nz=None):
         for f in flats[1:]:
             nz = nz | f
     N = nz.shape[0]
-    CHUNK = 1024
+    CHUNK = 256  # finer chunks: the hit-chunk gather cost per candidate
+    # is CHUNK lookups, and XLA gathers run ~130M lookups/s on TPU
     nchunk = N // CHUNK
     chunk_counts = (nz != 0).astype(jnp.int32).reshape(nchunk, CHUNK).sum(axis=1)
     chunk_idx = jnp.arange(nchunk, dtype=jnp.int32)
@@ -331,7 +335,7 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
             _make_kernel_fused(M, W, R),
             interpret=interpret,
             grid=(n_cells,),
-            out_shape=jax.ShapeDtypeStruct((n_cells * R, 128), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_cells * R, 128), jnp.uint8),
             in_specs=[
                 pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
                              memory_space=pltpu.VMEM),

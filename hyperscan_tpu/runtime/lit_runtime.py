@@ -26,9 +26,10 @@ Record = Tuple[int, int, int, int]  # (block_idx, expr_idx, to_local, from_local
 # case it is the leftmost match start (reference: som/som_runtime.c)
 
 # extra window bytes on each side covering Glushkov-synthesized boundary
-# context positions (\b / ^m / $ consume one adjacent byte; see
-# compiler/glushkov.py _Resolver)
-WINDOW_SLACK = 2
+# context positions (\b / ^m / $ consume one adjacent byte; under UCP a
+# \b context chain consumes one full UTF-8 codepoint of up to 4 bytes;
+# see compiler/glushkov.py _Resolver)
+WINDOW_SLACK = 4
 
 
 def _confirm_index(lit):

@@ -103,11 +103,29 @@ def test_ucp_word_boundary_latin1():
     assert got == {3, 18}
 
 
-def test_ucp_utf8_som_word_boundary_rejected():
-    # UCP \b prev-context consumes whole codepoints; SOM back-scan
-    # offsets no longer hold — documented unsupported combination
-    with pytest.raises(CompileError):
-        hs.compile(r"\bλfoo", flags=U | hs.HS_FLAG_UCP | hs.HS_FLAG_SOM_LEFTMOST)
+def test_ucp_utf8_som_word_boundary():
+    # UCP \b prev-context consumes whole codepoints (1-4 bytes); the
+    # hop-length accepts on the reverse DFAs / SOM registers report the
+    # start past the consumed context chain
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.utils.oracle import ast_leftmost_som
+
+    F = U | hs.HS_FLAG_UCP | hs.HS_FLAG_SOM_LEFTMOST
+    pats = [r"\bλfoo", r"\bword", r"λx\b", r"\Bend"]
+    corpora = [
+        "λfoo ωλfoo .λfoo word éword λx€ λxω end bend".encode(),
+        "𝛌word λfoo".encode(),  # 4-byte non-word context before word
+        b"",
+    ]
+    for pat in pats:
+        db = hs.compile(pat, flags=F)
+        for data in corpora:
+            want = {(frm, to) for (to, frm)
+                    in ast_leftmost_som(parse(pat, F), data).items()}
+            got = {(f, t) for (_i, f, t) in hs.scan(db, data)}
+            assert got == want, (
+                f"{pat!r} on {data!r}: {sorted(got)} != {sorted(want)}"
+            )
 
 
 def test_non_utf8_rejects_wide_codepoint():
