@@ -336,27 +336,52 @@ def validate_windows(
         validator.float_state,
     ).astype(np.int64)
 
-    cls = b2c[win]  # [nw, wmax]
-    for t in range(wmax):
-        active = t < lens
-        nxt = trans[states, cls[:, t]]
-        states = np.where(active, nxt, states)
-        if eod_only:  # close-pass: mid-data accepts were already reported
-            continue
-        aids = np.where(active, accept_id[states], 0)
-        for i in np.flatnonzero(aids):
-            to_flat = int(starts[i]) + t + 1
-            frm = 0
-            if som_rev is not None and som_rev[0] is not None:
-                j = _som_backscan(
-                    som_rev[0], win[i], t + 1,
-                    bool((starts[i] == bs[i]) & block_anchored[blks[i]]),
-                )
-                frm = max(0, int(starts[i]) + j - int(bs[i]))
-            for (eidx, adj) in validator.expand_set(int(aids[i])):
-                to_local = to_flat + adj - int(bs[i])
-                if 0 <= to_local <= int(be[i]) - int(bs[i]):
-                    recs.add((int(blks[i]), eidx, to_local, frm))
+    if eod_only or som_rev is not None:
+        # SOM / close-pass: per-accept back-scans need the lockstep loop
+        cls = b2c[win]  # [nw, wmax]
+        for t in range(wmax):
+            active = t < lens
+            nxt = trans[states, cls[:, t]]
+            states = np.where(active, nxt, states)
+            if eod_only:  # close-pass: mid-data accepts already reported
+                continue
+            aids = np.where(active, accept_id[states], 0)
+            for i in np.flatnonzero(aids):
+                to_flat = int(starts[i]) + t + 1
+                frm = 0
+                if som_rev is not None and som_rev[0] is not None:
+                    j = _som_backscan(
+                        som_rev[0], win[i], t + 1,
+                        bool((starts[i] == bs[i]) & block_anchored[blks[i]]),
+                    )
+                    frm = max(0, int(starts[i]) + j - int(bs[i]))
+                for (eidx, adj) in validator.expand_set(int(aids[i])):
+                    to_local = to_flat + adj - int(bs[i])
+                    if 0 <= to_local <= int(be[i]) - int(bs[i]):
+                        recs.add((int(blks[i]), eidx, to_local, frm))
+    else:
+        # common path: native batch DFA scan over the window rows (the
+        # per-byte numpy loop costs microseconds of interpreter per step;
+        # dense-match windows have one accept per byte)
+        from .smallwrite import dfa_scan_host
+
+        hits, states = dfa_scan_host(
+            validator, win, lens.astype(np.int32),
+            init_states=states.astype(np.int32),
+        )
+        for i in range(nw):
+            hp, hv = hits[i]
+            if not len(hp):
+                continue
+            base_to = int(starts[i]) - int(bs[i]) + 1
+            blen = int(be[i]) - int(bs[i])
+            bi = int(blks[i])
+            for aid in np.unique(hv):
+                tt = hp[hv == aid] + base_to
+                for (eidx, adj) in validator.expand_set(int(aid)):
+                    ta = tt + adj
+                    for to_local in ta[(ta >= 0) & (ta <= blen)].tolist():
+                        recs.add((bi, eidx, int(to_local), 0))
     # EOD accepts where the window reaches the end of its block (and the
     # block really is the end of the logical data — not a mid-stream chunk)
     at_eod = (ends == be) & block_final[blks]
@@ -783,24 +808,22 @@ def _role_matches(role, corpus, spans):
     win = np.zeros((nw, wmax), dtype=np.uint8)
     for i, (s, e, _b) in enumerate(spans):
         win[i, : e - s] = corpus[s:e]
+    from .smallwrite import dfa_scan_host
+
     fwd = role.fwd
-    b2c = fwd.byte_to_class.astype(np.int64)
-    trans = fwd.trans
-    accid = fwd.accept_id
-    states = np.full(nw, fwd.float_state, dtype=np.int64)
-    cls = b2c[win]
+    hits, _finals = dfa_scan_host(
+        fwd, win, lens.astype(np.int32),
+        init_states=np.full(nw, fwd.float_state, dtype=np.int32),
+    )
     ai: List[np.ndarray] = []
     at: List[np.ndarray] = []
     aa: List[np.ndarray] = []
-    for t in range(wmax):
-        active = t < lens
-        states = np.where(active, trans[states, cls[:, t]], states)
-        aids = np.where(active, accid[states], 0)
-        nz = np.flatnonzero(aids)
-        if len(nz):
-            ai.append(nz)
-            at.append(np.full(len(nz), t, dtype=np.int64))
-            aa.append(aids[nz])
+    for i in range(nw):
+        hp, hv = hits[i]
+        if len(hp):
+            ai.append(np.full(len(hp), i, dtype=np.int64))
+            at.append(hp.astype(np.int64))
+            aa.append(hv.astype(np.int64))
     if not ai:
         z = np.zeros(0, dtype=np.int64)
         return win, starts_w, blks_w, z, z, z
@@ -1084,13 +1107,26 @@ def resolve_chains(
                     if int(e0_abs) < int(c_run):
                         continue
                     e0s.append((bs + (int(e0_abs) - base_abs), run_end))
+            spans_e: List[Tuple[int, int]] = []
             for (e0, e0_run) in e0s:
                 hi = min(e0_run, be)
                 if ghi is not None:
                     hi = min(hi, e0 + ghi)
                 lo = max(e0 + glo, bs)
-                if hi < lo:
-                    continue
+                if hi >= lo:
+                    spans_e.append((lo, hi))
+            # coalesce overlapping/adjacent end ranges: dense role ends
+            # inside one gap run would otherwise emit O(ends) overlapping
+            # ranges that the delivery stage expands individually
+            spans_e.sort()
+            merged_s: List[List[int]] = []
+            for (lo, hi) in spans_e:
+                if merged_s and lo <= merged_s[-1][1] + 1:
+                    if hi > merged_s[-1][1]:
+                        merged_s[-1][1] = hi
+                else:
+                    merged_s.append([lo, hi])
+            for (lo, hi) in merged_s:
                 if ranges_out is not None:
                     ranges_out.append((b, eidx, lo - bs, hi - bs))
                 else:

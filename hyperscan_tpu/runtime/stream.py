@@ -245,6 +245,11 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
                     # bounded trailing gap: ends fully emitted by the new
                     # boundary are dead
                     merged = {p for p in merged if p + ghi >= new_boundary}
+                elif r == ch.num_roles - 1 and ch.trail is not None \
+                        and merged:
+                    # unbounded trailing gap: all pending ends share one
+                    # live run, so the earliest subsumes the rest
+                    merged = {min(merged)}
                 ends = sorted(merged)[-CAP:]
                 if ends or c_run or r == LEAD_BOUNDARY:
                     st.chain_state[(eidx, r)] = (ends, c_run)
