@@ -728,6 +728,12 @@ class Database:
                         for k, cm in lm.get("chains", {}).items()
                     },
                 )
+        if lit is not None:
+            # rebuild the packed validator tables up front (same policy
+            # as compile: nothing lazy left for the first scan to pay)
+            from .runtime.lit_runtime import _packed_validators
+
+            _packed_validators(lit)
         return cls(
             mode=int(meta["mode"]), patterns=patterns, engines=engines,
             lit=lit, target=meta.get("target"),
@@ -1340,5 +1346,11 @@ def compile_patterns(
             rev_validators=rev_validators,
             chains=chains,
         )
+        # build the packed validator tables now: everything the run side
+        # needs exists at the end of compilation (reference: the whole
+        # RoseEngine blob is emitted by buildFinalEngine)
+        from .runtime.lit_runtime import _packed_validators
+
+        _packed_validators(lit)
     return Database(mode=mode, patterns=patterns, engines=engines, lit=lit,
                     host_scan_limit=grey.host_scan_limit)

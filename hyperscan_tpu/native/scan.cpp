@@ -10,6 +10,9 @@
 // point has a numpy fallback with identical semantics.
 
 #include <cstdint>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <cstring>
 
 extern "C" {
@@ -51,12 +54,11 @@ int64_t hstpu_dfa_scan_batch(
 // Candidate bitmask word w at position i = AND over m of
 // masks[m][w][corpus[i-m]]; out-of-range m-offsets pass.
 // Emits candidate positions + their W bitmask words; returns true count.
-int64_t hstpu_teddy_filter(
+static int64_t teddy_filter_scalar(
     const int32_t* masks, int32_t M, int32_t W,
-    const uint8_t* corpus, int64_t n,
-    int64_t* out_pos, int32_t* out_words, int64_t cap) {
-    int64_t cnt = 0;
-    for (int64_t i = 0; i < n; i++) {
+    const uint8_t* corpus, int64_t lo, int64_t hi, int64_t n_total,
+    int64_t* out_pos, int32_t* out_words, int64_t cap, int64_t cnt) {
+    for (int64_t i = lo; i < hi; i++) {
         int32_t words[8];
         for (int32_t w = 0; w < W; w++) words[w] = ~0;
         int32_t any = ~0;
@@ -81,7 +83,79 @@ int64_t hstpu_teddy_filter(
             cnt++;
         }
     }
+    (void)n_total;
     return cnt;
+}
+
+int64_t hstpu_teddy_filter(
+    const int32_t* masks, int32_t M, int32_t W,
+    const uint8_t* corpus, int64_t n,
+    int64_t* out_pos, int32_t* out_words, int64_t cap) {
+    int64_t cnt = 0;
+#if defined(__AVX2__)
+    if (W <= 8 && n > M + 8) {
+        // prologue: positions whose suffix window would underrun
+        cnt = teddy_filter_scalar(masks, M, W, corpus, 0, M, n,
+                                  out_pos, out_words, cap, cnt);
+        const int64_t body_end = n - 8;  // last full 8-lane block start
+        int64_t i = M;
+        __m256i words[8];
+        for (; i <= body_end; i += 8) {
+            // lanes = positions i..i+7; gather the m=0 row by byte value
+            __m128i b8 = _mm_loadl_epi64(
+                (const __m128i*)(corpus + i));
+            __m256i idx = _mm256_cvtepu8_epi32(b8);
+            __m256i alive = _mm256_setzero_si256();
+            for (int32_t w = 0; w < W; w++) {
+                words[w] = _mm256_i32gather_epi32(
+                    (const int*)(masks + (int64_t)w * 256), idx, 4);
+                alive = _mm256_or_si256(alive, words[w]);
+            }
+            for (int32_t m = 1; m < M; m++) {
+                if (_mm256_testz_si256(alive, alive)) break;
+                __m128i bm = _mm_loadl_epi64(
+                    (const __m128i*)(corpus + i - m));
+                __m256i idxm = _mm256_cvtepu8_epi32(bm);
+                const int32_t* row = masks + (int64_t)m * W * 256;
+                alive = _mm256_setzero_si256();
+                for (int32_t w = 0; w < W; w++) {
+                    words[w] = _mm256_and_si256(
+                        words[w],
+                        _mm256_i32gather_epi32(
+                            (const int*)(row + (int64_t)w * 256), idxm, 4));
+                    alive = _mm256_or_si256(alive, words[w]);
+                }
+            }
+            if (_mm256_testz_si256(alive, alive)) continue;
+            // rare: extract surviving lanes
+            __m256i lanenz = _mm256_setzero_si256();
+            for (int32_t w = 0; w < W; w++) {
+                lanenz = _mm256_or_si256(lanenz, words[w]);
+            }
+            __m256i z = _mm256_cmpeq_epi32(lanenz, _mm256_setzero_si256());
+            uint32_t deadmask = (uint32_t)_mm256_movemask_ps(
+                _mm256_castsi256_ps(z));
+            uint32_t live = (~deadmask) & 0xFFu;
+            while (live) {
+                const int32_t lane = __builtin_ctz(live);
+                live &= live - 1;
+                if (cnt < cap) {
+                    out_pos[cnt] = i + lane;
+                    int32_t tmp[8];
+                    for (int32_t w = 0; w < W; w++) {
+                        _mm256_storeu_si256((__m256i*)tmp, words[w]);
+                        out_words[(int64_t)w * cap + cnt] = tmp[lane];
+                    }
+                }
+                cnt++;
+            }
+        }
+        return teddy_filter_scalar(masks, M, W, corpus, i, n, n,
+                                   out_pos, out_words, cap, cnt);
+    }
+#endif
+    return teddy_filter_scalar(masks, M, W, corpus, 0, n, n,
+                               out_pos, out_words, cap, cnt);
 }
 
 // Single-buffer DFA scan collecting accept positions (window validation

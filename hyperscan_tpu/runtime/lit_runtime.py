@@ -643,8 +643,18 @@ def _packed_validators(lit):
     vid_arr = np.full(max_e + 1, -1, dtype=np.int64)
     for e, i in vid_map.items():
         vid_arr[e] = i
+    # shim engine over the packed tables for the native batch scan
+    # (window bytes are pre-mapped to class ids, so byte_to_class is the
+    # identity)
+    import types
+
+    shim = types.SimpleNamespace(
+        trans=trans_all.astype(np.int32),
+        byte_to_class=np.arange(256, dtype=np.int32),
+        accept_id=acc_all.astype(np.int32),
+    )
     lit._vpack = (vid_arr, trans_all, acc_all, acce_all, b2c_all,
-                  start_g, float_g)
+                  start_g, float_g, shim)
     return lit._vpack
 
 
@@ -661,7 +671,8 @@ def validate_windows_batched(
     pack = _packed_validators(lit)
     if pack is None or eidx_w.size == 0:
         return recs
-    (vid_arr, trans_all, acc_all, acce_all, b2c_all, start_g, float_g) = pack
+    (vid_arr, trans_all, acc_all, acce_all, b2c_all, start_g, float_g,
+     shim) = pack
 
     # merge overlapping windows per (pattern, block): sort, then a
     # running-max scan with per-group offsets so groups cannot interact
@@ -707,18 +718,26 @@ def validate_windows_batched(
                                 ncorp - 1)]
         states = np.where(anch[sel], start_g[svid], float_g[svid])
         cls = b2c_all[svid[:, None], win.astype(np.int64)]
-        for t in range(wmax):
-            active = t < slen
-            nxt = trans_all[states, cls[:, t]]
-            states = np.where(active, nxt, states)
-            aids = np.where(active, acc_all[states], 0)
-            for i in np.flatnonzero(aids).tolist():
-                gi = sel[i]
-                to_flat = int(m_ws[gi]) + t + 1
-                v = lit.validators[int(m_e[gi])]
-                for (eidx, adj) in v.expand_set(int(aids[i])):
-                    to_local = to_flat + adj - int(bs[gi])
-                    if 0 <= to_local <= int(be[gi]) - int(bs[gi]):
+        # native batch scan over the pre-class-mapped windows (the
+        # per-byte numpy loop costs microseconds of interpreter per step)
+        from .smallwrite import dfa_scan_host
+
+        hits, states = dfa_scan_host(
+            shim, cls.astype(np.uint8), slen.astype(np.int32),
+            init_states=states.astype(np.int32),
+        )
+        for i in range(len(sel)):
+            hp, hv = hits[i]
+            if not len(hp):
+                continue
+            gi = sel[i]
+            v = lit.validators[int(m_e[gi])]
+            base_to = int(m_ws[gi]) + 1 - int(bs[gi])
+            blen = int(be[gi]) - int(bs[gi])
+            for k in range(len(hp)):
+                for (eidx, adj) in v.expand_set(int(hv[k])):
+                    to_local = int(hp[k]) + base_to + adj
+                    if 0 <= to_local <= blen:
                         recs.add((int(m_b[gi]), eidx, to_local, 0))
         at_eod = (m_we[sel] == be[sel]) & block_final[m_b[sel]]
         eod_aids = np.where(at_eod, acce_all[states], 0)

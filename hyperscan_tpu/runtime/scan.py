@@ -255,7 +255,8 @@ def scan_blocks_raw(
         )
         rng = []
         for (bi, eidx, to, frm) in scan_literal_path(
-            db, corpus, starts, ends, ranges_out=rng
+            db, corpus, starts, ends,
+            capacity=max(capacity, 1 << 14), ranges_out=rng
         ):
             per_block[bi].add(eidx, to, frm)
         for (bi, eidx, lo, hi) in rng:
