@@ -117,9 +117,17 @@ def compile_multi(
     flags: Optional[Sequence[int]] = None,
     ids: Optional[Sequence[int]] = None,
     mode: int = HS_MODE_BLOCK,
+    platform: Optional[dict] = None,
 ) -> Database:
-    """Multi-pattern compile (reference: hs_compile_multi, src/hs.cpp:438)."""
-    return compile_patterns(expressions, flags, ids, mode)
+    """Multi-pattern compile (reference: hs_compile_multi, src/hs.cpp:438).
+
+    `platform` records a cross-compilation target into the database
+    (reference: the hs_platform_info argument, src/hs_compile.h:1016-1134
+    — compile on one machine for deployment on another; tables here are
+    backend-portable, so the record is advisory and surfaced through
+    database_info/serialized_database_info)."""
+    return compile_patterns(expressions, flags, ids, mode,
+                            platform=platform)
 
 
 def compile_ext_multi(
@@ -128,10 +136,12 @@ def compile_ext_multi(
     ids: Optional[Sequence[int]] = None,
     ext: Optional[Sequence[Optional[ExprExt]]] = None,
     mode: int = HS_MODE_BLOCK,
+    platform: Optional[dict] = None,
 ) -> Database:
     """Compile with extended parameters (reference: hs_compile_ext_multi,
     src/hs.cpp:450)."""
-    return compile_patterns(expressions, flags, ids, mode, ext=ext)
+    return compile_patterns(expressions, flags, ids, mode, ext=ext,
+                            platform=platform)
 
 
 def compile_lit(expression: bytes, flags: int = 0, mode: int = HS_MODE_BLOCK) -> Database:

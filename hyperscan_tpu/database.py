@@ -596,7 +596,7 @@ class Database:
         meta = {
             "version": DB_VERSION,
             "platform": PLATFORM,
-            "target": current_target(),
+            "target": self.target or current_target(),
             "mode": self.mode,
             "host_scan_limit": self.host_scan_limit,
             "patterns": [dataclasses.asdict(p) for p in self.patterns],
@@ -1019,6 +1019,7 @@ def compile_patterns(
     mode: int = HS_MODE_BLOCK,
     ext: Optional[Sequence[Optional[ExprExt]]] = None,
     literal: bool = False,
+    platform: Optional[dict] = None,
     max_states: Optional[int] = None,
     grey=None,
 ) -> Database:
@@ -1353,4 +1354,4 @@ def compile_patterns(
 
         _packed_validators(lit)
     return Database(mode=mode, patterns=patterns, engines=engines, lit=lit,
-                    host_scan_limit=grey.host_scan_limit)
+                    target=platform, host_scan_limit=grey.host_scan_limit)

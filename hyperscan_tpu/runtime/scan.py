@@ -770,16 +770,39 @@ def scan_batch(
     blocks: Sequence[bytes],
     scratch: Optional[Scratch] = None,
     mesh=None,
+    threads: int = 1,
 ) -> List[List[Match]]:
     """Batched block scan — the TPU-native entry point: many blocks advance
     in lockstep across VPU lanes (reference's per-core thread model
     replaced by batch parallelism). Pass a `jax.sharding.Mesh` to shard
-    the batch data-parallel across chips (SURVEY §2.11)."""
+    the batch data-parallel across chips (SURVEY §2.11). `threads > 1`
+    partitions the batch across host threads — the hsbench `-T` analogue
+    (reference: one scratch per thread, hs_runtime.h:555-576); the native
+    C scans release the GIL, so host-path batches scale with cores."""
     if base_mode(db.mode) != HS_MODE_BLOCK:
         raise DbModeError("database not compiled for block mode")
     scratch = scratch or Scratch()
-    all_recs = scan_blocks_raw(db, [bytes(b) for b in blocks],
-                               scratch.capacity, mesh=mesh)
+    blocks = [bytes(b) for b in blocks]
+    if threads > 1 and mesh is None and len(blocks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        groups = [list(range(g, len(blocks), threads))
+                  for g in range(threads)]
+        groups = [g for g in groups if g]
+        out: List[Optional[List[Match]]] = [None] * len(blocks)
+
+        def run(g):
+            recs_g = scan_blocks_raw(db, [blocks[i] for i in g],
+                                     scratch.capacity)
+            return g, recs_g
+
+        with ThreadPoolExecutor(max_workers=len(groups)) as ex:
+            for g, recs_g in ex.map(run, groups):
+                for i, recs in zip(g, recs_g):
+                    out[i] = finalize_reports(
+                        db, recs, end_offset=len(blocks[i]))[0]
+        return out  # type: ignore[return-value]
+    all_recs = scan_blocks_raw(db, blocks, scratch.capacity, mesh=mesh)
     return [
         finalize_reports(db, recs, end_offset=len(blocks[i]))[0]
         for i, recs in enumerate(all_recs)

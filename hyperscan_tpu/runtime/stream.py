@@ -334,14 +334,37 @@ def scan_streams(
     chunks: Sequence[bytes],
     callbacks: Optional[Sequence[Optional[Callable]]] = None,
     mesh=None,
+    threads: int = 1,
 ) -> List[List[Match]]:
     """Batched stream write — the TPU-native entry point: all streams'
     extents are filtered in one device dispatch. With `mesh`, streams
     shard data-parallel across chips (SURVEY §2.11: stream-level
-    sharding; per-stream state stays sequential)."""
+    sharding; per-stream state stays sequential). `threads > 1`
+    partitions the streams across host threads (the hsbench `-T`
+    analogue; streams are independent, one scratch per thread in the
+    reference model)."""
     B = len(streams)
     if B != len(chunks):
         raise InvalidError("streams/chunks length mismatch")
+    if threads > 1 and mesh is None and B > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        cbs = callbacks or [None] * B
+        groups = [list(range(g, B, threads)) for g in range(threads)]
+        groups = [g for g in groups if g]
+        out: List[Optional[List[Match]]] = [None] * B
+
+        def run(g):
+            return g, scan_streams(
+                db, [streams[i] for i in g], [chunks[i] for i in g],
+                [cbs[i] for i in g],
+            )
+
+        with ThreadPoolExecutor(max_workers=len(groups)) as ex:
+            for g, ms_g in ex.map(run, groups):
+                for i, ms in zip(g, ms_g):
+                    out[i] = ms
+        return out  # type: ignore[return-value]
     for st in streams:
         if st.closed:
             raise InvalidError("stream is closed")

@@ -58,6 +58,8 @@ def main(argv=None) -> int:
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--blocks-per-stream", type=int, default=16)
     ap.add_argument("--line-mode", action="store_true")
+    ap.add_argument("-T", "--threads", type=int, default=1,
+                    help="host threads for batch scans (reference: hsbench -T, one scratch per thread)")
     ap.add_argument("--profile", metavar="DIR",
                     help="wrap the timed scans in a jax.profiler trace "
                          "written to DIR (view with TensorBoard/xprof; "
@@ -111,7 +113,7 @@ def main(argv=None) -> int:
     with prof:
       for _ in range(args.repeats):
         if args.mode == "block":
-            for ms in hs.scan_batch(db, blocks):
+            for ms in hs.scan_batch(db, blocks, threads=args.threads):
                 nmatches += len(ms)
         elif args.mode == "vectored":
             if stream_groups is not None:
@@ -133,7 +135,8 @@ def main(argv=None) -> int:
                 live = [(st, g[j]) for st, g in zip(streams, groups)
                         if j < len(g)]
                 res = hs.scan_streams(db, [s for s, _c in live],
-                                      [c for _s, c in live])
+                                      [c for _s, c in live],
+                                      threads=args.threads)
                 nmatches += sum(len(r) for r in res)
             for st in streams:
                 nmatches += len(hs.close_stream(st))

@@ -174,3 +174,49 @@ def test_big_random_differential():
     got = set(hs.scan(db, data))
     want = {(e, f, t) for (e, f, t) in oracle_matches(pats, data)}
     assert got == want
+
+
+def test_scan_batch_threads_match_single():
+    import numpy as np
+
+    pats = [r"attack[0-9]+", r"foo(bar|baz)", r"abc.*"]
+    db = hs.compile_multi(pats, ids=[1, 2, 3])
+    rng = np.random.default_rng(4)
+    blocks = []
+    for k in range(9):
+        b = bytearray((32 + rng.integers(0, 95, 4000)).astype(np.uint8).tobytes())
+        b[100:108] = b"attack42"
+        if k % 2:
+            b[2000:2006] = b"foobar"
+        blocks.append(bytes(b))
+    single = hs.scan_batch(db, blocks)
+    threaded = hs.scan_batch(db, blocks, threads=3)
+    assert single == threaded
+
+
+def test_scan_streams_threads_match_single():
+    import numpy as np
+
+    pats = [r"attack[0-9]+", r"head[a-z]*tail"]
+    db1 = hs.compile_multi(pats, ids=[1, 2], mode=hs.HS_MODE_STREAM)
+    rng = np.random.default_rng(5)
+    writes = []
+    for r in range(4):
+        row = []
+        for s in range(6):
+            b = bytearray((32 + rng.integers(0, 95, 1500)).astype(np.uint8).tobytes())
+            if (r + s) % 3 == 0:
+                b[10:18] = b"attack77"
+            row.append(bytes(b))
+        writes.append(row)
+
+    def run(threads):
+        sts = [hs.open_stream(db1) for _ in range(6)]
+        out = []
+        for row in writes:
+            out.append(hs.scan_streams(db1, sts, row, threads=threads))
+        for st in sts:
+            out.append([hs.close_stream(st)])
+        return out
+
+    assert run(1) == run(3)
