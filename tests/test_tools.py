@@ -92,3 +92,23 @@ def test_fuzz_rounds():
     rng = np.random.default_rng(99)
     for _ in range(3):
         assert fuzz_round(rng, n_patterns=5, n_corpora=4) == []
+
+
+def test_corpus_builder_roundtrip(tmp_path, capsys):
+    from hyperscan_tpu.tools import corpus, hsbench
+
+    src = tmp_path / "data.bin"
+    src.write_bytes(b"attack42 " * 500)
+    out = tmp_path / "corpus.db"
+    assert corpus.main([str(out), "--from-file", str(src),
+                        "--block-size", "512",
+                        "--blocks-per-stream", "3"]) == 0
+    blocks, groups = hsbench.load_sqlite_corpus(str(out))
+    assert sum(len(b) for b in blocks) == 4500
+    assert all(len(g) <= 3 for g in groups)
+    # and hsbench consumes it in stream mode
+    p = tmp_path / "pats.txt"
+    p.write_text("1:/attack[0-9]+/\n")
+    assert hsbench.main(["-e", str(p), "-c", str(out),
+                         "--mode", "stream", "--repeats", "1"]) == 0
+    assert "Overall throughput" in capsys.readouterr().out
