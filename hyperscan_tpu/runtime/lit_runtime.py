@@ -402,6 +402,17 @@ def validate_windows(
     return recs
 
 
+def _max_f2e(lit) -> int:
+    """Max window reach right of a factor end, over every reference."""
+    if not hasattr(lit, "_max_f2e"):
+        m = 0
+        for refs in lit.factor_refs:
+            for (_e, _s2f, f2e, _k) in refs:
+                m = max(m, int(f2e))
+        lit._max_f2e = m
+    return lit._max_f2e
+
+
 def scan_literal_path(
     db, corpus: np.ndarray, block_starts: np.ndarray, block_ends: np.ndarray,
     capacity: int = 1 << 14,
@@ -409,8 +420,16 @@ def scan_literal_path(
     eod_only: bool = False,
     chain_ctx: Dict = None, chain_out: Dict = None,
     ranges_out: List = None,
+    filter_from: np.ndarray = None,
 ) -> Set[Record]:
-    """Full literal pipeline for one flat corpus of concatenated blocks."""
+    """Full literal pipeline for one flat corpus of concatenated blocks.
+
+    `filter_from[b]` (streaming) marks the first NEW flat offset of block
+    b's extent: candidates whose windows cannot reach past it were fully
+    derived by earlier writes, so the filter runs only over a bounded
+    tail region (reference analogue: the delay-rebuild region,
+    src/rose/stream.c:415 — the history rescan is bounded, not O(history)).
+    The history bytes stay available to confirm/validation windows."""
     lit = db.lit
     if lit is None or corpus.shape[0] == 0:
         return set()
@@ -419,7 +438,26 @@ def scan_literal_path(
 
     if corpus.shape[0] <= getattr(db, "host_scan_limit", HOST_SCAN_LIMIT):
         # small-write path: host shift-AND, no device round trip
-        pos, words = teddy_filter_host(corpus, lit.masks)
+        if filter_from is None or eod_only:
+            pos, words = teddy_filter_host(corpus, lit.masks)
+        else:
+            M = int(lit.masks.shape[0])
+            back = _max_f2e(lit) + WINDOW_SLACK + 1
+            pps: List[np.ndarray] = []
+            wws: List[np.ndarray] = []
+            for b in range(block_starts.shape[0]):
+                bs, be = int(block_starts[b]), int(block_ends[b])
+                fe_min = int(filter_from[b]) - back
+                seg_start = max(bs, fe_min - (M - 1))
+                p, w = teddy_filter_host(corpus[seg_start:be], lit.masks)
+                p = p + seg_start
+                keep = p >= fe_min
+                pps.append(p[keep])
+                wws.append(w[:, keep])
+            pos = (np.concatenate(pps) if pps
+                   else np.zeros(0, np.int64))
+            words = (np.concatenate(wws, axis=1) if wws
+                     else np.zeros((int(lit.masks.shape[1]), 0), np.int32))
         return finish_literal_scan(
             db, corpus, block_starts, block_ends, pos, words,
             block_anchored=block_anchored, block_final=block_final,

@@ -445,6 +445,12 @@ def scan_streams(
             )
             from .lit_runtime import scan_literal_path
 
+            # bounded rebuild region: only candidates whose windows can
+            # produce NEW offsets need (re)filtering (reference:
+            # delay-rebuild, src/rose/stream.c:415)
+            filter_from = starts + np.asarray(
+                [len(st.history) for st in streams], dtype=np.int64
+            )
             rng: List[Tuple[int, int, int, int]] = []
             for (bi, eidx, to_local, frm) in scan_literal_path(
                 db, corpus, starts, ends,
@@ -452,6 +458,7 @@ def scan_streams(
                 chain_ctx=chain_ctx if has_chains else None,
                 chain_out=chain_out if has_chains else None,
                 ranges_out=rng,
+                filter_from=filter_from,
             ):
                 deliver(bi, eidx, to_local, frm)
             for (bi, eidx, lo, hi) in rng:
