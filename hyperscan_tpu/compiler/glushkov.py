@@ -634,41 +634,43 @@ class _Resolver:
                         eff_pf = residual_pf
                         if uf2 is not None:
                             eff_pf = _pf_and(eff_pf, uf2) if eff_pf is not None else uf2
-                            if uu in (S0, SD):
-                                # start-side byte constraints were already
-                                # decomposed; a further constraint from uf2
-                                # must be re-decomposed — conservative: only
-                                # allow if trivial
-                                if not _pf_trivial(uf2):
-                                    continue
-                                eff_pf = None
+                        if uu in (S0, SD) and not _pf_trivial(eff_pf):
+                            # start-side byte constraints were already
+                            # decomposed once; a constraint carried in from
+                            # uf2 re-decomposes against the start: at S0 the
+                            # gap sits at BOS (only the bos flag matters),
+                            # at SD it spawns ".*[cr]" hop variants.
+                            pairs = self.prev_variants(uu, eff_pf)
+                        else:
+                            pairs = [(uu, eff_pf)]
                         nf = _nf_and(_nf_and(vf1, nf_rect), vf2 or _NF_ANY)
                         adj = adj1 + adj2
-                        if v == ACC:
-                            out.extend(
-                                self.accept_edges(uu, eff_pf, nf, adj, False, nl_eod)
-                            )
-                        elif v == ACCEOD:
-                            if nf.eos and not nl_eod:
-                                out.append((uu, ACCEOD, eff_pf, None, adj))
-                        else:
-                            if not nf.cr:
-                                continue
-                            if nl_eod:
-                                # "$ before final \n" then a successor that
-                                # consumes exactly that final \n
-                                if nf.cp is True:
-                                    continue  # \n is not a word codepoint
-                                w = self._nl_eod_clone(v, nf.cr, edges)
-                                if w is not None:
-                                    out.append((uu, w, eff_pf, None, adj))
-                                continue
-                            vf_out = _NF(nf.cr, nf.eos)
-                            if nf.cp is not None:
-                                vf_out = self._resolve_nf_real(v, nf)
-                                if vf_out == "drop":
+                        for (uuu, pf_out) in pairs:
+                            if v == ACC:
+                                out.extend(
+                                    self.accept_edges(uuu, pf_out, nf, adj, False, nl_eod)
+                                )
+                            elif v == ACCEOD:
+                                if nf.eos and not nl_eod:
+                                    out.append((uuu, ACCEOD, pf_out, None, adj))
+                            else:
+                                if not nf.cr:
                                     continue
-                            out.append((uu, v, eff_pf, vf_out, adj))
+                                if nl_eod:
+                                    # "$ before final \n" then a successor that
+                                    # consumes exactly that final \n
+                                    if nf.cp is True:
+                                        continue  # \n is not a word codepoint
+                                    w = self._nl_eod_clone(v, nf.cr, edges)
+                                    if w is not None:
+                                        out.append((uuu, w, pf_out, None, adj))
+                                    continue
+                                vf_out = _NF(nf.cr, nf.eos)
+                                if nf.cp is not None:
+                                    vf_out = self._resolve_nf_real(v, nf)
+                                    if vf_out == "drop":
+                                        continue
+                                out.append((uuu, v, pf_out, vf_out, adj))
         return out
 
 

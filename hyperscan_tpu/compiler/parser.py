@@ -657,7 +657,11 @@ class _Parser:
             start = self.i
             while not self.at_end() and self.peek() != "}":
                 self.take()
-            val = int(self.pat[start : self.i] or "0", 16)
+            body = self.pat[start : self.i]
+            try:
+                val = int(body or "0", 16)
+            except ValueError:
+                raise self.error(f"malformed \\x{{{body}}} hex escape")
             self.expect("}")
             if val > 0xFF and not self.flags.utf8:
                 raise self.error(

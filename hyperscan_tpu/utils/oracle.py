@@ -270,7 +270,7 @@ def nfa_match_ends(g: NFAGraph, data: bytes) -> Set[int]:
 # parser-semantics bug cannot hide in both.
 # --------------------------------------------------------------------------
 
-_RE_UNSAFE = ("$", r"\b", r"\B", r"\Z", r"\z", r"\Q", "(?")
+_RE_UNSAFE = ("$", r"\b", r"\B", r"\Z", r"\z", r"\Q", "(?", "[:")
 
 
 def re_match_ends(pattern: str, flags: int, data: bytes):

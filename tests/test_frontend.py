@@ -237,3 +237,37 @@ def test_component_splitting_routes_branches():
                 size=int(rng.integers(0, 20))))
         got = {t for (_i, _f, t) in hs.scan(db2, d)}
         assert got == ast_match_ends(node, d)
+
+
+def test_assertion_chain_at_start():
+    """Carried prev-filters re-decompose against start states (reference
+    behavior per hscollider asserts.txt): assertion chains like ^\\b and
+    \\b\\b must keep their BOS branch rather than dropping the edge."""
+    import hyperscan_tpu as hs
+
+    cases = [
+        (r"^\b", 0, b"aaa", {0}),
+        (r"^\b", 0, b" aa", set()),
+        (r"\A\b", 0, b"aaa", {0}),
+        (r"\A\B", 0, b"", {0}),
+        (r"\A\B", 0, b"aaa", set()),
+        (r"^\B", 0, b"", {0}),
+        (r"^\B$", 0, b"", {0}),
+        (r"\b\bfoo", 0, b"foobar foo bar", {3, 10}),
+        (r"^\b\bfoo", 0, b"foobar foo bar", {3}),
+        (r"(a|\A\b)", 0, b"aaa", {0, 1, 2, 3}),
+        (r"\b(.*)\b", HS_FLAG_DOTALL, b"aaa", {0, 3}),
+        (r"\b.*\b", HS_FLAG_DOTALL, b"aaa", {0, 3}),
+    ]
+    for pat, fl, data, want in cases:
+        db = hs.compile(pat, flags=fl | hs.HS_FLAG_ALLOWEMPTY)
+        got = {t for (_i, _f, t) in hs.scan(db, data)}
+        assert got == want, (pat, data, got, want)
+        ast = parse(pat, fl)
+        assert ast_match_ends(ast, data) == want, (pat, data)
+
+
+def test_malformed_hex_escape_is_compile_error():
+    for pat in (r"[\x{31g}]", r"[\x{foo}-~]", r"[\x00-\x{31g}]", r"[\x{31]"):
+        with pytest.raises(CompileError):
+            parse(pat)
