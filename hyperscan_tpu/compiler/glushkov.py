@@ -614,10 +614,13 @@ class _Resolver:
     def eliminate(self, pid: int, edges: List[_Edge]) -> List[_Edge]:
         kind = self.b.leaves[pid].kind  # type: ignore[union-attr]
         rects = _assert_rects(kind)
-        preds = [e for e in edges if e[1] == pid]
+        # Self-loop edges (from quantified groups mixing assertions with
+        # atoms, e.g. (\b|a){2,}) are dropped: traversing the same
+        # assertion twice imposes duplicate filters on the same gap, so
+        # every loop path is subsumed by the direct single-traversal path
+        # — the language is unchanged.
+        preds = [e for e in edges if e[1] == pid and e[0] != pid]
         succs = [e for e in edges if e[0] == pid and e[1] != pid]
-        if any(e[0] == pid and e[1] == pid for e in edges):
-            raise CompileError("self-looping assertion is not supported")
         out = [e for e in edges if e[0] != pid and e[1] != pid]
 
         for (pf_rect, nf_rect, nl_eod) in rects:
@@ -654,7 +657,12 @@ class _Resolver:
                                 if nf.eos and not nl_eod:
                                     out.append((uuu, ACCEOD, pf_out, None, adj))
                             else:
-                                if not nf.cr:
+                                v_assert = isinstance(self.b.leaves[v], Anchor)
+                                # an eos-only next filter is satisfiable
+                                # through a successor assertion (it resolves
+                                # at that assertion's elimination), but never
+                                # through a byte-consuming position
+                                if not nf.cr and not (nf.eos and v_assert):
                                     continue
                                 if nl_eod:
                                     # "$ before final \n" then a successor that
@@ -665,8 +673,8 @@ class _Resolver:
                                     if w is not None:
                                         out.append((uuu, w, pf_out, None, adj))
                                     continue
-                                vf_out = _NF(nf.cr, nf.eos)
-                                if nf.cp is not None:
+                                vf_out = _NF(nf.cr, nf.eos, nf.cp)
+                                if nf.cp is not None and not v_assert:
                                     vf_out = self._resolve_nf_real(v, nf)
                                     if vf_out == "drop":
                                         continue
@@ -722,7 +730,23 @@ def build_nfa(node: Node) -> NFAGraph:
             )
         ]
         if not ready:
-            raise CompileError("cyclic assertion structure is not supported")
+            # Assertion-to-assertion cycle (e.g. ((\b|a){2,})+ loops \b
+            # back to itself through the repeat). Eliminating any member
+            # rewires its predecessors to its successors with conjoined
+            # filters; the cycle shrinks to a self-loop, which eliminate()
+            # drops as subsumed. Pick the member with the fewest assertion
+            # successors to keep the filter chains short.
+            ready = sorted(
+                pending,
+                key=lambda p: sum(
+                    1
+                    for e in edges
+                    if e[0] == p
+                    and 0 <= e[1] < len(is_assert)
+                    and is_assert[e[1]]
+                    and e[1] != p
+                ),
+            )
         edges = resolver.eliminate(ready[0], edges)
         edges.extend(resolver.extra_edges)
         resolver.extra_edges = []

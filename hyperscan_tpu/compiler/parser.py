@@ -67,6 +67,18 @@ NL_BYTES = CharReach.from_bytes(bytes([0x0A, 0x0B, 0x0C, 0x0D, 0x85]))
 MAX_REPEAT = 32767  # reference caps bounded repeats similarly (grey box)
 
 
+def _zero_width(node: Node) -> bool:
+    """True when the subtree consumes no bytes on any path (assertions and
+    empties only) — the precondition for quantifier-on-assertion reduction."""
+    if isinstance(node, (Anchor, Empty)):
+        return True
+    if isinstance(node, (Seq, Alt)):
+        return all(_zero_width(c) for c in node.children)
+    if isinstance(node, Rep):
+        return _zero_width(node.child)
+    return False
+
+
 @dataclasses.dataclass
 class _Flags:
     caseless: bool
@@ -311,8 +323,15 @@ class _Parser:
 
         if atom is None:
             raise self.error("quantifier with nothing to repeat")
-        if isinstance(atom, Anchor):
-            raise self.error("quantifier on an assertion is not supported")
+        if _zero_width(atom):
+            # X{m,n} on a pure-assertion subtree reduces: asserting the
+            # same zero-width condition repeatedly at one position is
+            # idempotent, so m>=1 keeps a single copy and m==0 adds the
+            # skip path (reference resolves these shapes by assert-vertex
+            # rewriting, src/nfagraph/ng_asserts.cpp + ng_misc_opt.cpp).
+            if lo >= 1:
+                return atom
+            return alt(atom, Empty())
         if hi is not None and lo > hi:
             raise self.error("bounded repeat min > max")
         if lo == 1 and hi == 1:

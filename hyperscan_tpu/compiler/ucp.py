@@ -43,11 +43,57 @@ def _category_map() -> Dict[str, List[Range]]:
 
 
 def category_ranges(name: str, index: int = -1) -> List[Range]:
-    """Ranges for a \\p{...} property name (general categories)."""
+    """Ranges for a \\p{...} property name: general categories from the
+    category map, plus script names (Latin, Yi, ...), PCRE specials
+    (Xan/Xps/Xsp/Xwd), Any, and L& (reference: parser ucp_table.cpp
+    property tables)."""
     cmap = _category_map()
-    if name not in cmap:
-        raise CompileError(f"unknown unicode property {name!r}", index)
-    return list(cmap[name])
+    if name in cmap:
+        return list(cmap[name])
+    if name == "Any":
+        return [(0, MAX_CP)]
+    if name == "L&":
+        return normalize_ranges(cmap["Lu"] + cmap["Ll"] + cmap["Lt"])
+    if name == "Xan":
+        return normalize_ranges(cmap["L"] + cmap["N"])
+    if name == "Xwd":
+        return list(word_ranges())
+    if name in ("Xps", "Xsp"):
+        return list(space_ranges())
+    rs = _property_ranges_via_regex(name)
+    if rs is not None:
+        return list(rs)
+    raise CompileError(f"unknown unicode property {name!r}", index)
+
+
+@functools.lru_cache(maxsize=None)
+def _property_ranges_via_regex(name: str):
+    """Script and other property names resolved through the `regex`
+    module's Unicode tables (one membership pass over the codepoint
+    space, cached per name). Returns None for names regex rejects."""
+    try:
+        import regex
+    except ImportError:  # pragma: no cover - regex is in the base image
+        return None
+    try:
+        pat = regex.compile(rf"\p{{{name}}}")
+    except Exception:
+        return None
+    out: List[Range] = []
+    start = None
+    for cp in range(MAX_CP + 1):
+        if 0xD800 <= cp <= 0xDFFF:
+            hit = False
+        else:
+            hit = pat.match(chr(cp)) is not None
+        if hit and start is None:
+            start = cp
+        elif not hit and start is not None:
+            out.append((start, cp - 1))
+            start = None
+    if start is not None:
+        out.append((start, MAX_CP))
+    return normalize_ranges(out)
 
 
 @functools.lru_cache(maxsize=1)

@@ -271,3 +271,27 @@ def test_malformed_hex_escape_is_compile_error():
     for pat in (r"[\x{31g}]", r"[\x{foo}-~]", r"[\x00-\x{31g}]", r"[\x{31]"):
         with pytest.raises(CompileError):
             parse(pat)
+
+
+def test_quantified_assertions_reduce():
+    """Quantifiers on pure-assertion subtrees reduce (m>=1 -> one copy,
+    m==0 -> optional) instead of being rejected; mixed repeat groups with
+    assertion cycles eliminate via self-loop subsumption (reference
+    compiles all of these, hscollider asserts.txt/anchors.txt)."""
+    import hyperscan_tpu as hs
+
+    cases = [
+        (r"(^)?foo", b"xfoo foo", {4, 8}),
+        (r"(^)*foo", b"xfoo", {4}),
+        (r"(^)+foo", b"foo xfoo", {3}),
+        (r"foo(\z)?", b"foofoo", {3, 6}),
+        (r"((\b){2,})+", b"ab cd", {0, 2, 3, 5}),
+        (r"(\b[a-f]\b)+", b"a b xx c", {1, 3, 8}),
+        (r"((\b|a){2,})+", b"aaa b", {0, 1, 2, 3, 4, 5}),
+        (r"l(\B.)*", b"hello", {3, 4, 5}),
+    ]
+    for pat, data, want in cases:
+        db = hs.compile(pat, flags=hs.HS_FLAG_ALLOWEMPTY)
+        got = {t for (_i, _f, t) in hs.scan(db, data)}
+        assert got == want, (pat, got, want)
+        assert ast_match_ends(parse(pat, 0), data) == want, pat

@@ -60,3 +60,26 @@ def test_ucp_without_utf8_clips_to_bytes():
     db = hs.compile(r"\w", flags=hs.HS_FLAG_UCP)
     got = {t for (_i, _f, t) in hs.scan(db, b"a\xb5-")}
     assert got == {1, 2}
+
+
+def test_script_and_special_properties():
+    """\\p{...} script names and PCRE specials resolve (reference:
+    ucp_table.cpp script/special property tables)."""
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.compiler.ucp import category_ranges
+
+    fl = hs.HS_FLAG_UTF8 | hs.HS_FLAG_UCP
+    db = hs.compile(r"\p{Greek}", flags=fl)
+    assert hs.scan(db, "λ".encode("utf-8")) == [(0, 0, 2)]
+    db = hs.compile(r"\p{Xan}+", flags=fl)
+    assert {t for (_i, _f, t) in hs.scan(db, b"a1!")} == {1, 2}
+    any_rs = category_ranges("Any")
+    assert any_rs[0][0] == 0
+    lamp = category_ranges("L&")
+    assert any(lo <= ord("a") <= hi for (lo, hi) in lamp)
+    assert not any(lo <= ord("1") <= hi for (lo, hi) in lamp)
+    import pytest as _pytest
+    from hyperscan_tpu.errors import CompileError
+
+    with _pytest.raises(CompileError):
+        category_ranges("NotAProperty")
