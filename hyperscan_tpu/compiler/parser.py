@@ -237,9 +237,9 @@ class _Parser:
         return Pos(cr)
 
     def _parse_prop_name(self) -> str:
-        """Parse the name of \\p{...} / \\pX (requires UCP mode)."""
-        if not self.flags.ucp:
-            raise self.error("\\p requires HS_FLAG_UCP")
+        """Parse the name of \\p{...} / \\pX. The reference resolves
+        property classes regardless of the UCP flag (byte-truncated in
+        8-bit mode, ComponentClass.cpp getPredefinedCharReach)."""
         if self.peek() == "{":
             self.take()
             name = ""
@@ -485,9 +485,31 @@ class _Parser:
                     self.expect(")")
                     return node
                 raise self.error("malformed inline-flags group")
+            elif c == "'":
+                # quote-style named capturing group (?'name'...)
+                # (reference: Parser.rl enterNamedGroup)
+                self.take()
+                while not self.at_end() and self.peek() != "'":
+                    self.take()
+                self.expect("'")
             elif c == "R" or c.isdigit() or c == "&" or c == "+":
                 raise self.error("recursion/subroutine calls are not supported")
             elif c == "(":
+                if self.flags.prefilter:
+                    # conditional reference: prefilter replaces it with its
+                    # branches plus an empty NO branch (reference:
+                    # prefilter.cpp visit(ComponentCondReference))
+                    self.take()
+                    depth = 1
+                    while not self.at_end() and depth:
+                        ch = self.take()
+                        if ch == "(":
+                            depth += 1
+                        elif ch == ")":
+                            depth -= 1
+                    body = self.parse_alt()
+                    self.expect(")")
+                    return alt(body, Empty())
                 raise self.error("conditional groups are not supported")
             else:
                 raise self.error(f"unrecognized group syntax (?{c}")
@@ -629,7 +651,19 @@ class _Parser:
         if c == "G":
             raise self.error("\\G is not supported")
         if c == "X":
+            # reference: ComponentEUS is prefilter-only (unsupported.cpp);
+            # under prefilter it over-approximates as . / .+ (utf8)
+            if self.flags.prefilter:
+                if self.flags.utf8:
+                    return Rep(Pos(DOT_ALL), 1, None)
+                return Pos(DOT_ALL)
             raise self.error("\\X is not supported")
+        if c == "C":
+            # \C: one data unit (byte); reference rejects it under UTF8
+            # (Parser.rl:1304-1308, ComponentByte)
+            if self.flags.utf8:
+                raise self.error("\\C is unsupported in UTF8")
+            return Pos(DOT_ALL)
         if c == "x":
             return self._lit_cp(self._parse_hex_escape())
         if c == "c":
@@ -722,6 +756,20 @@ class _Parser:
             if self.at_end():
                 raise self.error("unterminated character class")
             c = self.take()
+            if c == "\\" and self.peek() == "Q":
+                # \Q..\E inside a class: members are literal (PCRE)
+                self.take()
+                while not self.at_end():
+                    q = self.take()
+                    if q == "\\" and self.peek() == "E":
+                        self.take()
+                        break
+                    first = False
+                    cr = cr | CharReach.single(ord(q) & 0xFF)
+                continue
+            if c == "\\" and self.peek() == "E":
+                self.take()  # stray \E is ignored, [\E]] == []]
+                continue
             if c == "]" and not first:
                 break
             first = False
@@ -756,6 +804,26 @@ class _Parser:
             # possible range a-z
             if self.peek() == "-" and self.i + 1 < self.n and self.pat[self.i + 1] != "]":
                 self.take()  # '-'
+                if self.pat[self.i : self.i + 2] == "\\Q":
+                    # endpoint is quoted: [a-\Q\E] (empty quote) makes the
+                    # hyphen literal; [a-\Qz\E] takes the first quoted char
+                    # as the range end and the rest as literal members
+                    self.i += 2
+                    if self.pat[self.i : self.i + 2] == "\\E":
+                        self.i += 2
+                        cr = cr | CharReach.single(lo_byte) | CharReach.single(ord("-"))
+                        continue
+                    hi_byte = ord(self.take()) & 0xFF
+                    if hi_byte < lo_byte:
+                        raise self.error("range out of order in character class")
+                    cr = cr | CharReach.range(lo_byte, hi_byte)
+                    while not self.at_end():
+                        q = self.take()
+                        if q == "\\" and self.peek() == "E":
+                            self.take()
+                            break
+                        cr = cr | CharReach.single(ord(q) & 0xFF)
+                    continue
                 c2 = self.take()
                 if c2 == "\\":
                     hi_cr, hi_byte = self._class_escape()
@@ -891,7 +959,7 @@ class _Parser:
         c = self.take()
         if c in self._SIMPLE_ESCAPES:
             return None, self._SIMPLE_ESCAPES[c]
-        if c in "pP" and self.flags.ucp:
+        if c in "pP":
             from .ucp import category_ranges
 
             name = self._parse_prop_name()
@@ -952,6 +1020,9 @@ class _Parser:
             return None, ord(ch.upper()) ^ 0x40
         if c == "0":
             return None, self._parse_octal_after_zero()
+        if c in "89":
+            # PCRE: \8 and \9 inside a class are the literal digits
+            return None, ord(c)
         if c.isdigit():
             # octal without leading 0 inside classes
             digits = c

@@ -17,6 +17,7 @@ from hyperscan_tpu.flags import (
     HS_FLAG_CASELESS,
     HS_FLAG_DOTALL,
     HS_FLAG_MULTILINE,
+    HS_FLAG_UTF8,
 )
 from hyperscan_tpu.utils.oracle import ast_match_ends, nfa_match_ends
 
@@ -295,3 +296,45 @@ def test_quantified_assertions_reduce():
         got = {t for (_i, _f, t) in hs.scan(db, data)}
         assert got == want, (pat, got, want)
         assert ast_match_ends(parse(pat, 0), data) == want, pat
+
+
+def test_class_quoting_and_property_escapes():
+    """\\Q..\\E inside classes, [\\8], \\p without UCP, \\C byte match
+    (reference: Parser.rl class machine + ComponentByte/ComponentClass)."""
+    import hyperscan_tpu as hs
+
+    cases = [
+        (r"[\Q^\Ea]", b"x^a", {2, 3}),
+        (r"[\Qa]\E]", b"a]b", {1, 2}),
+        (r"[\E]]", b"]x", {1}),
+        (r"[ab-\Q\E]", b"ab-x", {1, 2, 3}),
+        (r"[a-\Qe\Ex]", b"cx!", {1, 2}),
+        (r"[\81]", b"819", {1, 2}),
+        (r"[\W\p{Any}]", b"a!", {1, 2}),
+        (r"\p{L}", b"a1", {1}),
+        (r"\C", b"\xffz", {1, 2}),
+    ]
+    for pat, data, want in cases:
+        db = hs.compile(pat)
+        got = {t for (_i, _f, t) in hs.scan(db, data)}
+        assert got == want, (pat, got, want)
+    with pytest.raises(CompileError):
+        parse(r"\C", HS_FLAG_UTF8)
+    with pytest.raises(CompileError):
+        parse(r"\X")
+
+
+def test_prefilter_conditionals_and_named_groups():
+    """(?'name'...) groups parse; conditionals over-approximate under
+    PREFILTER (reference: prefilter.cpp ComponentCondReference)."""
+    import hyperscan_tpu as hs
+
+    db = hs.compile(r"(?'name'foo)bar")
+    assert hs.scan(db, b"foobar") == [(0, 0, 6)]
+    db = hs.compile(
+        r"((?'animal'hamster)|guinea pig) (?('animal')party|nothing)",
+        flags=hs.HS_FLAG_PREFILTER,
+    )
+    assert (0, 0, 13) in hs.scan(db, b"hamster party")
+    with pytest.raises(CompileError):
+        parse(r"(?(1)yes|no)")
