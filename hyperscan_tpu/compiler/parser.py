@@ -257,7 +257,30 @@ class _Parser:
         return Pos(cr)
 
     # -- entry -----------------------------------------------------------
+    _UNSUPPORTED_VERBS = (
+        "CR", "LF", "CRLF", "ANYCRLF", "ANY", "BSR_ANYCRLF", "BSR_UNICODE",
+    )
+
     def parse(self) -> Node:
+        # leading control verbs (reference: control_verbs.rl): (*UTF8)
+        # and (*UTF) set UTF-8 mode, (*UCP) sets UCP; newline-convention
+        # verbs are unsupported, anything else unknown
+        while self.pat.startswith("(*", self.i):
+            end = self.pat.find(")", self.i + 2)
+            if end < 0:
+                break
+            verb = self.pat[self.i + 2 : end]
+            if verb in ("UTF8", "UTF"):
+                self.flags.utf8 = True
+            elif verb == "UCP":
+                self.flags.ucp = True
+            elif verb in self._UNSUPPORTED_VERBS:
+                raise self.error(f"unsupported control verb (*{verb})")
+            elif verb:
+                raise self.error(f"unknown control verb (*{verb})")
+            else:
+                break
+            self.i = end + 1
         node = self.parse_alt()
         if not self.at_end():
             if self.peek() == ")":
@@ -666,6 +689,8 @@ class _Parser:
             return Pos(DOT_ALL)
         if c == "x":
             return self._lit_cp(self._parse_hex_escape())
+        if c == "o":
+            return self._lit_cp(self._parse_braced_octal())
         if c == "c":
             if self.at_end():
                 raise self.error("malformed \\c escape")
@@ -727,6 +752,26 @@ class _Parser:
         while len(digits) < 2 and not self.at_end() and self.peek() in "0123456789abcdefABCDEF":
             digits += self.take()
         return int(digits, 16) if digits else 0
+
+    def _parse_braced_octal(self) -> int:
+        """PCRE \\o{ddd..}: braced octal codepoint."""
+        self.expect("{")
+        start = self.i
+        while not self.at_end() and self.peek() != "}":
+            self.take()
+        body = self.pat[start : self.i]
+        self.expect("}")
+        try:
+            val = int(body, 8)
+        except ValueError:
+            raise self.error(f"malformed \\o{{{body}}} octal escape")
+        if val > 0xFF and not self.flags.utf8:
+            raise self.error(
+                "codepoint above \\xFF requires HS_FLAG_UTF8"
+            )
+        if val > 0x10FFFF:
+            raise self.error("\\o{} value exceeds Unicode range")
+        return val
 
     def _parse_octal_after_zero(self) -> int:
         digits = "0"

@@ -338,3 +338,19 @@ def test_prefilter_conditionals_and_named_groups():
     assert (0, 0, 13) in hs.scan(db, b"hamster party")
     with pytest.raises(CompileError):
         parse(r"(?(1)yes|no)")
+
+
+def test_control_verbs_and_braced_octal():
+    """(*UTF8)/(*UTF)/(*UCP) leading verbs and \\o{...} octal escapes
+    (reference: control_verbs.rl, Parser.rl escapes)."""
+    import hyperscan_tpu as hs
+
+    db = hs.compile(r"(*UTF8)\x{7a7a}")
+    assert hs.scan(db, "空".encode("utf-8")) == [(0, 0, 3)]
+    db = hs.compile(r"(*UCP)(*UTF)\w")
+    assert hs.scan(db, "δ".encode("utf-8")) == [(0, 0, 2)]
+    db = hs.compile(r"\o{101}")
+    assert hs.scan(db, b"A") == [(0, 0, 1)]
+    for bad in (r"(*CRLF)foo", r"(*BOGUS)foo", r"\o{9}", r"\o{110000}"):
+        with pytest.raises(CompileError):
+            parse(bad)
