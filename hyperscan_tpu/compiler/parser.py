@@ -902,6 +902,20 @@ class _Parser:
             if self.at_end():
                 raise self.error("unterminated character class")
             c = self.take()
+            if c == "\\" and self.peek() == "Q":
+                # \Q..\E inside a class: members are literal codepoints
+                self.take()
+                while not self.at_end():
+                    q = self.take()
+                    if q == "\\" and self.peek() == "E":
+                        self.take()
+                        break
+                    first = False
+                    ranges.append((ord(q), ord(q)))
+                continue
+            if c == "\\" and self.peek() == "E":
+                self.take()  # stray \E is ignored
+                continue
             if c == "]" and not first:
                 break
             first = False
@@ -944,6 +958,27 @@ class _Parser:
                 and self.pat[self.i + 1] != "]"
             ):
                 self.take()
+                if self.pat[self.i : self.i + 2] == "\\Q":
+                    # quoted endpoint: empty quote makes '-' literal,
+                    # else first quoted char ends the range
+                    self.i += 2
+                    if self.pat[self.i : self.i + 2] == "\\E":
+                        self.i += 2
+                        ranges.append((lo_cp, lo_cp))
+                        ranges.append((ord("-"), ord("-")))
+                        continue
+                    hi_cp = ord(self.take())
+                    if hi_cp < lo_cp:
+                        raise self.error(
+                            "range out of order in character class")
+                    ranges.append((lo_cp, hi_cp))
+                    while not self.at_end():
+                        q = self.take()
+                        if q == "\\" and self.peek() == "E":
+                            self.take()
+                            break
+                        ranges.append((ord(q), ord(q)))
+                    continue
                 c2 = self.take()
                 if c2 == "\\":
                     cls_rs, hi_cp = self._class_escape_utf8(

@@ -233,6 +233,47 @@ def _layout_corpus(blocks: List[bytes], H: int, CS: int):
     )
 
 
+def _invoke_device(engine, Xe, trans_rows, b2c_rows, accept_rows, init,
+                   vfrom, vto, Wt, Wa, C, H, ngroups, n_tb, nchunks,
+                   capacity, hint_key):
+    """Run the chunk kernel with capacity-hint retry; returns decoded
+    (t, c, aids) record arrays (chunk-local) and per-chunk finals."""
+    from .teddy import get_capacity_hint, set_capacity_hint
+
+    interpret = jax.default_backend() == "cpu"
+    cap_chunks = max(64, capacity // 16)
+    hint = get_capacity_hint(engine, hint_key)
+    if hint:
+        capacity = max(capacity, hint[0])
+        cap_chunks = max(cap_chunks, hint[1])
+    while True:
+        run = _jit_scan(Wt, Wa, C, H, ngroups, n_tb, capacity, cap_chunks,
+                        interpret)
+        meta, packed, fin = run(
+            jnp.asarray(Xe), jnp.asarray(trans_rows), jnp.asarray(b2c_rows),
+            jnp.asarray(accept_rows), jnp.asarray(init), jnp.asarray(vfrom),
+            jnp.asarray(vto), jnp.int32(Xe.size),
+        )
+        total, n_hit = (int(x) for x in np.asarray(meta))
+        if total <= capacity and n_hit <= cap_chunks:
+            break
+        if total > capacity:
+            capacity = 1 << (total - 1).bit_length()
+        if n_hit > cap_chunks:
+            cap_chunks = 1 << (n_hit - 1).bit_length()
+    set_capacity_hint(engine, hint_key, capacity, cap_chunks)
+
+    k = min(total, capacity)
+    got = np.asarray(packed[:, :k])
+    pos_flat, aids = got[0].astype(np.int64), got[1].astype(np.int64)
+    nrows_pad = vfrom.shape[0]
+    t = pos_flat // (nrows_pad * 128)
+    c = pos_flat % (nrows_pad * 128)
+    ok = c < nchunks
+    fin_np = np.asarray(fin).reshape(-1)[:nchunks]
+    return t[ok], c[ok], aids[ok], fin_np
+
+
 def dfa_scan_corpus_device(
     engine, blocks: List[bytes], block_anchored: np.ndarray,
     capacity: int = 1 << 14, init_states: Optional[np.ndarray] = None,
@@ -267,45 +308,15 @@ def dfa_scan_corpus_device(
         init_flat[: nchunks][anch] = engine.start_state
     init = init_flat.reshape(vfrom.shape)
 
-    from .teddy import get_capacity_hint, set_capacity_hint
-
-    interpret = jax.default_backend() == "cpu"
-    cap_chunks = max(64, capacity // 16)
-    hint = get_capacity_hint(engine, "dfa")
-    if hint:
-        capacity = max(capacity, hint[0])
-        cap_chunks = max(cap_chunks, hint[1])
-    while True:
-        run = _jit_scan(Wt, Wa, C, H, ngroups, n_tb, capacity, cap_chunks,
-                        interpret)
-        meta, packed, fin = run(
-            jnp.asarray(Xe), jnp.asarray(trans_rows), jnp.asarray(b2c_rows),
-            jnp.asarray(accept_rows), jnp.asarray(init), jnp.asarray(vfrom),
-            jnp.asarray(vto), jnp.int32(Xe.size),
-        )
-        total, n_hit = (int(x) for x in np.asarray(meta))
-        if total <= capacity and n_hit <= cap_chunks:
-            break
-        if total > capacity:
-            capacity = 1 << (total - 1).bit_length()
-        if n_hit > cap_chunks:
-            cap_chunks = 1 << (n_hit - 1).bit_length()
-    set_capacity_hint(engine, "dfa", capacity, cap_chunks)
-
-    k = min(total, capacity)
-    got = np.asarray(packed[:, :k])
-    pos_flat, aids = got[0].astype(np.int64), got[1].astype(np.int64)
-    nrows_pad = vfrom.shape[0]
-    t = pos_flat // (nrows_pad * 128)
-    c = pos_flat % (nrows_pad * 128)
-    ok = c < nchunks
-    t, c, aids = t[ok], c[ok], aids[ok]
+    t, c, aids, fin_np = _invoke_device(
+        engine, Xe, trans_rows, b2c_rows, accept_rows, init, vfrom, vto,
+        Wt, Wa, C, H, ngroups, n_tb, nchunks, capacity, "dfa",
+    )
     bi_a = chunk_block[c]
     pos_a = chunk_body_start[c] + t - H
     recs = (bi_a, pos_a, aids)
 
     # end-of-block states: finals of each block's last chunk
-    fin_np = np.asarray(fin).reshape(-1)
     n_blocks = len(blocks)
     finals = np.zeros(n_blocks, np.int32)
     last_chunk_of = {}
@@ -323,3 +334,111 @@ def dfa_scan_corpus_device(
         else:
             finals[bi] = fin_np[last_chunk_of[bi]]
     return recs, finals
+
+
+SPEC_CS = 512  # speculative chunk body size (no halo)
+
+
+def dfa_scan_corpus_device_speculative(
+    engine, blocks: List[bytes], block_anchored: np.ndarray,
+    capacity: int = 1 << 14, init_states: Optional[np.ndarray] = None,
+):
+    """Scan an *unbounded-depth* engine on device by chunk speculation.
+
+    Unbounded engines cannot halo-parallelize (the state at a chunk
+    boundary may depend on the whole prefix). Instead every chunk scans
+    in parallel from the float-rest state (block-first chunks from the
+    carried/anchored entry), and a host pass chains the per-chunk exit
+    states left to right: a chunk whose true entry equals its speculated
+    entry is already exact; a mismatched chunk is rescanned host-native
+    from the true entry, cascading until the chain re-synchronizes with
+    the float state. Scanning DFAs re-anchor at the float closure, so on
+    typical data nearly all chunks validate and throughput is the device
+    kernel's; the worst case degrades to the host scan it replaces.
+    (Reference analogue: the sequential byte loop of mcclellan.c — this
+    is its TPU-parallel replacement for the engines the chunk-halo
+    kernel's depth bound excludes.)
+
+    Returns ((block_idx, pos_local, accept_set_id), finals [n_blocks]).
+    """
+    H, CS = 0, SPEC_CS
+    trans_rows, b2c_rows, accept_rows, C = pack_tables(engine)
+    Wt, Wa = trans_rows.shape[0], accept_rows.shape[0]
+
+    (Xe, nchunks, chunk_block, chunk_body_start, vfrom, vto, first,
+     ngroups) = _layout_corpus(blocks, H, CS)
+    n_tb = (H + CS) // T_BLOCK
+
+    float_s = np.int32(engine.float_state)
+    init_flat = np.full(vfrom.size, float_s, np.int32)
+    if init_states is not None:
+        init_flat[:nchunks][first] = init_states[chunk_block[first]]
+    else:
+        anch = first & block_anchored[chunk_block]
+        init_flat[:nchunks][anch] = engine.start_state
+    init = init_flat.reshape(vfrom.shape)
+
+    t, c, aids, fin_np = _invoke_device(
+        engine, Xe, trans_rows, b2c_rows, accept_rows, init, vfrom, vto,
+        Wt, Wa, C, H, ngroups, n_tb, nchunks, capacity, "dfa-spec",
+    )
+
+    # ---- host fixup: chain true entry states ---------------------------
+    from ..runtime.smallwrite import dfa_scan_host
+
+    n_blocks = len(blocks)
+    finals = np.zeros(n_blocks, np.int32)
+    entry0 = init_flat[:nchunks]
+    body_len = (vfrom.reshape(-1)[:nchunks] * 0
+                + vto.reshape(-1)[:nchunks] - H)
+    rescanned: List[int] = []
+    extra_records: List[Tuple[int, np.ndarray, np.ndarray]] = []
+
+    ci = 0
+    for bi in range(n_blocks):
+        n = len(blocks[bi])
+        nch = max(1, -(-n // CS)) if n else 1
+        blk = np.frombuffer(blocks[bi], np.uint8) if n else \
+            np.zeros(0, np.uint8)
+        actual = int(entry0[ci])  # first chunk's entry is exact
+        for k in range(nch):
+            cc = ci + k
+            bl = int(body_len[cc])
+            if actual == int(entry0[cc]):
+                actual = int(fin_np[cc])
+                continue
+            # speculation missed: exact host rescan from the true entry
+            rescanned.append(cc)
+            row = np.zeros((1, CS), np.uint8)
+            seg = blk[k * CS : k * CS + bl]
+            row[0, : seg.size] = seg
+            hits, fin_h = dfa_scan_host(
+                engine, row, np.asarray([bl], np.int64),
+                np.asarray([actual], np.int32),
+            )
+            ph, sh = hits[0]
+            if ph.size:
+                extra_records.append((
+                    bi,
+                    chunk_body_start[cc] + ph.astype(np.int64),
+                    sh.astype(np.int64),
+                ))
+            actual = int(fin_h[0])
+        finals[bi] = actual
+        ci += nch
+
+    if rescanned:
+        keep = ~np.isin(c, np.asarray(rescanned, dtype=c.dtype))
+        t, c, aids = t[keep], c[keep], aids[keep]
+    bi_a = chunk_block[c]
+    pos_a = chunk_body_start[c] + t - H
+    if extra_records:
+        bi_x = np.concatenate(
+            [np.full(p.size, b, np.int64) for (b, p, _s) in extra_records]
+        )
+        pos_x = np.concatenate([p for (_b, p, _s) in extra_records])
+        sid_x = np.concatenate([s for (_b, _p, s) in extra_records])
+        bi_a = np.concatenate([bi_a, bi_x])
+        pos_a = np.concatenate([pos_a, pos_x])
+        aids = np.concatenate([aids, sid_x])
+    return (bi_a, pos_a, aids), finals

@@ -310,12 +310,19 @@ def scan_blocks_raw(
             _add_start_reports(engine, per_block, lengths)
             continue
         if engine.max_depth is None or engine.max_depth > MAX_HALO_DEPTH:
-            host_engines.append(engine)
-            continue
-        # bounded-width engine: exact chunk-halo parallel device scan
-        (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device(
-            engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
-        )
+            # unbounded-width engine: speculative chunk-parallel device
+            # scan with host entry-state fixup (exact; worst case decays
+            # to the host path it replaces)
+            from ..ops.dfa_kernel import dfa_scan_corpus_device_speculative
+
+            (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device_speculative(
+                engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
+            )
+        else:
+            # bounded-width engine: exact chunk-halo parallel device scan
+            (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device(
+                engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
+            )
         _expand_device_records(engine, bi_a, pos_a, sid_a, per_block)
         for bi in range(B):
             sid = int(engine.accept_eod_id[finals[bi]])

@@ -162,15 +162,23 @@ def _engine_pass(db, streams, chunks, recs_abs, ranges_abs):
 
             total = int(lengths.sum())
             limit = getattr(db, "host_scan_limit", HOST_SCAN_LIMIT)
-            if (total > limit and engine.max_depth is not None
-                    and engine.max_depth <= MAX_HALO_DEPTH):
-                # large write, bounded engine: same chunk-halo device
-                # kernel as block mode, entered in the carried per-stream
-                # states (reference: src/rose/stream.c:545 scans stream
-                # bodies with the block engines + resumed state)
-                from ..ops.dfa_kernel import dfa_scan_corpus_device
+            if total > limit:
+                # large write: the same device kernels as block mode,
+                # entered in the carried per-stream states (reference:
+                # src/rose/stream.c:545 scans stream bodies with the
+                # block engines + resumed state). Bounded engines take
+                # the exact chunk-halo kernel, unbounded ones the
+                # speculative chunk kernel with host entry fixup.
+                bounded = (engine.max_depth is not None
+                           and engine.max_depth <= MAX_HALO_DEPTH)
+                from ..ops.dfa_kernel import (
+                    dfa_scan_corpus_device,
+                    dfa_scan_corpus_device_speculative,
+                )
 
-                (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device(
+                scan_fn = (dfa_scan_corpus_device if bounded
+                           else dfa_scan_corpus_device_speculative)
+                (bi_a, pos_a, sid_a), finals = scan_fn(
                     engine, chunks, np.zeros(B, dtype=bool),
                     init_states=init,
                 )

@@ -60,3 +60,59 @@ def test_alphabet_remap_small():
     d = determinize([g], [0])
     # classes: {a},{b},{c},{rest} = 4
     assert d.num_classes == 4
+
+
+def test_speculative_unbounded_device_scan():
+    """Unbounded-depth engines scan on device via chunk speculation with
+    host entry-state fixup; exact vs the AST oracle, including a cascade
+    where one in-class run crosses many chunk boundaries (replaces the
+    host-only path for mcclellan.c-class engines)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.ops.dfa_kernel import (
+        SPEC_CS,
+        dfa_scan_corpus_device_speculative,
+    )
+    from hyperscan_tpu.utils.oracle import ast_match_ends
+
+    pat = r"\d+[a-z]{3,}\d+"
+    db = hs.compile(pat, flags=hs.HS_FLAG_DOTALL)
+    (eng,) = db.engines
+    assert eng.max_depth is None
+    rng = np.random.default_rng(7)
+    d = bytearray(rng.integers(32, 127, 40000, dtype=np.uint8).tobytes())
+    d[1000:1012] = b"12abcdef3456"
+    d[30000:30010] = b"9zzzzzzzz8"
+    d = bytes(d)
+    got = {t for (_i, _f, t) in hs.scan(db, d)}
+    assert got == ast_match_ends(parse(pat, hs.HS_FLAG_DOTALL), d)
+
+    # cascade: run crossing many chunks must re-sync exactly
+    pat2 = r"q[a-y]*z"
+    db2 = hs.compile(pat2, flags=hs.HS_FLAG_DOTALL)
+    d2 = b"q" + b"m" * (SPEC_CS * 20) + b"z" + b"qmz"
+    got2 = {t for (_i, _f, t) in hs.scan(db2, d2)}
+    assert got2 == ast_match_ends(parse(pat2, hs.HS_FLAG_DOTALL), d2)
+
+    # direct-call parity with the host engine scan across several blocks
+    (eng2,) = db2.engines
+    blocks = [d2[:7000], d2[7000:], b"", b"qaz"]
+    recs, finals = dfa_scan_corpus_device_speculative(
+        eng2, blocks, np.ones(len(blocks), dtype=bool)
+    )
+    from hyperscan_tpu.runtime.smallwrite import dfa_scan_host
+
+    for bi, blk in enumerate(blocks):
+        row = np.frombuffer(blk, np.uint8)[None, :] if blk else \
+            np.zeros((1, 0), np.uint8)
+        hits, fin_h = dfa_scan_host(
+            eng2, row, np.asarray([len(blk)], np.int64),
+            np.asarray([eng2.start_state], np.int32),
+        )
+        sel = recs[0] == bi
+        got_pairs = sorted(zip(recs[1][sel].tolist(), recs[2][sel].tolist()))
+        want_pairs = sorted(zip(hits[0][0].tolist(), hits[0][1].tolist()))
+        assert got_pairs == want_pairs, bi
+        assert int(finals[bi]) == int(fin_h[0]), bi

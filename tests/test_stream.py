@@ -285,3 +285,24 @@ def test_large_stream_writes_general_engine_device_path():
     ms += scan_stream(st, data[3000:])
     ms += close_stream(st)
     assert {(m[0], m[2]) for m in ms} == want
+
+
+def test_large_write_unbounded_engine_device_path():
+    """Large stream writes route unbounded general engines through the
+    speculative device kernel with carried per-stream entry states
+    (reference: src/rose/stream.c:545 resumed-state scanning)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+
+    pat = r"q[a-y]*z"
+    db = hs.compile(pat, mode=hs.HS_MODE_STREAM, flags=hs.HS_FLAG_DOTALL)
+    db.host_scan_limit = 1024  # force the device path at test sizes
+    st = hs.open_stream(db)
+    rng = np.random.default_rng(1)
+    w1 = b"q" + b"m" * 3000
+    w2 = b"m" * 2000 + b"z" + bytes(rng.integers(65, 90, 3000, dtype=np.uint8))
+    got = list(hs.scan_stream(st, w1)) + list(hs.scan_stream(st, w2))
+    got += list(hs.close_stream(st))
+    want = hs.scan(hs.compile(pat, flags=hs.HS_FLAG_DOTALL), w1 + w2)
+    assert sorted(got) == sorted(want)
