@@ -39,6 +39,58 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs), (SHARD_AXIS,))
 
 
+def make_multihost_mesh(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """1-D mesh over ALL global devices of a multi-host slice.
+
+    Initializes ``jax.distributed`` (DCN control plane) when coordinator
+    arguments are given or the standard cluster env vars are present,
+    then builds the mesh over ``jax.devices()`` — which after init spans
+    every host's chips. Collectives lower to ICI within a slice and DCN
+    across slices (SURVEY.md §5.8). Each process then contributes its
+    process-local block batch via ``global_shard_arrays``; no host ever
+    materializes the full corpus. Single-process: identical to
+    ``make_mesh()``.
+    """
+    import os
+
+    want_init = (
+        coordinator_address is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+        or "COORDINATOR_ADDRESS" in os.environ
+    )
+    if want_init and jax.process_count() == 1:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+    return Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
+
+
+def global_shard_arrays(mesh: Mesh, data: np.ndarray, lengths: np.ndarray):
+    """Assemble globally-sharded device arrays from process-local batch
+    rows. Multi-host: each process passes only ITS rows (1/num_processes
+    of the global batch, already padded to the per-process multiple) and
+    the returned jax.Arrays address the full global batch without any
+    host holding it. Single-process: a plain device_put with the sharded
+    layout (the fast path the tests exercise)."""
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    shard1 = NamedSharding(mesh, P(SHARD_AXIS))
+    if jax.process_count() > 1:
+        gd = jax.make_array_from_process_local_data(shard, data)
+        gl = jax.make_array_from_process_local_data(shard1, lengths)
+        return gd, gl
+    return (jax.device_put(jnp.asarray(data), shard),
+            jax.device_put(jnp.asarray(lengths), shard1))
+
+
 def _count_step(trans, b2c, accept_id, accept_eod_id, start_state, data, lengths):
     """Per-shard scan + global psum of the match count.
 
@@ -104,14 +156,15 @@ def sharded_scan_counts(engine, data: np.ndarray, lengths: np.ndarray,
                         mesh: Mesh) -> int:
     """Global match count of one engine over a sharded block batch."""
     fn = _jit_sharded(mesh, 0, True)
+    gd, gl = global_shard_arrays(mesh, data, lengths)
     out = fn(
         jnp.asarray(engine.trans),
         jnp.asarray(engine.byte_to_class.astype(np.int32)),
         jnp.asarray(engine.accept_id),
         jnp.asarray(engine.accept_eod_id),
         jnp.int32(engine.start_state),
-        jnp.asarray(data),
-        jnp.asarray(lengths),
+        gd,
+        gl,
     )
     return int(out)
 
@@ -212,14 +265,15 @@ def sharded_scan_matches(engine, data: np.ndarray, lengths: np.ndarray,
     rows to global rows with chip*rows_per_chip + row.
     """
     fn = _jit_sharded(mesh, capacity, False)
+    gd, gl = global_shard_arrays(mesh, data, lengths)
     return fn(
         jnp.asarray(engine.trans),
         jnp.asarray(engine.byte_to_class.astype(np.int32)),
         jnp.asarray(engine.accept_id),
         jnp.asarray(engine.accept_eod_id),
         jnp.int32(engine.start_state),
-        jnp.asarray(data),
-        jnp.asarray(lengths),
+        gd,
+        gl,
     )
 
 
