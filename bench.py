@@ -29,7 +29,7 @@ import numpy as np
 
 BASELINE_GBPS = 19241.10 / 8 / 1000.0  # doc sample, Mbit/s -> GB/s
 
-CORPUS_MB = 512
+CORPUS_MB = 256
 ITERS = 3
 
 WORDS = ["attack", "payload", "shell", "admin", "select", "union", "eval",

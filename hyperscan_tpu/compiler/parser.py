@@ -67,6 +67,13 @@ NL_BYTES = CharReach.from_bytes(bytes([0x0A, 0x0B, 0x0C, 0x0D, 0x85]))
 MAX_REPEAT = 32767  # reference caps bounded repeats similarly (grey box)
 
 
+@dataclasses.dataclass(frozen=True)
+class _FlagsOnly(Empty):
+    """Empty node produced by a bare inline-flags group (?i) — kept
+    distinct so a following quantifier can be rejected like the
+    reference does (bad_patterns.txt:49 "Invalid repeat")."""
+
+
 def _zero_width(node: Node) -> bool:
     """True when the subtree consumes no bytes on any path (assertions and
     empties only) — the precondition for quantifier-on-assertion reduction."""
@@ -112,6 +119,11 @@ class _Parser:
         self.i = 0
         self.index = index
         self.group_depth = 0
+        self.n_caps = 0  # capturing-group count (reference validates refs)
+        self.verb_flags = 0  # flag bits set by leading control verbs
+        self.group_names: set = set()
+        # (kind, value, error_index) reference checks resolved at parse end
+        self._pending_refs: List[tuple] = []
         self.flags = _Flags(
             caseless=bool(flags & HS_FLAG_CASELESS),
             dotall=bool(flags & HS_FLAG_DOTALL),
@@ -272,8 +284,10 @@ class _Parser:
             verb = self.pat[self.i + 2 : end]
             if verb in ("UTF8", "UTF"):
                 self.flags.utf8 = True
+                self.verb_flags |= HS_FLAG_UTF8
             elif verb == "UCP":
                 self.flags.ucp = True
+                self.verb_flags |= HS_FLAG_UCP
             elif verb in self._UNSUPPORTED_VERBS:
                 raise self.error(f"unsupported control verb (*{verb})")
             elif verb:
@@ -286,6 +300,20 @@ class _Parser:
             if self.peek() == ")":
                 raise self.error("unmatched parenthesis")
             raise self.error("trailing input")
+        for (kind, val, at) in self._pending_refs:
+            self.i = at
+            if kind in ("num", "cond-num"):
+                if not (1 <= val <= self.n_caps):
+                    what = ("conditional reference" if kind == "cond-num"
+                            else "back reference")
+                    raise self.error(
+                        f"invalid {what} to expression {val}")
+            else:
+                if val not in self.group_names:
+                    what = ("conditional reference" if kind == "cond-name"
+                            else "back reference")
+                    raise self.error(
+                        f"invalid {what} to label {val!r}")
         return node
 
     def parse_alt(self) -> Node:
@@ -307,7 +335,9 @@ class _Parser:
         return seq(*items) if items else Empty()
 
     def parse_quantified(self) -> Optional[Node]:
+        atom_start = self.i
         atom = self.parse_atom()
+        grouped = atom_start < self.n and self.pat[atom_start] == "("
         self._skip_ws()
         if self.at_end():
             return atom
@@ -346,8 +376,18 @@ class _Parser:
 
         if atom is None:
             raise self.error("quantifier with nothing to repeat")
+        if isinstance(atom, _FlagsOnly):
+            # (?m)? — quantifier after a bare inline-flags group
+            # (reference: "Invalid repeat", bad_patterns.txt:49)
+            raise self.error("invalid repeat")
         if _zero_width(atom):
-            # X{m,n} on a pure-assertion subtree reduces: asserting the
+            if not grouped:
+                # \b+ — quantifier directly on a bare assertion is
+                # rejected (reference: bad_patterns.txt:36-43), while
+                # grouped forms like (\b)+ reduce below (hscollider
+                # asserts.txt compiles those)
+                raise self.error("invalid repeat on a zero-width assertion")
+            # (X){m,n} on a pure-assertion subtree reduces: asserting the
             # same zero-width condition repeatedly at one position is
             # idempotent, so m>=1 keeps a single copy and m==0 adds the
             # skip path (reference resolves these shapes by assert-vertex
@@ -424,7 +464,22 @@ class _Parser:
             return self._lit(ord("]"))
         return self._lit_cp(ord(c))
 
+    def _register_group_name(self, name: str) -> None:
+        """Named-group rules (reference: Parser.rl enterNamedGroup):
+        no leading digit, no duplicates; named groups are capturing."""
+        if not name:
+            raise self.error("empty group name")
+        if name[0].isdigit():
+            raise self.error("group name cannot begin with a digit")
+        if name in self.group_names:
+            raise self.error(
+                f"two named subpatterns use the name {name!r}")
+        self.group_names.add(name)
+        self.n_caps += 1
+
     def parse_group(self) -> Optional[Node]:
+        if self.peek() != "?":
+            self.n_caps += 1
         if self.peek() == "?":
             self.take()
             c = self.peek()
@@ -457,16 +512,20 @@ class _Parser:
                         return Empty()
                     raise self.error("lookbehind assertions are not supported")
                 # named group (?<name>...)
+                start = self.i
                 while not self.at_end() and self.peek() != ">":
                     self.take()
+                self._register_group_name(self.pat[start : self.i])
                 self.expect(">")
             elif c == "P":
                 self.take()
                 c2 = self.peek()
                 if c2 == "<":
                     self.take()
+                    start = self.i
                     while not self.at_end() and self.peek() != ">":
                         self.take()
+                    self._register_group_name(self.pat[start : self.i])
                     self.expect(">")
                 else:
                     raise self.error("subroutine references are not supported")
@@ -498,7 +557,7 @@ class _Parser:
                 if self.peek() == ")":
                     self.take()
                     self.flags = newf  # applies to rest of enclosing group
-                    return Empty()
+                    return _FlagsOnly()
                 if self.peek() == ":":
                     self.take()
                     saved = self.flags
@@ -512,8 +571,10 @@ class _Parser:
                 # quote-style named capturing group (?'name'...)
                 # (reference: Parser.rl enterNamedGroup)
                 self.take()
+                start = self.i
                 while not self.at_end() and self.peek() != "'":
                     self.take()
+                self._register_group_name(self.pat[start : self.i])
                 self.expect("'")
             elif c == "R" or c.isdigit() or c == "&" or c == "+":
                 raise self.error("recursion/subroutine calls are not supported")
@@ -521,8 +582,11 @@ class _Parser:
                 if self.flags.prefilter:
                     # conditional reference: prefilter replaces it with its
                     # branches plus an empty NO branch (reference:
-                    # prefilter.cpp visit(ComponentCondReference))
+                    # prefilter.cpp visit(ComponentCondReference)); the
+                    # condition itself is validated: recursion is
+                    # unsupported and references must resolve
                     self.take()
+                    cstart = self.i
                     depth = 1
                     while not self.at_end() and depth:
                         ch = self.take()
@@ -530,6 +594,17 @@ class _Parser:
                             depth += 1
                         elif ch == ")":
                             depth -= 1
+                    cond = self.pat[cstart : self.i - 1]
+                    if cond == "R" or (cond.startswith("R") and (
+                            cond[1:].isdigit() or cond[1:2] == "&")):
+                        raise self.error("pattern recursion not supported")
+                    if cond.isdigit():
+                        self._pending_refs.append(("cond-num", int(cond), self.i))
+                    elif (len(cond) >= 2 and cond[0] in "<'"
+                          and cond[-1] in ">'"):
+                        self._pending_refs.append(("cond-name", cond[1:-1], self.i))
+                    elif cond and not cond.startswith("?"):
+                        self._pending_refs.append(("cond-name", cond, self.i))
                     body = self.parse_alt()
                     self.expect(")")
                     return alt(body, Empty())
@@ -695,12 +770,21 @@ class _Parser:
             if self.at_end():
                 raise self.error("malformed \\c escape")
             ch = self.take()
+            if ord(ch) > 0x7F:
+                raise self.error(
+                    "\\c must be followed by an ASCII character")
             return self._lit(ord(ch.upper()) ^ 0x40)
         if c == "0":
             return self._lit(self._parse_octal_after_zero())
         if c.isdigit():
             if self.flags.prefilter:
-                # a backreference matches *some* string; .* is its superset
+                digits = c
+                while not self.at_end() and self.peek().isdigit():
+                    digits += self.take()
+                # a backreference matches *some* string; .* is its
+                # superset — but the referenced group must exist
+                # (reference: "Invalid back reference to expression N")
+                self._pending_refs.append(("num", int(digits), self.i))
                 return Rep(Pos(DOT_ALL), 0, None)
             raise self.error("backreferences are not supported")
         if c == "Q":
@@ -712,10 +796,16 @@ class _Parser:
                 if self.peek() in "<{'":
                     opener = self.take()
                     closer = {"<": ">", "{": "}", "'": "'"}[opener]
+                    start = self.i
                     while not self.at_end() and self.peek() != closer:
                         self.take()
+                    label = self.pat[start : self.i]
                     if not self.at_end():
                         self.take()
+                    if label and not label.lstrip("+-").isdigit():
+                        self._pending_refs.append(("name", label, self.i))
+                    elif label.lstrip("+-").isdigit() and not label.startswith(("+", "-")):
+                        self._pending_refs.append(("num", int(label), self.i))
                 return Rep(Pos(DOT_ALL), 0, None)
             raise self.error("backreferences are not supported")
         if c == "p" or c == "P":
@@ -790,7 +880,19 @@ class _Parser:
         return seq(*items) if items else Empty()
 
     # -- character classes ---------------------------------------------
+    def _posix_entry_checks(self) -> None:
+        """At a class opening: reject [.coll.] / [=coll=] and top-level
+        [:name:] forms the way the reference does (bad_patterns.txt:44-48,
+        97; PCRE check_posix_syntax: POSIX-ness requires the terminator)."""
+        k = self.peek()
+        if k in ".=" and self.pat.find(k + "]", self.i + 1) >= 0:
+            raise self.error("unsupported POSIX collating element")
+        if k == ":" and self.pat.find(":]", self.i + 1) >= 0:
+            raise self.error(
+                "POSIX named classes are only supported inside a class")
+
     def parse_class(self) -> CharReach:
+        self._posix_entry_checks()
         negate = False
         if self.peek() == "^":
             self.take()
@@ -818,23 +920,27 @@ class _Parser:
             if c == "]" and not first:
                 break
             first = False
-            # POSIX class [:name:]
-            if c == "[" and self.peek() == ":":
-                save = self.i
-                self.take()
-                neg2 = False
-                if self.peek() == "^":
-                    self.take()
-                    neg2 = True
-                name = ""
-                while not self.at_end() and self.peek().isalpha():
-                    name += self.take()
-                if self.pat[self.i : self.i + 2] == ":]" and name in POSIX_CLASSES:
-                    self.i += 2
-                    pc = POSIX_CLASSES[name]
-                    cr = cr | (~pc if neg2 else pc)
-                    continue
-                self.i = save  # literal '['
+            # POSIX class [:name:] (collating elements unsupported)
+            if c == "[" and self.peek() in ":.=":
+                kind = self.peek()
+                if kind in ".=":
+                    if self.pat.find(kind + "]", self.i + 1) >= 0:
+                        raise self.error(
+                            "unsupported POSIX collating element")
+                else:
+                    j = self.pat.find(":]", self.i + 1)
+                    if j >= 0 and "]" not in self.pat[self.i + 1 : j]:
+                        body = self.pat[self.i + 1 : j]
+                        neg2 = body.startswith("^")
+                        name = body[1:] if neg2 else body
+                        if name not in POSIX_CLASSES:
+                            raise self.error(
+                                f"invalid POSIX named class {name!r}")
+                        self.i = j + 2
+                        pc = POSIX_CLASSES[name]
+                        cr = cr | (~pc if neg2 else pc)
+                        continue
+                # no terminator: literal '['
 
             lo_cr: Optional[CharReach] = None
             if c == "\\":
@@ -870,6 +976,9 @@ class _Parser:
                         cr = cr | CharReach.single(ord(q) & 0xFF)
                     continue
                 c2 = self.take()
+                if c2 == "[" and self.peek() in ":.=" \
+                        and self.pat.find(self.peek() + "]", self.i) >= 0:
+                    raise self.error("invalid range in character class")
                 if c2 == "\\":
                     hi_cr, hi_byte = self._class_escape()
                     if hi_cr is not None:
@@ -892,6 +1001,7 @@ class _Parser:
         """Character class over codepoints, lowered to byte sequences."""
         from .utf8 import HORZ_WS_CP, VERT_WS_CP, charreach_to_ranges
 
+        self._posix_entry_checks()
         negate = False
         if self.peek() == "^":
             self.take()
@@ -919,26 +1029,30 @@ class _Parser:
             if c == "]" and not first:
                 break
             first = False
-            if c == "[" and self.peek() == ":":
-                save = self.i
-                self.take()
-                neg2 = False
-                if self.peek() == "^":
-                    self.take()
-                    neg2 = True
-                name = ""
-                while not self.at_end() and self.peek().isalpha():
-                    name += self.take()
-                if self.pat[self.i : self.i + 2] == ":]" and name in POSIX_CLASSES:
-                    self.i += 2
-                    rs = charreach_to_ranges(POSIX_CLASSES[name])
-                    if neg2:
-                        from .utf8 import complement_ranges
+            if c == "[" and self.peek() in ":.=":
+                kind = self.peek()
+                if kind in ".=":
+                    if self.pat.find(kind + "]", self.i + 1) >= 0:
+                        raise self.error(
+                            "unsupported POSIX collating element")
+                else:
+                    j = self.pat.find(":]", self.i + 1)
+                    if j >= 0 and "]" not in self.pat[self.i + 1 : j]:
+                        body = self.pat[self.i + 1 : j]
+                        neg2 = body.startswith("^")
+                        name = body[1:] if neg2 else body
+                        if name not in POSIX_CLASSES:
+                            raise self.error(
+                                f"invalid POSIX named class {name!r}")
+                        self.i = j + 2
+                        rs = charreach_to_ranges(POSIX_CLASSES[name])
+                        if neg2:
+                            from .utf8 import complement_ranges
 
-                        rs = complement_ranges(rs)
-                    ranges += rs
-                    continue
-                self.i = save  # literal '['
+                            rs = complement_ranges(rs)
+                        ranges += rs
+                        continue
+                # no terminator: literal '['
 
             lo_cp: Optional[int] = None
             if c == "\\":
@@ -980,6 +1094,9 @@ class _Parser:
                         ranges.append((ord(q), ord(q)))
                     continue
                 c2 = self.take()
+                if c2 == "[" and self.peek() in ":.=" \
+                        and self.pat.find(self.peek() + "]", self.i) >= 0:
+                    raise self.error("invalid range in character class")
                 if c2 == "\\":
                     cls_rs, hi_cp = self._class_escape_utf8(
                         VERT_WS_CP, HORZ_WS_CP, charreach_to_ranges
@@ -1097,6 +1214,9 @@ class _Parser:
             if self.at_end():
                 raise self.error("malformed \\c escape")
             ch = self.take()
+            if ord(ch) > 0x7F:
+                raise self.error(
+                    "\\c must be followed by an ASCII character")
             return None, ord(ch.upper()) ^ 0x40
         if c == "0":
             return None, self._parse_octal_after_zero()
@@ -1132,3 +1252,12 @@ def _ranges_to_charreach(ranges) -> CharReach:
 def parse(pattern, flags: int = 0, index: int = -1) -> Node:
     """Parse a PCRE-subset pattern into an AST (anchors unresolved)."""
     return _Parser(pattern, flags, index).parse()
+
+
+def parse_with_flags(pattern, flags: int = 0, index: int = -1):
+    """Parse and also return the effective flag set: leading control
+    verbs ((*UTF8), (*UCP)) fold into the expression flags exactly as the
+    reference's ParseMode does (control_verbs.rl)."""
+    pp = _Parser(pattern, flags, index)
+    node = pp.parse()
+    return node, flags | pp.verb_flags

@@ -75,6 +75,11 @@ def _property_ranges_via_regex(name: str):
         import regex
     except ImportError:  # pragma: no cover - regex is in the base image
         return None
+    if not name or not name[0].isupper():
+        # reference property names are case-sensitive (ucp_table.cpp);
+        # the regex module is case-insensitive, so gate here: \p{greek}
+        # and \p{any} are unknown, \p{Greek}/Any are not
+        return None
     try:
         pat = regex.compile(rf"\p{{{name}}}")
     except Exception:

@@ -41,6 +41,7 @@ from .flags import (
     HS_FLAG_QUIET,
     HS_FLAG_SINGLEMATCH,
     HS_FLAG_SOM_LEFTMOST,
+    HS_FLAG_UTF8,
     HS_MODE_BLOCK,
     UNBOUNDED,
     ExprExt,
@@ -741,6 +742,56 @@ class Database:
         )
 
 
+def _has_assertion(node) -> bool:
+    """True when the AST contains a word-boundary assertion (reference
+    rejects these for approximate matching, ng_fuzzy.cpp; start/end
+    anchors are fine — fuzzing preserves them structurally)."""
+    from .compiler.ast import (
+        A_NWORDB,
+        A_UNWORDB,
+        A_UNWORDB8,
+        A_UWORDB,
+        A_UWORDB8,
+        A_WORDB,
+        Alt as _Alt,
+        Anchor as _Anchor,
+        Rep as _Rep,
+        Seq as _Seq,
+    )
+
+    if isinstance(node, _Anchor):
+        return node.kind in (A_WORDB, A_NWORDB, A_UWORDB, A_UNWORDB,
+                             A_UWORDB8, A_UNWORDB8)
+    if isinstance(node, (_Seq, _Alt)):
+        return any(_has_assertion(c) for c in node.children)
+    if isinstance(node, _Rep):
+        return _has_assertion(node.child)
+    return False
+
+
+def _nfa_is_dead(g: NFAGraph) -> bool:
+    """True when no accept is reachable: unsatisfiable assertion chains
+    (^\\Bfoo) or empty classes ([^\\x00-\\xff]) yield a position NFA with
+    no path to an accept (reference: 'Pattern can never match',
+    unit/hyperscan/bad_patterns.txt:56-71)."""
+    if g.start_accepts:
+        return False
+    live = {p for p in range(g.num_positions) if g.reach[p].any()}
+    frontier = (set(g.anchored_first) | set(g.float_first)) & live
+    seen = set(frontier)
+    while frontier:
+        nxt = set()
+        for p in frontier:
+            if p in g.accept or p in g.accept_eod:
+                return False
+            for q in g.follow[p]:
+                if q in live and q not in seen:
+                    seen.add(q)
+                    nxt.add(q)
+        frontier = nxt
+    return True
+
+
 def _nfa_widths(g: NFAGraph) -> Tuple[int, Optional[int]]:
     """(min_width, max_width) of matches; max_width None if unbounded.
     Reference: src/nfagraph/ng_width.cpp."""
@@ -1093,7 +1144,9 @@ def compile_patterns(
             if not data:
                 raise CompileError("empty literal", i)
         else:
-            node = parse(expr, f, i)
+            from .compiler.parser import parse_with_flags
+
+            node, f = parse_with_flags(expr, f, i)
         e = ext[i] or ExprExt()
         fuzzy = bool(e.edit_distance or e.hamming_distance)
         if not fuzzy and not (f & HS_FLAG_SOM_LEFTMOST) \
@@ -1121,6 +1174,17 @@ def compile_patterns(
                 raise CompileError(
                     "approximate matching does not support SOM", i
                 )
+            if f & HS_FLAG_UTF8:
+                # reference: UTF-8 is disallowed for approximate matching
+                # (fuzzing byte sequences breaks codepoint integrity)
+                raise CompileError(
+                    "UTF-8 is disallowed for approximate matching", i
+                )
+            if _has_assertion(node):
+                raise CompileError(
+                    "zero-width assertions are disallowed for approximate "
+                    "matching", i
+                )
             from .compiler.fuzzy import fuzzy_graph
 
             g = fuzzy_graph(g, e.edit_distance, e.hamming_distance)
@@ -1139,7 +1203,41 @@ def compile_patterns(
             raise CompileError(
                 "expression matches an empty buffer; use HS_FLAG_ALLOWEMPTY", i
             )
+        if _nfa_is_dead(g):
+            # unsatisfiable assertions / empty classes (reference rejects
+            # these at compile: unit/hyperscan/bad_patterns.txt)
+            raise CompileError("pattern can never match", i)
         min_w, max_w = _nfa_widths(g)
+        # ext-param satisfiability vs pattern widths (reference:
+        # ng_extparam.cpp; errors in bad_patterns.txt:53-56)
+        if e.min_length and max_w is not None and e.min_length > max_w:
+            raise CompileError(
+                f"expression has min_length={e.min_length} but can only "
+                f"produce matches of length {max_w} bytes at most", i
+            )
+        from .flags import UNBOUNDED as _UNB
+
+        if e.max_offset != _UNB and e.min_offset > e.max_offset:
+            raise CompileError(
+                "min_offset must be less than or equal to max_offset", i
+            )
+        if e.max_offset != _UNB and e.min_length > e.max_offset:
+            raise CompileError(
+                "min_length must be less than or equal to max_offset", i
+            )
+        if e.max_offset != _UNB and e.max_offset < min_w:
+            raise CompileError(
+                f"expression has max_offset={e.max_offset} but requires "
+                f"{min_w} bytes to match", i
+            )
+        if (e.min_offset and max_w is not None and not g.float_first
+                and not any(not a for (a, _eod, _adj) in g.start_accepts)
+                and e.min_offset > max_w):
+            raise CompileError(
+                f"expression is anchored and cannot satisfy "
+                f"min_offset={e.min_offset} as it can only produce "
+                f"matches of length {max_w} bytes at most", i
+            )
         # min_length needs per-match length knowledge (leftmost back-scan)
         # unless every match is already long enough
         need_minlen = bool(e.min_length) and min_w < e.min_length

@@ -125,3 +125,67 @@ def test_expression_info_surface():
     assert info["min_width"] == 5 and info["max_width"] == 5
     info2 = hs.expression_info(r"foo$")
     assert info2["matches_at_eod"]
+
+
+def test_bad_patterns_error_parity():
+    """Compile-must-fail battery mirroring the reference's
+    unit/hyperscan/bad_patterns.{cpp,txt} error classes."""
+    import pytest as _pytest
+
+    import hyperscan_tpu as hs
+
+    P = hs.HS_FLAG_PREFILTER
+    bad = [
+        # \c must be followed by ASCII (was an IndexError crash)
+        ("\\c\u7a7a", 0, None), (r"\cÀ", 0, None), (r"[\cÀ]", 0, None),
+        # quantifiers on bare assertions / inline-flag groups
+        (r"\b+", 0, None), (r"\B?", 0, None), (r"\b{0,6}", 0, None),
+        (r"foo(?m)?bar", 0, None),
+        # POSIX collating elements / misplaced named classes
+        (r"[.ch.]", 0, None), (r"[=ch=]", 0, None), (r"[:digit:]", 0, None),
+        (r"[[.ch.]]", 0, None), (r"[[:bogus:]]", 0, None),
+        (r"[A-[:digit:]]", 0, None),
+        # dead patterns
+        (r"^\B\Bfoo", 0, None), (r"[^\x00-\xff]", 0, None),
+        (r"\b\Bfoo", 0, None),
+        # group-name rules and reference validation
+        (r"(?P<dup>a)(?P<dup>b)", 0, None), (r"(?<1x>a)", 0, None),
+        (r"(abc)\2", P, None), (r"abc(?(1)d|e)", P, None),
+        (r"abc((d)?(?(R)b))+", P, None),
+        # ext-param satisfiability
+        (r"^foo", 0, dict(min_offset=5)),
+        (r"foobar", 0, dict(min_length=20)),
+        (r"foobar", 0, dict(max_offset=3)),
+        (r"foo", 0, dict(min_offset=10, max_offset=9)),
+        # approximate-matching restrictions
+        (r"abc\b", 0, dict(edit_distance=1)),
+        (r"abc", hs.HS_FLAG_UTF8, dict(edit_distance=1)),
+        (r"(*UTF8)abc", 0, dict(edit_distance=1)),
+        # property-name case sensitivity
+        (r"\p{greek}", hs.HS_FLAG_UTF8, None),
+    ]
+    for pat, fl, ext in bad:
+        with _pytest.raises(hs.HyperscanError):
+            if ext:
+                hs.compile_ext_multi([pat], flags=[fl], ids=[0],
+                                     ext=[hs.ExprExt(**ext)])
+            else:
+                hs.compile(pat, flags=fl)
+    # invalid UTF-8 pattern bytes
+    with _pytest.raises(hs.HyperscanError):
+        hs.compile(b"\xff\xfe", flags=hs.HS_FLAG_UTF8)
+    # nearby good patterns still compile
+    good = [
+        (r"(\b)+", hs.HS_FLAG_ALLOWEMPTY, None),
+        (r"[[:alpha:]]", 0, None), (r"[a.b]", 0, None), (r"[:a]", 0, None),
+        (r"(abc)\1", P, None),
+        (r"(?'g'a)(?('g')b|c)", P, None),
+        (r"^abcq", 0, dict(edit_distance=1)),
+        (r"\p{Greek}", hs.HS_FLAG_UTF8, None),
+    ]
+    for pat, fl, ext in good:
+        if ext:
+            hs.compile_ext_multi([pat], flags=[fl], ids=[0],
+                                 ext=[hs.ExprExt(**ext)])
+        else:
+            hs.compile(pat, flags=fl)
