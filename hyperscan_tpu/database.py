@@ -879,6 +879,201 @@ def _nfa_widths(g: NFAGraph) -> Tuple[int, Optional[int]]:
     return (0 if min_w == INF else min_w), max_w
 
 
+_IVF = 1 << 30  # "unbounded" sentinel for interval arithmetic
+
+
+def _match_intervals(g: NFAGraph) -> List[Tuple[int, int, int, int]]:
+    """Per-accept (len_lo, len_hi, end_lo, end_hi) intervals describing the
+    *matches themselves*: assertion-context hop bytes and report adjusts
+    are discounted, unlike `_nfa_widths`' raw path widths. `end_*` bounds
+    the match end offset (end_hi = _IVF when the accept is reachable from
+    a floating start or through a cycle). Used for extended-parameter
+    satisfiability, mirroring the reference's per-report width analysis
+    (src/nfagraph/ng_extparam.cpp, src/nfagraph/ng_width.cpp)."""
+    P = g.num_positions
+    starts = g.anchored_first | g.float_first
+    # shortest distances: raw path bytes (end offsets for anchored paths)
+    # and hop-discounted match lengths. Unit edge weights, but the length
+    # metric has per-start init 1 - hop, so relax with a worklist.
+    from collections import deque
+
+    raw_lo = [_IVF] * P
+    len_lo = [_IVF] * P
+    dq = deque()
+    for p in starts:
+        raw_lo[p] = 1
+        len_lo[p] = min(len_lo[p], 1 - g.hop_lens.get(p, 0))
+        dq.append(p)
+    while dq:
+        u = dq.popleft()
+        for v in g.follow[u]:
+            changed = False
+            if raw_lo[u] + 1 < raw_lo[v]:
+                raw_lo[v] = raw_lo[u] + 1
+                changed = True
+            if len_lo[u] + 1 < len_lo[v]:
+                len_lo[v] = len_lo[u] + 1
+                changed = True
+            if changed:
+                dq.append(v)
+    # positions on (start-reachable) cycles, then their forward closure,
+    # have unbounded max distance; the rest form a DAG for longest path
+    reach = [p for p in range(P) if raw_lo[p] < _IVF]
+    # Tarjan SCC (iterative) over reachable positions
+    index = {}
+    low = {}
+    on_stack = set()
+    scc_stack: List[int] = []
+    cyclic: Set[int] = set()
+    counter = [0]
+    for root in reach:
+        if root in index:
+            continue
+        work = [(root, iter(g.follow[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        scc_stack.append(root)
+        on_stack.add(root)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if raw_lo[w] >= _IVF:
+                    continue
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    scc_stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(g.follow[w])))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[node] = min(low[node], index[w])
+            if not advanced:
+                work.pop()
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[node])
+                if low[node] == index[node]:
+                    comp = []
+                    while True:
+                        w = scc_stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == node:
+                            break
+                    if len(comp) > 1 or node in g.follow[node]:
+                        cyclic.update(comp)
+    unbounded = set(cyclic)
+    dq = deque(cyclic)
+    while dq:
+        u = dq.popleft()
+        for v in g.follow[u]:
+            if v not in unbounded and raw_lo[v] < _IVF:
+                unbounded.add(v)
+                dq.append(v)
+    # longest path over the bounded (DAG) portion
+    raw_hi = [0] * P
+    len_hi = [0] * P
+    bounded = [p for p in reach if p not in unbounded]
+    indeg = {p: 0 for p in bounded}
+    for u in bounded:
+        for v in g.follow[u]:
+            if v in indeg:
+                indeg[v] += 1
+    for p in bounded:
+        raw_hi[p] = 1 if p in starts else -_IVF
+        len_hi[p] = (1 - g.hop_lens.get(p, 0)) if p in starts else -_IVF
+    dq = deque(p for p in bounded if indeg[p] == 0)
+    while dq:
+        u = dq.popleft()
+        for v in g.follow[u]:
+            if v not in indeg:
+                continue
+            if raw_hi[u] + 1 > raw_hi[v]:
+                raw_hi[v] = raw_hi[u] + 1
+            if len_hi[u] + 1 > len_hi[v]:
+                len_hi[v] = len_hi[u] + 1
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                dq.append(v)
+    # accepts reachable from a floating start have unbounded end offsets
+    float_reach: Set[int] = set(g.float_first)
+    dq = deque(float_reach)
+    while dq:
+        u = dq.popleft()
+        for v in g.follow[u]:
+            if v not in float_reach:
+                float_reach.add(v)
+                dq.append(v)
+    out: List[Tuple[int, int, int, int]] = []
+    for accepts in (g.accept, g.accept_eod):
+        for v, adjs in accepts.items():
+            if raw_lo[v] >= _IVF:
+                continue
+            unb = v in unbounded
+            for a in adjs:
+                llo = max(0, len_lo[v] + a)
+                lhi = _IVF if unb else max(llo, len_hi[v] + a)
+                elo = max(0, raw_lo[v] + a)
+                ehi = (_IVF if (unb or v in float_reach)
+                       else max(elo, raw_hi[v] + a))
+                out.append((llo, lhi, elo, ehi))
+    for (anch, _eod, a) in g.start_accepts:
+        out.append((0, 0, max(0, a) if anch else 0,
+                    max(0, a) if anch else _IVF))
+    return out
+
+
+def _check_ext_param_satisfiability(e, g: NFAGraph, i: int) -> None:
+    """Reject ext-param combinations no match of this expression can
+    satisfy (reference: ng_extparam.cpp; errors in
+    unit/hyperscan/bad_patterns.txt:53-56,72,75-78)."""
+    from .flags import UNBOUNDED as _UNB
+
+    if e.max_offset != _UNB and e.min_offset > e.max_offset:
+        raise CompileError(
+            "min_offset must be less than or equal to max_offset", i
+        )
+    if e.max_offset != _UNB and e.min_length > e.max_offset:
+        raise CompileError(
+            "min_length must be less than or equal to max_offset", i
+        )
+    if not (e.min_length or e.min_offset or e.max_offset != _UNB):
+        return
+    mo = e.max_offset if e.max_offset != _UNB else _IVF
+    ivs = _match_intervals(g)
+    for (llo, lhi, elo, ehi) in ivs:
+        if (max(llo, e.min_length) <= min(lhi, mo)
+                and max(elo, e.min_offset) <= min(ehi, mo)):
+            return  # satisfiable through this accept
+    # unsatisfiable: pick the reference's message for the dominant cause
+    max_len = max((lhi for (_llo, lhi, _elo, _ehi) in ivs), default=0)
+    min_end = min((elo for (_llo, _lhi, elo, _ehi) in ivs), default=0)
+    max_end = max((ehi for (_llo, _lhi, _elo, ehi) in ivs), default=0)
+    if e.min_length and max_len < _IVF and e.min_length > max_len:
+        raise CompileError(
+            f"expression has min_length={e.min_length} but can only "
+            f"produce matches of length {max_len} bytes at most", i
+        )
+    if mo < _IVF and min_end > mo:
+        raise CompileError(
+            f"expression has max_offset={e.max_offset} but requires "
+            f"{min_end} bytes to match", i
+        )
+    if e.min_offset and max_end < _IVF and e.min_offset > max_end:
+        raise CompileError(
+            f"expression is anchored and cannot satisfy "
+            f"min_offset={e.min_offset} as it can only produce "
+            f"matches of length {max_end} bytes at most", i
+        )
+    raise CompileError(
+        "extended parameter constraints can not be satisfied for any "
+        "match from this expression", i
+    )
+
+
 # resource limits (reference analogue: Grey box tunables, src/grey.h)
 VALIDATOR_MAX_STATES = 4000
 MAX_WINDOW = 1024
@@ -1208,39 +1403,20 @@ def compile_patterns(
             # these at compile: unit/hyperscan/bad_patterns.txt)
             raise CompileError("pattern can never match", i)
         min_w, max_w = _nfa_widths(g)
-        # ext-param satisfiability vs pattern widths (reference:
-        # ng_extparam.cpp; errors in bad_patterns.txt:53-56)
-        if e.min_length and max_w is not None and e.min_length > max_w:
-            raise CompileError(
-                f"expression has min_length={e.min_length} but can only "
-                f"produce matches of length {max_w} bytes at most", i
-            )
-        from .flags import UNBOUNDED as _UNB
-
-        if e.max_offset != _UNB and e.min_offset > e.max_offset:
-            raise CompileError(
-                "min_offset must be less than or equal to max_offset", i
-            )
-        if e.max_offset != _UNB and e.min_length > e.max_offset:
-            raise CompileError(
-                "min_length must be less than or equal to max_offset", i
-            )
-        if e.max_offset != _UNB and e.max_offset < min_w:
-            raise CompileError(
-                f"expression has max_offset={e.max_offset} but requires "
-                f"{min_w} bytes to match", i
-            )
-        if (e.min_offset and max_w is not None and not g.float_first
-                and not any(not a for (a, _eod, _adj) in g.start_accepts)
-                and e.min_offset > max_w):
-            raise CompileError(
-                f"expression is anchored and cannot satisfy "
-                f"min_offset={e.min_offset} as it can only produce "
-                f"matches of length {max_w} bytes at most", i
-            )
+        _check_ext_param_satisfiability(e, g, i)
         # min_length needs per-match length knowledge (leftmost back-scan)
-        # unless every match is already long enough
-        need_minlen = bool(e.min_length) and min_w < e.min_length
+        # unless every match is already long enough; compare against true
+        # match lengths (context hops/adjusts discounted), not path widths
+        min_match_len = min_w
+        if e.min_length and (g.hop_lens or g.start_accepts
+                             or any(a for adjs in g.accept.values()
+                                    for a in adjs)
+                             or any(a for adjs in g.accept_eod.values()
+                                    for a in adjs)):
+            min_match_len = min(
+                (llo for (llo, _lhi, _elo, _ehi) in _match_intervals(g)),
+                default=min_w)
+        need_minlen = bool(e.min_length) and min_match_len < e.min_length
         patterns.append(
             PatternInfo(
                 external_id=ids[i],

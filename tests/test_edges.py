@@ -157,6 +157,19 @@ def test_bad_patterns_error_parity():
         (r"foobar", 0, dict(min_length=20)),
         (r"foobar", 0, dict(max_offset=3)),
         (r"foo", 0, dict(min_offset=10, max_offset=9)),
+        # per-accept match-width intervals (reference bad_patterns 72,75-78:
+        # context hops/adjusts discounted, per-alternation-branch feasibility)
+        (r"\Bd\B", hs.HS_FLAG_CASELESS,
+         dict(min_length=2, min_offset=4, max_offset=54)),
+        (r"\B", hs.HS_FLAG_DOTALL | hs.HS_FLAG_ALLOWEMPTY,
+         dict(min_length=1)),
+        (r"(f|d|(\b)|i|a\Z)", hs.HS_FLAG_MULTILINE | hs.HS_FLAG_ALLOWEMPTY,
+         dict(min_length=2, min_offset=9, max_offset=14)),
+        (r"(f|e|d{19,}|h\Z|^j|\Aa)",
+         hs.HS_FLAG_DOTALL | hs.HS_FLAG_MULTILINE | hs.HS_FLAG_CASELESS,
+         dict(min_length=7, min_offset=8, max_offset=18)),
+        (r"(i{13,}|i\Z)", hs.HS_FLAG_DOTALL,
+         dict(min_length=3, max_offset=5)),
         # approximate-matching restrictions
         (r"abc\b", 0, dict(edit_distance=1)),
         (r"abc", hs.HS_FLAG_UTF8, dict(edit_distance=1)),
@@ -182,6 +195,11 @@ def test_bad_patterns_error_parity():
         (r"(?'g'a)(?('g')b|c)", P, None),
         (r"^abcq", 0, dict(edit_distance=1)),
         (r"\p{Greek}", hs.HS_FLAG_UTF8, None),
+        # satisfiable interval siblings of the rejected cases above
+        (r"(i{13,}|i\Z)", hs.HS_FLAG_DOTALL,
+         dict(min_length=3, max_offset=20)),
+        (r"\Bd\B", 0, dict(max_offset=2)),
+        (r"foo.*bar", 0, dict(min_length=100)),
     ]
     for pat, fl, ext in good:
         if ext:
@@ -189,3 +207,10 @@ def test_bad_patterns_error_parity():
                                  ext=[hs.ExprExt(**ext)])
         else:
             hs.compile(pat, flags=fl)
+    # the formerly over-rejected context-byte case matches correctly:
+    # \Bd\B in "ada" is the 1-byte match ending at offset 2 (the raw NFA
+    # path is 3 bytes of which 2 are assertion context)
+    db = hs.compile_ext_multi([r"\Bd\B"], flags=[0], ids=[7],
+                              ext=[hs.ExprExt(max_offset=2)])
+    assert hs.scan(db, b"ada") == [(7, 0, 2)]
+    assert hs.scan(db, b"adda") == [(7, 0, 2)]  # 2nd d ends past max_offset
