@@ -63,6 +63,11 @@ def _build() -> Optional[ctypes.CDLL]:
         _I32P, ctypes.c_int32, ctypes.c_int32,
         _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
     ]
+    lib.hstpu_teddy_filter_pair.restype = ctypes.c_int64
+    lib.hstpu_teddy_filter_pair.argtypes = [
+        _I32P, ctypes.c_int32, ctypes.c_int32, _U8P,
+        _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
+    ]
     lib.hstpu_dfa_scan_one.restype = ctypes.c_int64
     lib.hstpu_dfa_scan_one.argtypes = [
         _I32P, ctypes.c_int32, _I32P, _I32P,
@@ -301,12 +306,38 @@ def somnfa_scan_batch_native(engine, data, lengths, init_states,
     return hits, finals
 
 
+# pair tables keyed by the masks array's identity; the entry holds a
+# strong reference to the masks so the id stays valid for the cache's life
+_pair_tabs: dict = {}
+
+
+def _pair_table(masks: np.ndarray) -> np.ndarray:
+    """8 KB bit table of exact mask-row-0,1 joint survival, indexed by
+    (c[i] | c[i-1] << 8). Built once per database's teddy tables."""
+    ent = _pair_tabs.get(id(masks))
+    if ent is not None and ent[0] is masks:
+        return ent[1]
+    W = masks.shape[1]
+    alive = np.zeros((256, 256), dtype=bool)  # [x0 (byte at i), x1 (i-1)]
+    for w in range(W):
+        r0 = masks[0, w].astype(np.int64)  # byte at i
+        r1 = masks[1, w].astype(np.int64)  # byte at i-1
+        alive |= (r0[:, None] & r1[None, :]) != 0
+    # bit index = c[i-1] | c[i] << 8 (one little-endian u16 load in C)
+    tab = np.packbits(alive.reshape(-1), bitorder="little")
+    if len(_pair_tabs) > 16:
+        _pair_tabs.clear()
+    _pair_tabs[id(masks)] = (masks, tab)
+    return tab
+
+
 def teddy_filter_native(corpus, masks):
     """Returns (pos, words) or None."""
     lib = get_lib()
     if lib is None:
         return None
     M, W, _ = masks.shape
+    pair_tab = _pair_table(masks) if M >= 2 else None  # key on caller's array
     masks = np.ascontiguousarray(masks, dtype=np.int32)
     corpus = np.ascontiguousarray(corpus)
     n = corpus.shape[0]
@@ -314,9 +345,14 @@ def teddy_filter_native(corpus, masks):
     while True:
         out_pos = np.empty(cap, np.int64)
         out_words = np.empty((W, cap), np.int32)
-        cnt = lib.hstpu_teddy_filter(
-            masks, M, W, corpus, n, out_pos, out_words, cap
-        )
+        if pair_tab is not None:
+            cnt = lib.hstpu_teddy_filter_pair(
+                masks, M, W, pair_tab, corpus, n, out_pos, out_words, cap
+            )
+        else:
+            cnt = lib.hstpu_teddy_filter(
+                masks, M, W, corpus, n, out_pos, out_words, cap
+            )
         if cnt <= cap:
             break
         cap = 1 << int(cnt - 1).bit_length()

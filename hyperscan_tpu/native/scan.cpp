@@ -87,6 +87,53 @@ static int64_t teddy_filter_scalar(
     return cnt;
 }
 
+// Pair-gated teddy filter: an 8 KB bit table indexed by the 16-bit key
+// (corpus[i] | corpus[i-1] << 8) holds the *exact* survival of mask rows
+// m=0,1 (any bucket in any word). Nearly every position dies there, so
+// the hot loop is one L1 load + bit test per byte; survivors (and the
+// i=0 prologue) run the full per-row mask loop. This is the host-side
+// analogue of the reference FDR's domain-hash gating (src/fdr/fdr.c
+// domainMask lookups), sized for L1 rather than SIMD registers.
+int64_t hstpu_teddy_filter_pair(
+    const int32_t* masks, int32_t M, int32_t W,
+    const uint8_t* pair_tab,  // [8192] bytes, bit (c[i-1] | c[i]<<8)
+    const uint8_t* corpus, int64_t n,
+    int64_t* out_pos, int32_t* out_words, int64_t cap) {
+    int64_t cnt = teddy_filter_scalar(masks, M, W, corpus, 0, n < 1 ? n : 1,
+                                      n, out_pos, out_words, cap, 0);
+    // hot loop: the 16-bit key is one unaligned load (little-endian x86:
+    // low byte = corpus[i-1], high byte = corpus[i])
+    int64_t i = 1;
+    for (; i + 4 <= n; i += 4) {
+        uint16_t k0, k1, k2, k3;
+        memcpy(&k0, corpus + i - 1, 2);
+        memcpy(&k1, corpus + i, 2);
+        memcpy(&k2, corpus + i + 1, 2);
+        memcpy(&k3, corpus + i + 2, 2);
+        const uint32_t b0 = (pair_tab[k0 >> 3] >> (k0 & 7)) & 1;
+        const uint32_t b1 = (pair_tab[k1 >> 3] >> (k1 & 7)) & 1;
+        const uint32_t b2 = (pair_tab[k2 >> 3] >> (k2 & 7)) & 1;
+        const uint32_t b3 = (pair_tab[k3 >> 3] >> (k3 & 7)) & 1;
+        if (!(b0 | b1 | b2 | b3)) continue;
+        if (b0) cnt = teddy_filter_scalar(masks, M, W, corpus, i, i + 1, n,
+                                          out_pos, out_words, cap, cnt);
+        if (b1) cnt = teddy_filter_scalar(masks, M, W, corpus, i + 1, i + 2,
+                                          n, out_pos, out_words, cap, cnt);
+        if (b2) cnt = teddy_filter_scalar(masks, M, W, corpus, i + 2, i + 3,
+                                          n, out_pos, out_words, cap, cnt);
+        if (b3) cnt = teddy_filter_scalar(masks, M, W, corpus, i + 3, i + 4,
+                                          n, out_pos, out_words, cap, cnt);
+    }
+    for (; i < n; i++) {
+        uint16_t k;
+        memcpy(&k, corpus + i - 1, 2);
+        if (!((pair_tab[k >> 3] >> (k & 7)) & 1)) continue;
+        cnt = teddy_filter_scalar(masks, M, W, corpus, i, i + 1, n,
+                                  out_pos, out_words, cap, cnt);
+    }
+    return cnt;
+}
+
 int64_t hstpu_teddy_filter(
     const int32_t* masks, int32_t M, int32_t W,
     const uint8_t* corpus, int64_t n,

@@ -443,21 +443,33 @@ def scan_literal_path(
         else:
             M = int(lit.masks.shape[0])
             back = _max_f2e(lit) + WINDOW_SLACK + 1
-            pps: List[np.ndarray] = []
-            wws: List[np.ndarray] = []
-            for b in range(block_starts.shape[0]):
-                bs, be = int(block_starts[b]), int(block_ends[b])
-                fe_min = int(filter_from[b]) - back
-                seg_start = max(bs, fe_min - (M - 1))
-                p, w = teddy_filter_host(corpus[seg_start:be], lit.masks)
-                p = p + seg_start
-                keep = p >= fe_min
-                pps.append(p[keep])
-                wws.append(w[:, keep])
-            pos = (np.concatenate(pps) if pps
-                   else np.zeros(0, np.int64))
-            words = (np.concatenate(wws, axis=1) if wws
-                     else np.zeros((int(lit.masks.shape[1]), 0), np.int32))
+            fe_min = filter_from.astype(np.int64) - back
+            seg_starts = np.maximum(block_starts, fe_min - (M - 1))
+            new_bytes = int(np.sum(block_ends - seg_starts))
+            if new_bytes * 4 >= int(block_ends[-1]):
+                # rescan regions cover most of the extents: one filter
+                # call over the whole flat corpus beats per-block call
+                # overhead; out-of-region candidates are dropped below
+                pos, words = teddy_filter_host(corpus, lit.masks)
+                bidx = np.searchsorted(block_starts, pos, side="right") - 1
+                keep = pos >= fe_min[bidx]
+                pos, words = pos[keep], words[:, keep]
+            else:
+                pps: List[np.ndarray] = []
+                wws: List[np.ndarray] = []
+                for b in range(block_starts.shape[0]):
+                    bs = int(seg_starts[b])
+                    be = int(block_ends[b])
+                    p, w = teddy_filter_host(corpus[bs:be], lit.masks)
+                    p = p + bs
+                    keep = p >= fe_min[b]
+                    pps.append(p[keep])
+                    wws.append(w[:, keep])
+                pos = (np.concatenate(pps) if pps
+                       else np.zeros(0, np.int64))
+                words = (np.concatenate(wws, axis=1) if wws
+                         else np.zeros((int(lit.masks.shape[1]), 0),
+                                       np.int32))
         return finish_literal_scan(
             db, corpus, block_starts, block_ends, pos, words,
             block_anchored=block_anchored, block_final=block_final,
