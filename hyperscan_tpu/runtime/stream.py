@@ -485,18 +485,22 @@ def scan_streams(
     out: List[List[Match]] = []
     hist_req = history_required(db)
     for bi, st in enumerate(streams):
-        from .scan import RecordSink
+        if not recs_abs[bi] and not ranges_abs[bi]:
+            # nothing matched in this write: skip the report pipeline
+            ms, terminated = [], False
+        else:
+            from .scan import RecordSink
 
-        sink = RecordSink()
-        sink.single = {(e, t, f) for (e, t, f) in recs_abs[bi]}
-        for (eid, lo, hi) in ranges_abs[bi]:
-            sink.add_range(eid, lo, hi)
-        ms, terminated = finalize_reports(
-            db, sink.materialize(None, db.som_eids()), callbacks[bi],
-            seen_single=st.seen_single,
-            combo_matched=st.combo_matched, at_end=False,
-            som_horizon=som_horizon_span(db.mode),
-        )
+            sink = RecordSink()
+            sink.single = {(e, t, f) for (e, t, f) in recs_abs[bi]}
+            for (eid, lo, hi) in ranges_abs[bi]:
+                sink.add_range(eid, lo, hi)
+            ms, terminated = finalize_reports(
+                db, sink.materialize(None, db.som_eids()), callbacks[bi],
+                seen_single=st.seen_single,
+                combo_matched=st.combo_matched, at_end=False,
+                som_horizon=som_horizon_span(db.mode),
+            )
         st.terminated = st.terminated or terminated
         new_off = st.offset + len(chunks[bi])
         # preserve prior boundary dedupe entries when the boundary does
