@@ -68,6 +68,11 @@ def _build() -> Optional[ctypes.CDLL]:
         _I32P, ctypes.c_int32, ctypes.c_int32, _U8P,
         _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
     ]
+    lib.hstpu_teddy_filter_nib.restype = ctypes.c_int64
+    lib.hstpu_teddy_filter_nib.argtypes = [
+        _I32P, ctypes.c_int32, ctypes.c_int32, _U8P, _U8P,
+        _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
+    ]
     lib.hstpu_dfa_scan_one.restype = ctypes.c_int64
     lib.hstpu_dfa_scan_one.argtypes = [
         _I32P, ctypes.c_int32, _I32P, _I32P,
@@ -323,12 +328,65 @@ def _pair_table(masks: np.ndarray) -> np.ndarray:
         r0 = masks[0, w].astype(np.int64)  # byte at i
         r1 = masks[1, w].astype(np.int64)  # byte at i-1
         alive |= (r0[:, None] & r1[None, :]) != 0
-    # bit index = c[i-1] | c[i] << 8 (one little-endian u16 load in C)
-    tab = np.packbits(alive.reshape(-1), bitorder="little")
+    # bit index = c[i-1] | c[i] << 8 (one little-endian u16 load in C);
+    # padded 4 bytes so the SIMD gate's u32 gathers at byte key>>3 stay
+    # in bounds
+    tab = np.concatenate([
+        np.packbits(alive.reshape(-1), bitorder="little"),
+        np.zeros(4, np.uint8),
+    ])
     if len(_pair_tabs) > 16:
         _pair_tabs.clear()
     _pair_tabs[id(masks)] = (masks, tab)
     return tab
+
+
+_nib_tabs: dict = {}
+
+
+def _nib_tables(masks: np.ndarray) -> np.ndarray:
+    """[M, 64] uint8 PSHUFB tables for the SIMD super-bucket gate: per
+    mask row, a 16-entry lo-nibble table (duplicated across both AVX2
+    lanes) then a 16-entry hi-nibble table. Byte value c's super-bucket
+    candidacy byte is lo[c & 15] & hi[c >> 4] — a superset of the exact
+    masks projected onto bucket-index mod 8 (bucket w*32+b -> b % 8).
+    Returns (tables, estimated gate survival rate)."""
+    ent = _nib_tabs.get(id(masks))
+    if ent is not None and ent[0] is masks:
+        return ent[1], ent[2]
+    M, W, _ = masks.shape
+    u = masks.view(np.uint32) if masks.dtype == np.int32 else \
+        masks.astype(np.int64).astype(np.uint32)
+    nib = np.zeros((M, 64), np.uint8)
+    c = np.arange(256)
+    for m in range(M):
+        sb = np.zeros(256, np.uint8)  # per byte value: super-bucket byte
+        for s in range(8):
+            grp = np.uint32(0x01010101) << np.uint32(s)
+            hit = ((u[m] & grp) != 0).any(axis=0)  # any W word, bits = s mod 8
+            sb |= (hit.astype(np.uint8) << s)
+        lo = np.zeros(16, np.uint8)
+        hi = np.zeros(16, np.uint8)
+        np.bitwise_or.at(lo, c & 15, sb)
+        np.bitwise_or.at(hi, c >> 4, sb)
+        nib[m, 0:16] = lo
+        nib[m, 16:32] = lo
+        nib[m, 32:48] = hi
+        nib[m, 48:64] = hi
+    # estimated per-position gate survival under uniform printable bytes
+    # (independence across rows, per super-bucket): decides nib vs pair
+    pr = np.arange(32, 127)
+    q = np.ones(8)
+    for m in range(M):
+        cand = nib[m, pr & 15] & nib[m, 32 + (pr >> 4)]
+        for s in range(8):
+            q[s] *= ((cand >> s) & 1).mean()
+    survival = 1.0 - np.prod(1.0 - q)
+    nib = np.ascontiguousarray(nib.reshape(-1))
+    if len(_nib_tabs) > 16:
+        _nib_tabs.clear()
+    _nib_tabs[id(masks)] = (masks, nib, float(survival))
+    return nib, float(survival)
 
 
 def teddy_filter_native(corpus, masks):
@@ -338,20 +396,27 @@ def teddy_filter_native(corpus, masks):
         return None
     M, W, _ = masks.shape
     pair_tab = _pair_table(masks) if M >= 2 else None  # key on caller's array
+    nib, nib_survival = _nib_tables(masks)
+    # dense mask sets saturate the 8-super-bucket gate; the scalar pair
+    # loop (one L1 bit test per byte) wins once most blocks survive
+    use_nib = nib_survival < 0.04 or pair_tab is None
     masks = np.ascontiguousarray(masks, dtype=np.int32)
     corpus = np.ascontiguousarray(corpus)
     n = corpus.shape[0]
     cap = max(1024, n // 64)
+    zero_pair = np.zeros(0, np.uint8)
     while True:
         out_pos = np.empty(cap, np.int64)
         out_words = np.empty((W, cap), np.int32)
-        if pair_tab is not None:
-            cnt = lib.hstpu_teddy_filter_pair(
-                masks, M, W, pair_tab, corpus, n, out_pos, out_words, cap
+        if use_nib:
+            cnt = lib.hstpu_teddy_filter_nib(
+                masks, M, W,
+                pair_tab if pair_tab is not None else zero_pair,
+                nib, corpus, n, out_pos, out_words, cap,
             )
         else:
-            cnt = lib.hstpu_teddy_filter(
-                masks, M, W, corpus, n, out_pos, out_words, cap
+            cnt = lib.hstpu_teddy_filter_pair(
+                masks, M, W, pair_tab, corpus, n, out_pos, out_words, cap,
             )
         if cnt <= cap:
             break

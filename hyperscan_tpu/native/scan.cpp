@@ -134,6 +134,97 @@ int64_t hstpu_teddy_filter_pair(
     return cnt;
 }
 
+#if defined(__AVX2__)
+// 8-super-bucket nibble candidacy for 32 corpus bytes: classic teddy
+// PSHUFB split (reference: src/fdr/teddy.c prep_conf_teddy) — the
+// per-byte bucket byte is shuffle(lo_tab, c & 15) & shuffle(hi_tab,
+// c >> 4), a superset of the exact projection of the 32W-bucket masks
+// onto bucket-index mod 8.
+static inline __m256i teddy_nib_lookup(const uint8_t* nib_row,
+                                       __m256i bytes) {
+    const __m256i lo_tab = _mm256_loadu_si256((const __m256i*)nib_row);
+    const __m256i hi_tab =
+        _mm256_loadu_si256((const __m256i*)(nib_row + 32));
+    const __m256i lomask = _mm256_set1_epi8(0x0F);
+    const __m256i lo = _mm256_and_si256(bytes, lomask);
+    const __m256i hi =
+        _mm256_and_si256(_mm256_srli_epi16(bytes, 4), lomask);
+    return _mm256_and_si256(_mm256_shuffle_epi8(lo_tab, lo),
+                            _mm256_shuffle_epi8(hi_tab, hi));
+}
+#endif
+
+// SIMD-gated teddy filter: 32 positions per step run the nibble
+// super-bucket AND over all M rows (unaligned loads supply the i-m
+// byte vectors); surviving byte lanes are re-checked through the exact
+// rows-0,1 pair table and then the full scalar mask loop. Candidate
+// output is byte-identical to the scalar filter.
+// nib: [M * 64] bytes — per row, 32 B lo-nibble table (16 duplicated
+// across both 128-bit lanes) then 32 B hi-nibble table.
+int64_t hstpu_teddy_filter_nib(
+    const int32_t* masks, int32_t M, int32_t W,
+    const uint8_t* pair_tab,  // exact rows-0,1 gate; may be NULL
+    const uint8_t* nib,
+    const uint8_t* corpus, int64_t n,
+    int64_t* out_pos, int32_t* out_words, int64_t cap) {
+#if defined(__AVX2__)
+    if (M < 2) pair_tab = nullptr;  // callers pass a dummy when M < 2
+    const int64_t start = M > 1 ? (int64_t)M - 1 : 0;
+    if (n < start + 32) {
+        if (pair_tab) {
+            return hstpu_teddy_filter_pair(masks, M, W, pair_tab, corpus,
+                                           n, out_pos, out_words, cap);
+        }
+        return teddy_filter_scalar(masks, M, W, corpus, 0, n, n,
+                                   out_pos, out_words, cap, 0);
+    }
+    int64_t cnt = teddy_filter_scalar(masks, M, W, corpus, 0, start, n,
+                                      out_pos, out_words, cap, 0);
+    const __m256i zero = _mm256_setzero_si256();
+    int64_t i = start;
+    for (; i + 32 <= n; i += 32) {
+        __m256i res = teddy_nib_lookup(
+            nib, _mm256_loadu_si256((const __m256i*)(corpus + i)));
+        for (int32_t m = 1; m < M; m++) {
+            if (_mm256_testz_si256(res, res)) break;
+            res = _mm256_and_si256(
+                res,
+                teddy_nib_lookup(nib + (int64_t)m * 64,
+                                 _mm256_loadu_si256(
+                                     (const __m256i*)(corpus + i - m))));
+        }
+        if (_mm256_testz_si256(res, res)) continue;
+        // surviving byte lanes: exact rows-0,1 pair bit test, then the
+        // full scalar mask loop
+        const __m256i z = _mm256_cmpeq_epi8(res, zero);
+        uint32_t live = ~(uint32_t)_mm256_movemask_epi8(z);
+        while (live) {
+            const int32_t lane = __builtin_ctz(live);
+            live &= live - 1;
+            const int64_t p = i + lane;
+            if (pair_tab) {
+                uint16_t k;
+                memcpy(&k, corpus + p - 1, 2);
+                if (!((pair_tab[k >> 3] >> (k & 7)) & 1)) continue;
+            }
+            cnt = teddy_filter_scalar(masks, M, W, corpus, p, p + 1, n,
+                                      out_pos, out_words, cap, cnt);
+        }
+    }
+    return teddy_filter_scalar(masks, M, W, corpus, i, n, n,
+                               out_pos, out_words, cap, cnt);
+#else
+    (void)nib;
+    if (M < 2) pair_tab = nullptr;
+    if (pair_tab) {
+        return hstpu_teddy_filter_pair(masks, M, W, pair_tab, corpus, n,
+                                       out_pos, out_words, cap);
+    }
+    return teddy_filter_scalar(masks, M, W, corpus, 0, n, n,
+                               out_pos, out_words, cap, 0);
+#endif
+}
+
 int64_t hstpu_teddy_filter(
     const int32_t* masks, int32_t M, int32_t W,
     const uint8_t* corpus, int64_t n,
