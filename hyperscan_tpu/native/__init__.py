@@ -73,6 +73,14 @@ def _build() -> Optional[ctypes.CDLL]:
         _I32P, ctypes.c_int32, ctypes.c_int32, _U8P, _U8P,
         _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
     ]
+    lib.hstpu_confirm.restype = ctypes.c_int64
+    lib.hstpu_confirm.argtypes = [
+        _U8P, ctypes.c_int64, _I64P, ctypes.c_int64,
+        _I64P, ctypes.c_int64, ctypes.c_int32,
+        _I32P, _U64P, _I64P, _U64P, _I64P,
+        _I64P, _I64P, _U8P, _U8P,
+        _I64P, _I64P, ctypes.c_int64,
+    ]
     lib.hstpu_dfa_scan_one.restype = ctypes.c_int64
     lib.hstpu_dfa_scan_one.argtypes = [
         _I32P, ctypes.c_int32, _I32P, _I32P,
@@ -309,6 +317,81 @@ def somnfa_scan_batch_native(engine, data, lengths, init_states,
             m |= start_bit
         finals.append((m, sv))
     return hits, finals
+
+
+def _confirm_c_tables(lit):
+    """Pack the confirm index (lit_runtime._confirm_index) plus factor
+    atom tables into flat C arrays, cached on the lit object."""
+    if hasattr(lit, "_confirm_c"):
+        return lit._confirm_c
+    from ..runtime.lit_runtime import _confirm_index
+
+    packed, flen_arr = _confirm_index(lit)
+    G = len(packed)
+    grp_cl = np.asarray([cl for (cl, *_r) in packed], np.int32)
+    grp_mask = np.asarray([m for (_c, m, *_r) in packed], np.uint64)
+    grp_off = np.zeros(G + 1, np.int64)
+    vals_l, fids_l = [], []
+    for i, (_cl, _m, vals, fids, _lt) in enumerate(packed):
+        vals_l.append(vals)
+        fids_l.append(fids)
+        grp_off[i + 1] = grp_off[i] + len(vals)
+    grp_vals = (np.concatenate(vals_l) if vals_l
+                else np.zeros(0, np.uint64)).astype(np.uint64)
+    grp_fids = (np.concatenate(fids_l) if fids_l
+                else np.zeros(0, np.int64)).astype(np.int64)
+    F = len(lit.factor_atoms)
+    atom_off = np.zeros(F + 1, np.int64)
+    av_l, am_l = [], []
+    for fid, atoms in enumerate(lit.factor_atoms):
+        av_l.append(np.asarray([v for (v, _m) in atoms], np.uint8))
+        am_l.append(np.asarray([m for (_v, m) in atoms], np.uint8))
+        atom_off[fid + 1] = atom_off[fid] + len(atoms)
+    atom_vals = (np.concatenate(av_l) if av_l else np.zeros(0, np.uint8))
+    atom_masks = (np.concatenate(am_l) if am_l else np.zeros(0, np.uint8))
+    lit._confirm_c = (
+        G,
+        np.ascontiguousarray(grp_cl),
+        np.ascontiguousarray(grp_mask),
+        np.ascontiguousarray(grp_off),
+        np.ascontiguousarray(grp_vals),
+        np.ascontiguousarray(grp_fids),
+        np.ascontiguousarray(flen_arr, dtype=np.int64),
+        np.ascontiguousarray(atom_off),
+        np.ascontiguousarray(atom_vals),
+        np.ascontiguousarray(atom_masks),
+    )
+    return lit._confirm_c
+
+
+def confirm_native(lit, corpus, block_starts, pos):
+    """Exact confirm of ascending candidate positions. Returns
+    (fid_array, pos_array) or None when the native library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    (G, grp_cl, grp_mask, grp_off, grp_vals, grp_fids, flen,
+     atom_off, atom_vals, atom_masks) = _confirm_c_tables(lit)
+    corpus = np.ascontiguousarray(corpus)
+    block_starts = np.ascontiguousarray(block_starts, dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    n = corpus.shape[0]
+    cap = max(256, 2 * pos.shape[0])
+    while True:
+        out_fid = np.empty(cap, np.int64)
+        out_pos = np.empty(cap, np.int64)
+        cnt = lib.hstpu_confirm(
+            corpus, n, block_starts, block_starts.shape[0],
+            pos, pos.shape[0], G,
+            grp_cl, grp_mask, grp_off, grp_vals, grp_fids,
+            flen, atom_off, atom_vals, atom_masks,
+            out_fid, out_pos, cap,
+        )
+        if cnt <= cap:
+            break
+        cap = 1 << int(cnt - 1).bit_length()
+    k = int(cnt)
+    return out_fid[:k], out_pos[:k]
 
 
 # pair tables keyed by the masks array's identity; the entry holds a

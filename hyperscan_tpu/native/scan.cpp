@@ -296,6 +296,84 @@ int64_t hstpu_teddy_filter(
                                out_pos, out_words, cap, cnt);
 }
 
+// Exact-match confirm over filter candidates (reference: do_confirm_fdr,
+// src/fdr/fdr.c:330 + FDRConfirm hash tables, src/fdr/fdr_confirm.h:78).
+// Groups share (tail_len cl, tail mask): candidate survives group g when
+// the masked little-endian u64 of corpus[p-cl+1..p] binary-searches into
+// the group's sorted value array; matched factors are block-containment
+// checked and, when longer than the 8-byte tail, verified against their
+// full (value, mask) atoms. Emits (fid, pos) pairs; returns the true
+// count (may exceed cap; caller re-runs with a larger buffer).
+int64_t hstpu_confirm(
+    const uint8_t* corpus, int64_t n,
+    const int64_t* block_starts, int64_t nb,
+    const int64_t* pos, int64_t npos,
+    int32_t G,
+    const int32_t* grp_cl,     // [G]
+    const uint64_t* grp_mask,  // [G]
+    const int64_t* grp_off,    // [G+1] into grp_vals/grp_fids
+    const uint64_t* grp_vals,  // sorted within each group
+    const int64_t* grp_fids,
+    const int64_t* flen,       // [F] factor lengths
+    const int64_t* atom_off,   // [F+1] into atom_vals/atom_masks
+    const uint8_t* atom_vals, const uint8_t* atom_masks,
+    int64_t* out_fid, int64_t* out_pos, int64_t cap) {
+    int64_t cnt = 0;
+    int64_t b = 0;
+    for (int64_t ci = 0; ci < npos; ci++) {
+        const int64_t p = pos[ci];
+        if (p >= n) continue;
+        while (b + 1 < nb && p >= block_starts[b + 1]) b++;
+        while (b > 0 && p < block_starts[b]) b--;
+        const int64_t bstart = block_starts[b];
+        uint64_t t = 0;
+        if (p >= 7) {
+            memcpy(&t, corpus + p - 7, 8);
+        } else {
+            // low (oldest) bytes may underrun the corpus; groups with
+            // cl > p+1 are skipped below, so junk low bytes never matter
+            memcpy((uint8_t*)&t + (7 - p), corpus, p + 1);
+        }
+        for (int32_t g = 0; g < G; g++) {
+            const int32_t cl = grp_cl[g];
+            if (p + 1 < (int64_t)cl) continue;
+            const uint64_t v = (cl < 8 ? (t >> (8 * (8 - cl))) : t)
+                               & grp_mask[g];
+            // lower_bound over the group's sorted values
+            int64_t lo = grp_off[g], hi = grp_off[g + 1];
+            while (lo < hi) {
+                const int64_t mid = (lo + hi) >> 1;
+                if (grp_vals[mid] < v) lo = mid + 1; else hi = mid;
+            }
+            for (; lo < grp_off[g + 1] && grp_vals[lo] == v; lo++) {
+                const int64_t fid = grp_fids[lo];
+                const int64_t fl = flen[fid];
+                const int64_t start = p - fl + 1;
+                if (start < bstart) continue;
+                if (fl > 8) {
+                    const int64_t ao = atom_off[fid];
+                    bool ok = true;
+                    for (int64_t j = 0; j < fl; j++) {
+                        const uint8_t m = atom_masks[ao + j];
+                        if ((corpus[start + j] & m) !=
+                            (atom_vals[ao + j] & m)) {
+                            ok = false;
+                            break;
+                        }
+                    }
+                    if (!ok) continue;
+                }
+                if (cnt < cap) {
+                    out_fid[cnt] = fid;
+                    out_pos[cnt] = p;
+                }
+                cnt++;
+            }
+        }
+    }
+    return cnt;
+}
+
 // Single-buffer DFA scan collecting accept positions (window validation
 // inner loop; the caller handles per-window entry states and bounds).
 int64_t hstpu_dfa_scan_one(

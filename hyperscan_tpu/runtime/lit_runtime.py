@@ -198,6 +198,13 @@ def confirm_candidates(
     pos = pos[pos < clen]  # drop candidates in the padded tail
     if pos.size == 0:
         return z, z
+
+    from ..native import confirm_native
+
+    nat = confirm_native(lit, corpus, block_starts, pos)
+    if nat is not None:
+        return nat
+
     blk = np.searchsorted(block_starts, pos, side="right") - 1
     bstart = block_starts[blk]
     packed, flen_arr = _confirm_index(lit)
