@@ -248,20 +248,24 @@ class _Parser:
             cr = cr.make_caseless()
         return Pos(cr)
 
-    def _parse_prop_name(self) -> str:
-        """Parse the name of \\p{...} / \\pX. The reference resolves
-        property classes regardless of the UCP flag (byte-truncated in
-        8-bit mode, ComponentClass.cpp getPredefinedCharReach)."""
+    def _parse_prop_name(self):
+        """Parse the name of \\p{...} / \\pX into (name, negated). A
+        leading ^ inside the braces negates (PCRE: \\p{^X} == \\P{X}).
+        The reference resolves property classes regardless of the UCP
+        flag (byte-truncated in 8-bit mode, ComponentClass.cpp
+        getPredefinedCharReach)."""
         if self.peek() == "{":
             self.take()
             name = ""
             while not self.at_end() and self.peek() != "}":
                 name += self.take()
             self.expect("}")
-            return name
+            if name.startswith("^"):
+                return name[1:], True
+            return name, False
         if self.at_end():
             raise self.error("malformed \\p escape")
-        return self.take()
+        return self.take(), False
 
     def _class_node(self, cr: CharReach) -> Node:
         if self.flags.caseless:
@@ -811,9 +815,10 @@ class _Parser:
         if c == "p" or c == "P":
             from .ucp import category_ranges
 
-            name = self._parse_prop_name()
+            name, pneg = self._parse_prop_name()
             return self._ucp_class(
-                category_ranges(name, self.index), negate=(c == "P")
+                category_ranges(name, self.index),
+                negate=(c == "P") != pneg,
             )
         if c.isalpha():
             raise self.error(f"unrecognized escape \\{c}")
@@ -1124,9 +1129,10 @@ class _Parser:
             self.take()
             from .ucp import category_ranges
 
-            name = self._parse_prop_name()
+            name, pneg = self._parse_prop_name()
             rs = category_ranges(name, self.index)
-            return (complement_ranges(rs) if c == "P" else rs), None
+            return (complement_ranges(rs) if (c == "P") != pneg
+                    else rs), None
         if c in "dDsSwWvVhH":
             self.take()
             if self.flags.ucp and c.lower() in "dsw":
@@ -1159,9 +1165,9 @@ class _Parser:
         if c in "pP":
             from .ucp import category_ranges
 
-            name = self._parse_prop_name()
+            name, pneg = self._parse_prop_name()
             cr = _ranges_to_charreach(category_ranges(name, self.index))
-            return (~cr if c == "P" else cr), None
+            return (~cr if (c == "P") != pneg else cr), None
         if c == "d":
             if self.flags.ucp:
                 from .ucp import digit_ranges

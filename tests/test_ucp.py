@@ -83,3 +83,17 @@ def test_script_and_special_properties():
 
     with _pytest.raises(CompileError):
         category_ranges("NotAProperty")
+
+
+def test_prop_brace_negation():
+    """\\p{^X} == \\P{X} and \\P{^X} == \\p{X} (PCRE brace negation),
+    in free position and inside classes."""
+    import hyperscan_tpu as hs
+
+    fl = [hs.HS_FLAG_UTF8 | hs.HS_FLAG_UCP]
+    d = "aBc δΔ 9".encode("utf-8")
+    for a, b in [(r"\p{^Lu}+", r"\P{Lu}+"), (r"\P{^Lu}+", r"\p{Lu}+"),
+                 (r"[\p{^Nd}]x", r"[\P{Nd}]x")]:
+        da = hs.compile_multi([a], ids=[1], flags=fl)
+        db_ = hs.compile_multi([b], ids=[1], flags=fl)
+        assert hs.scan(da, d) == hs.scan(db_, d), (a, b)
