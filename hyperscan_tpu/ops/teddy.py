@@ -479,16 +479,21 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     return (lit, rows_all, n_valid, cap1, cap2, combined, packed2)
 
 
-def teddy_confirm_finish(handle) -> Tuple[np.ndarray, np.ndarray]:
+def teddy_confirm_finish(handle, got: np.ndarray = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Fetch a started scan's confirmed pairs, retrying on capacity
     overflow. Returns hash-matched (fid_array, pos_array) pairs —
-    callers must exact-verify with runtime.lit_runtime.verify_pairs."""
+    callers must exact-verify with runtime.lit_runtime.verify_pairs.
+
+    `got` optionally supplies the already-fetched combined buffer (see
+    teddy_confirm_fetch_many)."""
     from ..runtime.lit_runtime import expand_confirm_classes
 
     (lit, rows_all, n_valid, cap1, cap2, combined, packed2) = handle
     while True:
         pre = min(PREFETCH, cap2)
-        got = np.asarray(combined)  # ONE fetch: meta + pair prefix
+        if got is None:
+            got = np.asarray(combined)  # ONE fetch: meta + pair prefix
         t1, _h1, t2, _h2 = (int(x) for x in got[:4])
         if t1 <= cap1 and t2 <= cap2:
             break
@@ -501,6 +506,7 @@ def teddy_confirm_finish(handle) -> Tuple[np.ndarray, np.ndarray]:
         set_capacity_hint(lit, "teddy_c", cap1, cap2)
         handle = teddy_confirm_start(rows_all, lit, n_valid, cap1)
         (lit, rows_all, n_valid, cap1, cap2, combined, packed2) = handle
+        got = None
     set_capacity_hint(lit, "teddy_c", cap1, cap2)
     k = min(t2, cap2)
     if k == 0:
@@ -514,6 +520,32 @@ def teddy_confirm_finish(handle) -> Tuple[np.ndarray, np.ndarray]:
     pos = pairs[2].astype(np.int64)
     keep = cls >= 0
     return expand_confirm_classes(lit, cls[keep], pos[keep])
+
+
+def teddy_confirm_fetch_many(handles):
+    """Fetch several started scans' combined (meta + pair prefix)
+    buffers in ONE device->host round trip.
+
+    The dev tunnel costs ~30 ms of latency per fetch regardless of size;
+    batch result collection amortizes that single round trip across a
+    whole pipeline of scans (hsbench analogue: repeated corpus scans
+    whose results are aggregated, doc/dev-reference/tools.rst). Returns
+    a list of per-handle fetched buffers to pass to
+    teddy_confirm_finish(handle, got=...); scans whose buffers
+    overflowed are re-dispatched individually by the finish call.
+    """
+    import jax.numpy as jnp
+
+    if not handles:
+        return []
+    sizes = [int(h[5].shape[0]) for h in handles]
+    stacked = np.asarray(jnp.concatenate([h[5] for h in handles]))
+    outs = []
+    off = 0
+    for s in sizes:
+        outs.append(stacked[off:off + s])
+        off += s
+    return outs
 
 
 def teddy_confirm_scan_rows(
