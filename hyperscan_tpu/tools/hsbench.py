@@ -144,8 +144,12 @@ def main(argv=None) -> int:
 
     scanned = total_bytes * args.repeats
     print(f"Expression count:     {len(entries)}")
+    blob = hs.serialize_database(db)
     print(f"Bytecode size:        {hs.database_size(db)} bytes")
-    print(f"Database CRC:         0x{0:08x}")
+    # the serialized header embeds the payload CRC at bytes 8:12
+    # (database.serialize); report it like the reference's hsbench
+    print(f"Database CRC:         "
+          f"0x{int.from_bytes(blob[8:12], 'little'):08x}")
     print(f"Scratch size:         {hs.scratch_size(hs.alloc_scratch(db))} bytes")
     print(f"Compile time:         {compile_s:.3f} seconds")
     print(f"Corpus size:          {total_bytes} bytes "
