@@ -476,6 +476,35 @@ def _finalize_batch(
 ) -> Tuple[List[Match], bool]:
     """Vectorized report semantics for the no-combination case."""
     minoff, maxoff, minlen, flags, extid = _pattern_arrays(db)
+    if not batch.ranges and len(batch.eids) <= 8:
+        # scalar fast path: the numpy pipeline below has ~15 ops of fixed
+        # overhead, which dominates the (common) tiny-batch case —
+        # streaming writes typically deliver a handful of records
+        out: List[Match] = []
+        for e, t, f in zip(batch.eids.tolist(), batch.tos.tolist(),
+                           batch.frms.tolist()):
+            flv = int(flags[e])
+            if t < minoff[e] or t > maxoff[e]:
+                continue
+            ml = int(minlen[e])
+            if ml and (t - f) < ml:
+                continue
+            if flv & HS_FLAG_QUIET:
+                continue
+            if flv & HS_FLAG_SINGLEMATCH:
+                if e in seen_single:
+                    continue
+                seen_single.add(int(e))
+            frm = 0
+            if flv & HS_FLAG_SOM_LEFTMOST:
+                frm = int(f)
+                if som_horizon is not None and t - f > som_horizon:
+                    frm = HS_OFFSET_PAST_HORIZON
+            m = (int(extid[e]), frm, int(t))
+            out.append(m)
+            if callback is not None and callback(m[0], m[1], m[2], 0):
+                return out, True
+        return out, False
     if batch.ranges and any(
         flags[e] & HS_FLAG_SINGLEMATCH for (e, _l, _h) in batch.ranges
     ):
