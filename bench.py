@@ -143,7 +143,11 @@ def run_config(n_patterns: int, hs, jax, jnp):
         return len(ms)
 
     host_corpora = [_gen_host(n, s) for s in range(ITERS + 1)]
-    nm = finish_scan(start_scan(0), host_corpora[0])  # warm compile
+    # warm the full batched cycle: the scan kernels AND the ITERS-way
+    # result-concat computation must be compiled before the timed loop
+    warm_handles = [start_scan(0) for _ in range(ITERS)]
+    warm_gots = teddy_confirm_fetch_many(warm_handles)
+    nm = finish_scan(warm_handles[0], host_corpora[0], got=warm_gots[0])
     assert nm >= len(_PLANTS), f"warmup found only {nm} matches"
 
     # full-pipeline dispatch + ONE batched result fetch: all scans are

@@ -81,6 +81,17 @@ def _build() -> Optional[ctypes.CDLL]:
         _I64P, _I64P, _U8P, _U8P,
         _I64P, _I64P, ctypes.c_int64,
     ]
+    lib.hstpu_validate_windows.restype = ctypes.c_int64
+    lib.hstpu_validate_windows.argtypes = [
+        _U8P, ctypes.c_int64,
+        _I64P, _I64P, _I64P, _I64P, ctypes.c_int64,
+        _I64P, _I64P, _U8P, _U8P,
+        _I64P, ctypes.c_int64,
+        _I32P, ctypes.c_int32, _I32P, _I32P, _I32P,
+        _I64P, _I64P, _I64P,
+        _I64P, _I64P, _I64P,
+        _I64P, _I64P, _I64P, ctypes.c_int64,
+    ]
     lib.hstpu_dfa_scan_one.restype = ctypes.c_int64
     lib.hstpu_dfa_scan_one.argtypes = [
         _I32P, ctypes.c_int32, _I32P, _I32P,
@@ -362,6 +373,99 @@ def _confirm_c_tables(lit):
         np.ascontiguousarray(atom_masks),
     )
     return lit._confirm_c
+
+
+def _validate_c_tables(lit):
+    """Pack the global validator tables (lit_runtime._packed_validators)
+    plus per-validator accept-set expansion arrays into C form."""
+    if hasattr(lit, "_vc_tables"):
+        return lit._vc_tables
+    from ..runtime.lit_runtime import _packed_validators
+
+    pack = _packed_validators(lit)
+    if pack is None:
+        lit._vc_tables = None
+        return None
+    (vid_arr, _trans_all, _acc_all, acce_all, b2c_all, start_g, float_g,
+     shim) = pack
+    eids = sorted(e for e in lit.validators if e not in lit.rev_validators)
+    V = len(eids)
+    vset_base = np.zeros(V, np.int64)
+    exp_off = [0]
+    exp_e: list = []
+    exp_a: list = []
+    base_sets = 0
+    for i, e in enumerate(eids):
+        v = lit.validators[e]
+        vset_base[i] = base_sets
+        ns = len(v.set_offsets) - 1
+        for k in range(ns):
+            lo, hi = int(v.set_offsets[k]), int(v.set_offsets[k + 1])
+            exp_e.extend(int(x) for x in v.set_exprs[lo:hi])
+            exp_a.extend(int(x) for x in v.set_adjusts[lo:hi])
+            exp_off.append(len(exp_e))
+        base_sets += ns
+    lit._vc_tables = (
+        np.ascontiguousarray(vid_arr, dtype=np.int64),
+        np.ascontiguousarray(shim.trans),
+        np.int32(shim.trans.shape[1]),
+        np.ascontiguousarray(shim.accept_id),
+        np.ascontiguousarray(acce_all, dtype=np.int32),
+        np.ascontiguousarray(b2c_all, dtype=np.int32),
+        np.ascontiguousarray(start_g, dtype=np.int64),
+        np.ascontiguousarray(float_g, dtype=np.int64),
+        np.ascontiguousarray(vset_base),
+        np.ascontiguousarray(exp_off, dtype=np.int64),
+        np.ascontiguousarray(exp_e, dtype=np.int64),
+        np.ascontiguousarray(exp_a, dtype=np.int64),
+    )
+    return lit._vc_tables
+
+
+def validate_windows_native(
+    lit, corpus, eidx_w, ws, we, b_w,
+    block_starts, block_ends, block_anchored, block_final,
+):
+    """Native batched window validation. Returns a set of
+    (block, expr, to_local, 0) records, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tabs = _validate_c_tables(lit)
+    if tabs is None:
+        return None
+    (vid_arr, trans, cmax, acc, acce, b2c, start_g, float_g, vset_base,
+     exp_off, exp_e, exp_a) = tabs
+    corpus = np.ascontiguousarray(corpus)
+    eidx_w = np.ascontiguousarray(eidx_w, dtype=np.int64)
+    ws = np.ascontiguousarray(ws, dtype=np.int64)
+    we = np.ascontiguousarray(we, dtype=np.int64)
+    b_w = np.ascontiguousarray(b_w, dtype=np.int64)
+    bs = np.ascontiguousarray(block_starts, dtype=np.int64)
+    be = np.ascontiguousarray(block_ends, dtype=np.int64)
+    anch = np.ascontiguousarray(block_anchored, dtype=np.uint8)
+    final = np.ascontiguousarray(block_final, dtype=np.uint8)
+    cap = max(256, 4 * eidx_w.shape[0])
+    while True:
+        out_b = np.empty(cap, np.int64)
+        out_e = np.empty(cap, np.int64)
+        out_to = np.empty(cap, np.int64)
+        cnt = lib.hstpu_validate_windows(
+            corpus, corpus.shape[0],
+            eidx_w, ws, we, b_w, eidx_w.shape[0],
+            bs, be, anch, final,
+            vid_arr, vid_arr.shape[0],
+            trans, cmax, acc, acce, b2c,
+            start_g, float_g, vset_base,
+            exp_off, exp_e, exp_a,
+            out_b, out_e, out_to, cap,
+        )
+        if cnt <= cap:
+            break
+        cap = 1 << int(cnt - 1).bit_length()
+    k = int(cnt)
+    return set(zip(out_b[:k].tolist(), out_e[:k].tolist(),
+                   out_to[:k].tolist(), (0,) * k))
 
 
 def confirm_native(lit, corpus, block_starts, pos):

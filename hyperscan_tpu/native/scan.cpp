@@ -9,6 +9,7 @@
 // Built with build.py (g++ -O3 -shared); loaded via ctypes; every entry
 // point has a numpy fallback with identical semantics.
 
+#include <algorithm>
 #include <cstdint>
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -394,6 +395,112 @@ int64_t hstpu_dfa_scan_one(
         }
     }
     *final_state = state;
+    return cnt;
+}
+
+// Batched window validation over the packed per-pattern validator DFAs
+// (reference: the rose literal program running role checks around a
+// literal hit, src/rose/program_runtime.c — here a bounded window
+// re-scan with the pattern's own scanning DFA). Windows arrive
+// unsorted; they are sorted by (pattern, block, start), overlapping
+// windows of one (pattern, block) merge, and each merged window scans
+// once from the float (or anchored) entry state, emitting bounds-
+// checked (block, expr, to_local) records through the accept-set
+// expansion tables. Returns the true record count (may exceed cap).
+int64_t hstpu_validate_windows(
+    const uint8_t* corpus, int64_t n,
+    const int64_t* eidx_w, const int64_t* ws_a, const int64_t* we_a,
+    const int64_t* b_w, int64_t nw,
+    const int64_t* block_starts, const int64_t* block_ends,
+    const uint8_t* block_anchored, const uint8_t* block_final,
+    const int64_t* vid_arr, int64_t vid_len,   // expr idx -> validator id
+    const int32_t* trans_all, int32_t cmax,    // [S_total, cmax], global ids
+    const int32_t* acc_all, const int32_t* acce_all,  // [S_total] set ids
+    const int32_t* b2c_all,                    // [V * 256]
+    const int64_t* start_g, const int64_t* float_g,   // [V] entry states
+    const int64_t* vset_base,                  // [V] global accept-set base
+    const int64_t* exp_off, const int64_t* exp_eidx, const int64_t* exp_adj,
+    int64_t* out_b, int64_t* out_e, int64_t* out_to, int64_t cap) {
+    if (nw <= 0) return 0;
+    // sort window indices by (eidx, block, start)
+    static thread_local int64_t* order = nullptr;
+    static thread_local int64_t order_cap = 0;
+    if (order_cap < nw) {
+        delete[] order;
+        order = new int64_t[nw];
+        order_cap = nw;
+    }
+    for (int64_t i = 0; i < nw; i++) order[i] = i;
+    // simple insertion-friendly merge sort via std::sort
+    struct Cmp {
+        const int64_t *e, *b, *s;
+        bool operator()(int64_t x, int64_t y) const {
+            if (e[x] != e[y]) return e[x] < e[y];
+            if (b[x] != b[y]) return b[x] < b[y];
+            return s[x] < s[y];
+        }
+    };
+    std::sort(order, order + nw, Cmp{eidx_w, b_w, ws_a});
+
+    int64_t cnt = 0;
+    int64_t i = 0;
+    while (i < nw) {
+        const int64_t e0 = eidx_w[order[i]];
+        const int64_t b0 = b_w[order[i]];
+        int64_t ws = ws_a[order[i]];
+        int64_t we = we_a[order[i]];
+        // merge overlapping/touching windows of this (pattern, block)
+        int64_t j = i + 1;
+        while (j < nw && eidx_w[order[j]] == e0 && b_w[order[j]] == b0 &&
+               ws_a[order[j]] <= we) {
+            if (we_a[order[j]] > we) we = we_a[order[j]];
+            j++;
+        }
+        i = j;
+        const int64_t vid = (e0 < vid_len) ? vid_arr[e0] : -1;
+        if (vid < 0) continue;
+        const int64_t bs = block_starts[b0];
+        const int64_t be = block_ends[b0];
+        const int64_t blen = be - bs;
+        const int32_t* b2c = b2c_all + vid * 256;
+        int64_t state = (ws == bs && block_anchored[b0])
+                            ? start_g[vid] : float_g[vid];
+        const int64_t base_to = ws - bs + 1;
+        const int64_t hi = we < n ? we : n;
+        for (int64_t p = ws; p < hi; p++) {
+            state = trans_all[state * cmax + b2c[corpus[p]]];
+            const int32_t aid = acc_all[state];
+            if (aid) {
+                const int64_t g = vset_base[vid] + aid;
+                for (int64_t k = exp_off[g]; k < exp_off[g + 1]; k++) {
+                    const int64_t to = base_to + (p - ws) + exp_adj[k];
+                    if (to < 0 || to > blen) continue;
+                    if (cnt < cap) {
+                        out_b[cnt] = b0;
+                        out_e[cnt] = exp_eidx[k];
+                        out_to[cnt] = to;
+                    }
+                    cnt++;
+                }
+            }
+        }
+        if (we == be && block_final[b0]) {
+            const int32_t aid = acce_all[state];
+            if (aid) {
+                const int64_t g = vset_base[vid] + aid;
+                for (int64_t k = exp_off[g]; k < exp_off[g + 1]; k++) {
+                    const int64_t to = blen + exp_adj[k];
+                    if (to < 0 || to > blen) continue;
+                    if (cnt < cap) {
+                        out_b[cnt] = b0;
+                        out_e[cnt] = exp_eidx[k];
+                        out_to[cnt] = to;
+                    }
+                    cnt++;
+                }
+            }
+        }
+    }
     return cnt;
 }
 

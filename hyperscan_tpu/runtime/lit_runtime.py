@@ -728,6 +728,16 @@ def validate_windows_batched(
     pack = _packed_validators(lit)
     if pack is None or eidx_w.size == 0:
         return recs
+
+    from ..native import validate_windows_native
+
+    nat = validate_windows_native(
+        lit, corpus, eidx_w, ws, we, b_w,
+        block_starts, block_ends, block_anchored, block_final,
+    )
+    if nat is not None:
+        return nat
+
     (vid_arr, trans_all, acc_all, acce_all, b2c_all, start_g, float_g,
      shim) = pack
 
