@@ -62,6 +62,74 @@ def _make_kernel(M: int, W: int, R: int):
     return kernel
 
 
+def _class_split(masks: np.ndarray):
+    """Byte->class remap + per-class mask tables, or None when the
+    alphabet does not compress below 128 classes.
+
+    Two bytes are equivalent iff every (m, w) mask word agrees on them;
+    real rulesets compress 256 bytes to a few dozen classes (the same
+    alphabet-remap idea as the DFA compiler's byte classes). The fused
+    kernel then pays ONE remap gather pair per data plane plus one
+    small-table gather per (m, w) — 2 + M*W gathers instead of 2*M*W,
+    and one alignment roll per suffix offset instead of three.
+    Returns (b2c [8, 128] int32 (rows 0-1 = bytes 0-127 / 128-255),
+    cmasks [M, W, 128] int32)."""
+    M, W, _ = masks.shape
+    stack = masks.reshape(M * W, 256).T  # [256, M*W]
+    u, inv = np.unique(stack, axis=0, return_inverse=True)
+    C = len(u)
+    if C > 128:
+        return None
+    b2c = np.zeros((8, 128), np.int32)
+    b2c[0] = inv[:128]
+    b2c[1] = inv[128:]
+    cmasks = np.zeros((M, W, 128), np.int32)
+    cmasks[:, :, :C] = u.T.reshape(M, W, C)
+    return b2c, cmasks
+
+
+@functools.lru_cache(maxsize=64)
+def _make_kernel_fused_classes(M: int, W: int, R: int):
+    """Class-remap variant of the fused filter kernel (see _class_split):
+    the data plane is remapped byte->class once, each suffix offset
+    aligns the single class plane with one roll, and each (m, w) mask
+    lookup is one gather over a <=128-entry class table. Candidate
+    output is byte-identical to the byte-table kernel."""
+    def kernel(halo_ref, body_ref, b2c_ref, cmasks_ref, out_c):
+        data = jnp.concatenate(
+            [halo_ref[0:1, :], body_ref[...]], axis=0
+        ).astype(jnp.int32)  # [R+1, 128]
+        is_lo = data < 128
+        idx_lo = jnp.where(is_lo, data, 0)
+        idx_hi = jnp.where(is_lo, 0, data - 128)
+        lo_t = jnp.broadcast_to(b2c_ref[0, :][None, :], data.shape)
+        hi_t = jnp.broadcast_to(b2c_ref[1, :][None, :], data.shape)
+        cls = jnp.where(
+            is_lo,
+            jnp.take_along_axis(lo_t, idx_lo, axis=1),
+            jnp.take_along_axis(hi_t, idx_hi, axis=1),
+        )  # [R+1, 128] class ids
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        acc = [None] * W
+        for m in range(M):
+            if m == 0:
+                cm = cls[1:, :]
+            else:
+                r = pltpu.roll(cls, m, axis=1)
+                cm = jnp.where(lane >= m, r[1:, :], r[:-1, :])
+            for w in range(W):
+                tab = jnp.broadcast_to(
+                    cmasks_ref[m, w, :][None, :], cm.shape
+                )
+                v = jnp.take_along_axis(tab, cm, axis=1)
+                acc[w] = v if acc[w] is None else (acc[w] & v)
+        cand_or = acc[0]
+        for w in range(1, W):
+            cand_or = cand_or | acc[w]
+        out_c[...] = (cand_or != 0).astype(jnp.uint8)
+    return kernel
+
+
 @functools.lru_cache(maxsize=64)
 def _make_kernel_fused(M: int, W: int, R: int):
     """Fused-path variant: emits only the cand_or plane.
@@ -322,17 +390,35 @@ def _lit_key(lit) -> int:
 
 
 def filter_confirm_body(groups, M: int, W: int, n_cells: int,
-                        cap1: int, cap2: int, interpret: bool):
+                        cap1: int, cap2: int, interpret: bool,
+                        use_classes: bool = False):
     """Traced body of the fused filter+confirm: shared by the
-    single-device jit and the shard_map multi-chip path."""
+    single-device jit and the shard_map multi-chip path.
+
+    With `use_classes`, the trailing filter-table args are the
+    (b2c, cmasks) pair from _class_split instead of the byte masks."""
     R = ROWS_PER_CELL
     cap1_chunks = max(64, cap1 // 16)
     cap2_chunks = max(64, cap2 // 16)
 
-    def run(rows_all, masks, n_valid, h_tables, f_tables):
+    def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
         body = rows_all[1:]
+        if use_classes:
+            kernel = _make_kernel_fused_classes(M, W, R)
+            tab_specs = [
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, W, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            kernel = _make_kernel_fused(M, W, R)
+            tab_specs = [
+                pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         cand_or = pl.pallas_call(
-            _make_kernel_fused(M, W, R),
+            kernel,
             interpret=interpret,
             grid=(n_cells,),
             out_shape=jax.ShapeDtypeStruct((n_cells * R, 128), jnp.uint8),
@@ -341,12 +427,10 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((R, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + tab_specs,
             out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-        )(rows_all, body, masks)
+        )(rows_all, body, *ftabs)
         N = n_cells * R * 128
         meta1, packed1 = sparse_extract(
             [], n_valid, cap1, cap1_chunks, nz=cand_or.reshape(N),
@@ -408,18 +492,44 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
 PREFETCH = 1024  # packed-pair prefix fetched together with the meta
 
 
+def dev_filter_tables(lit):
+    """Upload-once device tables for the fused filter+confirm: the
+    filter tables ((b2c, cmasks) when the alphabet compresses, else the
+    byte masks) plus the confirm hash/class tables. Cached on the lit
+    object (the dev tunnel's host->device path is slow; these are
+    immutable per database)."""
+    from ..runtime.lit_runtime import confirm_device_tables
+
+    if not hasattr(lit, "_dev_tables"):
+        groups = confirm_device_tables(lit)
+        split = _class_split(lit.masks)
+        if split is not None:
+            ftabs = tuple(jnp.asarray(x) for x in split)
+        else:
+            ftabs = (jnp.asarray(lit.masks),)
+        lit._dev_tables = (
+            ftabs,
+            tuple(jnp.asarray(g[3]) for g in groups),
+            tuple(jnp.asarray(g[4]) for g in groups),
+        )
+    return lit._dev_tables
+
+
 @functools.lru_cache(maxsize=64)
 def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
-                        cap1: int, cap2: int, interpret: bool):
+                        cap1: int, cap2: int, interpret: bool,
+                        use_classes: bool):
     from ..runtime.lit_runtime import confirm_device_tables
 
     lit = _LITS[lit_key]
     groups = confirm_device_tables(lit)
-    body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2, interpret)
+    body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
+                               interpret, use_classes=use_classes)
     pre = min(PREFETCH, cap2)
 
-    def run(rows_all, masks, n_valid, h_tables, f_tables):
-        meta, packed2 = body(rows_all, masks, n_valid, h_tables, f_tables)
+    def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
+        meta, packed2 = body(rows_all, n_valid, h_tables, f_tables,
+                             *ftabs)
         # ship meta + a pair prefix in ONE buffer: scans whose confirmed
         # set fits the prefix finish in a single ~30ms fetch round trip
         combined = jnp.concatenate(
@@ -448,19 +558,7 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     them all before finishing the first — the per-dispatch tunnel round
     trip then rides under the next scan's device compute.
     """
-    from ..runtime.lit_runtime import confirm_device_tables
-
-    groups = confirm_device_tables(lit)
-    if not hasattr(lit, "_dev_tables"):
-        # upload once: the dev tunnel's host->device path is orders of
-        # magnitude slower than a real PCIe link, and these tables are
-        # immutable per database
-        lit._dev_tables = (
-            jnp.asarray(lit.masks),
-            tuple(jnp.asarray(g[3]) for g in groups),
-            tuple(jnp.asarray(g[4]) for g in groups),
-        )
-    masks_d, h_tables, f_tables = lit._dev_tables
+    ftabs, h_tables, f_tables = dev_filter_tables(lit)
     M, W = int(lit.masks.shape[0]), int(lit.masks.shape[1])
     n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
     interpret = jax.default_backend() == "cpu"
@@ -472,9 +570,10 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     if hint:
         cap1 = max(cap1, hint[0])
         cap2 = max(cap2, hint[1])
-    run = _jit_filter_confirm(key, M, W, n_cells, cap1, cap2, interpret)
+    run = _jit_filter_confirm(key, M, W, n_cells, cap1, cap2, interpret,
+                              len(ftabs) == 2)
     combined, packed2 = run(
-        rows_all, masks_d, jnp.int32(n_valid), h_tables, f_tables
+        rows_all, jnp.int32(n_valid), h_tables, f_tables, *ftabs
     )
     return (lit, rows_all, n_valid, cap1, cap2, combined, packed2)
 

@@ -289,22 +289,25 @@ def sharded_scan_matches(engine, data: np.ndarray, lengths: np.ndarray,
 @functools.lru_cache(maxsize=32)
 def _jit_sharded_confirm(lit_key: int, mesh: Mesh, M: int, W: int,
                          n_cells: int, cap1: int, cap2: int,
-                         interpret: bool):
+                         interpret: bool, use_classes: bool):
     from ..ops.teddy import _LITS, filter_confirm_body
     from ..runtime.lit_runtime import confirm_device_tables
 
     groups = confirm_device_tables(_LITS[lit_key])
-    body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2, interpret)
+    body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
+                               interpret, use_classes=use_classes)
+    n_ftabs = 2 if use_classes else 1
 
-    def per_dev(rows, masks, nv, h_tables, f_tables):
-        meta, p2 = body(rows[0], masks, nv[0, 0], h_tables, f_tables)
+    def per_dev(rows, nv, h_tables, f_tables, *ftabs):
+        meta, p2 = body(rows[0], nv[0, 0], h_tables, f_tables, *ftabs)
         g = lambda x: jax.lax.all_gather(x, SHARD_AXIS)  # noqa: E731
         return g(meta), g(p2)
 
     fn = shard_map(
         per_dev,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS), P(), P()),
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P())
+        + tuple(P() for _ in range(n_ftabs)),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -346,7 +349,6 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
         get_capacity_hint,
         set_capacity_hint,
     )
-    from ..runtime.lit_runtime import confirm_device_tables
 
     D = mesh.devices.size
     groups_blocks = partition_blocks(blocks, D)
@@ -377,14 +379,9 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
         rows[d, : r.shape[0]] = r
         n_valid[d, 0, 0] = corpus.shape[0]
 
-    conf = confirm_device_tables(lit)
-    if not hasattr(lit, "_dev_tables"):
-        lit._dev_tables = (
-            jnp.asarray(lit.masks),
-            tuple(jnp.asarray(g[3]) for g in conf),
-            tuple(jnp.asarray(g[4]) for g in conf),
-        )
-    masks_d, h_tables, f_tables = lit._dev_tables
+    from ..ops.teddy import dev_filter_tables
+
+    ftabs, h_tables, f_tables = dev_filter_tables(lit)
     M, W = int(lit.masks.shape[0]), int(lit.masks.shape[1])
     interpret = jax.default_backend() == "cpu"
     key = _lit_key(lit)
@@ -399,8 +396,8 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
     nv_j = jnp.asarray(n_valid)
     while True:
         fn = _jit_sharded_confirm(key, mesh, M, W, n_cells, cap1, cap2,
-                                  interpret)
-        meta, p2 = fn(rows_j, masks_d, nv_j, h_tables, f_tables)
+                                  interpret, len(ftabs) == 2)
+        meta, p2 = fn(rows_j, nv_j, h_tables, f_tables, *ftabs)
         meta = np.asarray(meta)
         m2 = meta[:, 2:]
         t1 = int(meta[:, 0].max())
