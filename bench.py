@@ -23,9 +23,18 @@ hsbench doc sample of 19,241.10 Mbit/s = 2.405 GB/s
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _phase(msg: str) -> None:
+    """Wall-clock phase marker on stderr (the driver reads stdout)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 BASELINE_GBPS = 19241.10 / 8 / 1000.0  # doc sample, Mbit/s -> GB/s
 
@@ -81,6 +90,7 @@ def _gen_host(n: int, salt: int) -> np.ndarray:
 
 
 def run_config(n_patterns: int, hs, jax, jnp):
+    _phase(f"run_config({n_patterns}): compile start")
     from hyperscan_tpu.ops.teddy import (
         ROWS_PER_CELL,
         teddy_confirm_fetch_many,
@@ -97,6 +107,7 @@ def run_config(n_patterns: int, hs, jax, jnp):
     t_compile = time.perf_counter()
     db = hs.compile_multi(pats, ids=ids)
     t_compile = time.perf_counter() - t_compile
+    _phase(f"run_config({n_patterns}): compiled in {t_compile:.1f}s")
     assert db.lit is not None and not db.engines, \
         "bench set must be literal-routed"
 
@@ -125,6 +136,7 @@ def run_config(n_patterns: int, hs, jax, jnp):
     # materializing the (distinct, per-iteration) corpora in HBM before
     # the timed loop — generation cost is a tunnel-only artifact, not
     # part of any production scan path
+    _phase("device corpora gen")
     corpora_d = [gen_rows(jnp.uint32(s)) for s in range(ITERS + 1)]
     for rows in corpora_d:
         int(rows[1, 0])  # force materialization (tunnel-reliable fetch)
@@ -142,7 +154,9 @@ def run_config(n_patterns: int, hs, jax, jnp):
         ms, _ = finalize_reports(db, sink.materialize(n))
         return len(ms)
 
+    _phase("host corpora gen")
     host_corpora = [_gen_host(n, s) for s in range(ITERS + 1)]
+    _phase("warmup scans")
     # warm the full batched cycle: the scan kernels AND the ITERS-way
     # result-concat computation must be compiled before the timed loop
     warm_handles = [start_scan(0) for _ in range(ITERS)]
@@ -156,6 +170,7 @@ def run_config(n_patterns: int, hs, jax, jnp):
     # latency paid once instead of per scan); host stages run on the
     # prefetched buffers (hsbench analogue: repeated corpus scans whose
     # results are aggregated)
+    _phase("timed loop")
     t0 = time.perf_counter()
     total_matches = 0
     handles = [start_scan(s) for s in range(1, ITERS + 1)]
@@ -176,6 +191,7 @@ def run_stream_config(hs, n_patterns: int = 10_000):
     from hyperscan_tpu.database import compile_patterns
     from hyperscan_tpu.grey import Grey
 
+    _phase("stream config: compile start")
     pats, ids = _patterns(n_patterns)
     # the dev tunnel pays ~100ms per device dispatch and cannot upload
     # per-write corpora at PCIe speeds; keep small stream writes on the
@@ -196,6 +212,7 @@ def run_stream_config(hs, n_patterns: int = 10_000):
         writes.append(chunk_set)
     streams = [hs.open_stream(db) for _ in range(S)]
     hs.scan_streams(db, streams, writes[0])  # warm
+    _phase("stream config: timed loop")
     t0 = time.perf_counter()
     nm = 0
     for r in range(1, ROUNDS):
@@ -221,6 +238,7 @@ def main() -> None:
     g100, m100, c100 = run_config(100, hs, jax, jnp)
     g10k, m10k, c10k = run_config(10_000, hs, jax, jnp)
     gs, ms_n = run_stream_config(hs)
+    _phase("done")
 
     print(
         json.dumps(
