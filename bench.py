@@ -235,9 +235,12 @@ def main() -> None:
 
     import hyperscan_tpu as hs
 
+    # stream config first: it is a pure host-path measurement, and the
+    # axon tunnel client's polling threads (which spin during/after
+    # device work) otherwise steal its CPU
+    gs, ms_n = run_stream_config(hs)
     g100, m100, c100 = run_config(100, hs, jax, jnp)
     g10k, m10k, c10k = run_config(10_000, hs, jax, jnp)
-    gs, ms_n = run_stream_config(hs)
     _phase("done")
 
     print(
