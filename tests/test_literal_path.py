@@ -172,3 +172,62 @@ def test_fused_device_confirm_equals_host_path():
     got_host = sorted(tuple(m) for m in ms)
     assert got_dev == got_host
     assert len(got_dev) >= 4
+
+
+def test_class_split_reproduces_masks():
+    """The byte->class remap + class tables must reproduce the byte
+    tables exactly (the class kernel's correctness precondition)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.ops.teddy import _class_split
+
+    pats = [w + str(i) for i, w in enumerate(
+        ["attack", "shell", "admin", "eval"] * 30)]
+    db = hs.compile_multi(pats, ids=list(range(len(pats))))
+    masks = db.lit.masks
+    split = _class_split(masks)
+    assert split is not None
+    b2c, cmasks = split
+    M, W, _ = masks.shape
+    cls = np.concatenate([b2c[0], b2c[1]])  # [256]
+    for m in range(M):
+        for w in range(W):
+            assert np.array_equal(masks[m, w], cmasks[m, w][cls]), (m, w)
+
+
+def test_fetch_many_equals_per_scan_finish():
+    """teddy_confirm_fetch_many must hand each scan the same buffer a
+    per-scan fetch would have produced."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.ops.teddy import (
+        corpus_to_rows,
+        teddy_confirm_fetch_many,
+        teddy_confirm_finish,
+        teddy_confirm_start,
+    )
+
+    db = hs.compile_multi(["attack0", "shell42"], ids=[1, 2])
+    rng = np.random.default_rng(9)
+    corpora = []
+    for s in range(3):
+        c = (32 + rng.integers(0, 95, size=40_000)).astype(np.uint8)
+        c[100 + s: 107 + s] = np.frombuffer(b"attack0", np.uint8)[:7]
+        corpora.append(c)
+    handles = [
+        teddy_confirm_start(jnp.asarray(corpus_to_rows(c)), db.lit,
+                            c.shape[0])
+        for c in corpora
+    ]
+    gots = teddy_confirm_fetch_many(handles)
+    for h, g, c in zip(handles, gots, corpora):
+        fid_b, p_b = teddy_confirm_finish(h, got=g)
+        h2 = teddy_confirm_start(
+            jnp.asarray(corpus_to_rows(c)), db.lit, c.shape[0]
+        )
+        fid_r, p_r = teddy_confirm_finish(h2)
+        assert sorted(zip(fid_b.tolist(), p_b.tolist())) == \
+            sorted(zip(fid_r.tolist(), p_r.tolist()))
