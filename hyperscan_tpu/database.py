@@ -735,6 +735,7 @@ class Database:
             from .runtime.lit_runtime import _packed_validators
 
             _packed_validators(lit)
+            _pack_native_tables(lit)
         return cls(
             mode=int(meta["mode"]), patterns=patterns, engines=engines,
             lit=lit, target=meta.get("target"),
@@ -1627,5 +1628,17 @@ def compile_patterns(
         from .runtime.lit_runtime import _packed_validators
 
         _packed_validators(lit)
+        _pack_native_tables(lit)
     return Database(mode=mode, patterns=patterns, engines=engines, lit=lit,
                     target=platform, host_scan_limit=grey.host_scan_limit)
+
+
+def _pack_native_tables(lit) -> None:
+    """Eagerly pack the native (C) confirm + validation tables so no scan
+    pays the packing cost (same policy as _packed_validators: the whole
+    run-side blob exists at end of compile, reference buildFinalEngine)."""
+    from .native import _confirm_c_tables, _validate_c_tables, get_lib
+
+    if get_lib() is not None:
+        _confirm_c_tables(lit)
+        _validate_c_tables(lit)
