@@ -120,6 +120,25 @@ class RecordSink:
         records are dropped. SOM patterns' ranges expand here with
         frm == to (an empty match starts where it ends) so the min-merge
         can prefer real matches' leftmost starts."""
+        if not self.batches and not self.ranges and len(self.single) <= 16:
+            # scalar fast path: a handful of point records (the common
+            # streaming-write case) — the numpy pipeline below has ~20
+            # fixed-cost array ops that dominate tiny batches. Sorting
+            # by (to, eid, frm) and keeping the first (to, eid) is the
+            # same min-merge + offset order as the lexsort path.
+            rows = []
+            last = None
+            for (t, e, f) in sorted((t, e, f) for (e, t, f) in self.single):
+                if t < 0 or (n is not None and t > n):
+                    continue
+                if (t, e) != last:
+                    rows.append((e, t, f))
+                    last = (t, e)
+            if not rows:
+                z = np.zeros(0, dtype=np.int64)
+                return RecordBatch(z, z, z, [])
+            arr = np.asarray(rows, dtype=np.int64)
+            return RecordBatch(arr[:, 0], arr[:, 1], arr[:, 2], [])
         es: List[np.ndarray] = []
         ts: List[np.ndarray] = []
         fs: List[np.ndarray] = []

@@ -492,7 +492,7 @@ def scan_streams(
             from .scan import RecordSink
 
             sink = RecordSink()
-            sink.single = {(e, t, f) for (e, t, f) in recs_abs[bi]}
+            sink.single = recs_abs[bi]
             for (eid, lo, hi) in ranges_abs[bi]:
                 sink.add_range(eid, lo, hi)
             ms, terminated = finalize_reports(
