@@ -21,10 +21,20 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
-_I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
-_I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
-_U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
-_U64P = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+# array params are declared c_void_p and passed as raw .ctypes.data
+# addresses: ndpointer's from_param validation is Python-level and costs
+# ~7 us per argument per call, which dominates small streaming writes
+# (25+ array args cross the boundary per write batch). Every call site
+# guarantees dtype/contiguity via ascontiguousarray right before the
+# call; the _ptr helper is the single choke point.
+_I32P = ctypes.c_void_p
+_I64P = ctypes.c_void_p
+_U8P = ctypes.c_void_p
+_U64P = ctypes.c_void_p
+
+
+def _ptr(arr: np.ndarray) -> int:
+    return arr.ctypes.data
 
 
 def _build() -> Optional[ctypes.CDLL]:
@@ -157,7 +167,7 @@ def dfa_scan_batch_native(engine, data, lengths, init_states):
         return None
     trans, b2c, accept_id = _engine_c_arrays(engine)
     B, L = data.shape
-    data = np.ascontiguousarray(data)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
     lengths = np.ascontiguousarray(lengths, dtype=np.int32)
     states = np.ascontiguousarray(init_states, dtype=np.int32).copy()
     cap = 4096
@@ -167,9 +177,9 @@ def dfa_scan_batch_native(engine, data, lengths, init_states):
         out_aid = np.empty(cap, np.int32)
         states_run = states.copy()
         n = lib.hstpu_dfa_scan_batch(
-            trans, trans.shape[1], b2c, accept_id,
-            data, B, L, lengths, states_run,
-            out_row, out_pos, out_aid, cap,
+            _ptr(trans), trans.shape[1], _ptr(b2c), _ptr(accept_id),
+            _ptr(data), B, L, _ptr(lengths), _ptr(states_run),
+            _ptr(out_row), _ptr(out_pos), _ptr(out_aid), cap,
         )
         if n <= cap:
             break
@@ -201,7 +211,7 @@ def bitnfa_scan_batch_native(engine, data, lengths, init_states):
         return None
     P = engine.num_positions
     B, L = data.shape
-    data = np.ascontiguousarray(data)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
     lengths = np.ascontiguousarray(lengths, dtype=np.int32)
     gid = np.ascontiguousarray(engine.accept_gid, dtype=np.int32)
     b2c = np.ascontiguousarray(engine.byte_to_class, dtype=np.int32)
@@ -220,9 +230,11 @@ def bitnfa_scan_batch_native(engine, data, lengths, init_states):
         states = states0.copy()
         starts = starts0.copy()
         n = lib.hstpu_bitnfa_scan_batch(
-            follow_w, reach_w, b2c, gid, acc_any, float_w, anch_w,
-            P, KW, data, B, L, lengths, states, starts,
-            out_row, out_pos, out_bits, cap,
+            _ptr(follow_w), _ptr(reach_w), _ptr(b2c), _ptr(gid),
+            _ptr(acc_any), _ptr(float_w), _ptr(anch_w),
+            P, KW, _ptr(data), B, L, _ptr(lengths), _ptr(states),
+            _ptr(starts),
+            _ptr(out_row), _ptr(out_pos), _ptr(out_bits), cap,
         )
         if n <= cap:
             break
@@ -275,7 +287,7 @@ def somnfa_scan_batch_native(engine, data, lengths, init_states,
     succ_off, succ_idx, ent, ent_hop, anc, anc_hop = _som_c_arrays(engine)
     gid = np.ascontiguousarray(engine.accept_gid, dtype=np.int32)
     b2c = np.ascontiguousarray(engine.byte_to_class, dtype=np.int32)
-    data = np.ascontiguousarray(data)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
     lengths = np.ascontiguousarray(lengths, dtype=np.int32)
     base = np.ascontiguousarray(base_offsets, dtype=np.int64)
     INF = np.int64((1 << 63) - 1)
@@ -304,11 +316,13 @@ def somnfa_scan_batch_native(engine, data, lengths, init_states,
         soms = soms0.copy()
         starts = starts0.copy()
         n = lib.hstpu_somnfa_scan_batch(
-            reach_w, b2c, succ_off, succ_idx,
-            ent, ent_hop, len(ent), anc, anc_hop, len(anc),
-            gid, P, KW, data, B, L, lengths, base,
-            states, soms, starts,
-            out_row, out_pos, out_gid, out_frm, cap,
+            _ptr(reach_w), _ptr(b2c), _ptr(succ_off), _ptr(succ_idx),
+            _ptr(ent), _ptr(ent_hop), len(ent), _ptr(anc), _ptr(anc_hop),
+            len(anc),
+            _ptr(gid), P, KW, _ptr(data), B, L, _ptr(lengths), _ptr(base),
+            _ptr(states), _ptr(soms), _ptr(starts),
+            _ptr(out_row), _ptr(out_pos), _ptr(out_gid), _ptr(out_frm),
+            cap,
         )
         if n <= cap:
             break
@@ -436,7 +450,7 @@ def validate_windows_native(
         return None
     (vid_arr, trans, cmax, acc, acce, b2c, start_g, float_g, vset_base,
      exp_off, exp_e, exp_a) = tabs
-    corpus = np.ascontiguousarray(corpus)
+    corpus = np.ascontiguousarray(corpus, dtype=np.uint8)
     eidx_w = np.ascontiguousarray(eidx_w, dtype=np.int64)
     ws = np.ascontiguousarray(ws, dtype=np.int64)
     we = np.ascontiguousarray(we, dtype=np.int64)
@@ -451,14 +465,14 @@ def validate_windows_native(
         out_e = np.empty(cap, np.int64)
         out_to = np.empty(cap, np.int64)
         cnt = lib.hstpu_validate_windows(
-            corpus, corpus.shape[0],
-            eidx_w, ws, we, b_w, eidx_w.shape[0],
-            bs, be, anch, final,
-            vid_arr, vid_arr.shape[0],
-            trans, cmax, acc, acce, b2c,
-            start_g, float_g, vset_base,
-            exp_off, exp_e, exp_a,
-            out_b, out_e, out_to, cap,
+            _ptr(corpus), corpus.shape[0],
+            _ptr(eidx_w), _ptr(ws), _ptr(we), _ptr(b_w), eidx_w.shape[0],
+            _ptr(bs), _ptr(be), _ptr(anch), _ptr(final),
+            _ptr(vid_arr), vid_arr.shape[0],
+            _ptr(trans), cmax, _ptr(acc), _ptr(acce), _ptr(b2c),
+            _ptr(start_g), _ptr(float_g), _ptr(vset_base),
+            _ptr(exp_off), _ptr(exp_e), _ptr(exp_a),
+            _ptr(out_b), _ptr(out_e), _ptr(out_to), cap,
         )
         if cnt <= cap:
             break
@@ -476,7 +490,7 @@ def confirm_native(lit, corpus, block_starts, pos):
         return None
     (G, grp_cl, grp_mask, grp_off, grp_vals, grp_fids, flen,
      atom_off, atom_vals, atom_masks) = _confirm_c_tables(lit)
-    corpus = np.ascontiguousarray(corpus)
+    corpus = np.ascontiguousarray(corpus, dtype=np.uint8)
     block_starts = np.ascontiguousarray(block_starts, dtype=np.int64)
     pos = np.ascontiguousarray(pos, dtype=np.int64)
     n = corpus.shape[0]
@@ -485,11 +499,12 @@ def confirm_native(lit, corpus, block_starts, pos):
         out_fid = np.empty(cap, np.int64)
         out_pos = np.empty(cap, np.int64)
         cnt = lib.hstpu_confirm(
-            corpus, n, block_starts, block_starts.shape[0],
-            pos, pos.shape[0], G,
-            grp_cl, grp_mask, grp_off, grp_vals, grp_fids,
-            flen, atom_off, atom_vals, atom_masks,
-            out_fid, out_pos, cap,
+            _ptr(corpus), n, _ptr(block_starts), block_starts.shape[0],
+            _ptr(pos), pos.shape[0], G,
+            _ptr(grp_cl), _ptr(grp_mask), _ptr(grp_off), _ptr(grp_vals),
+            _ptr(grp_fids),
+            _ptr(flen), _ptr(atom_off), _ptr(atom_vals), _ptr(atom_masks),
+            _ptr(out_fid), _ptr(out_pos), cap,
         )
         if cnt <= cap:
             break
@@ -588,7 +603,7 @@ def teddy_filter_native(corpus, masks):
     # loop (one L1 bit test per byte) wins once most blocks survive
     use_nib = nib_survival < 0.04 or pair_tab is None
     masks = np.ascontiguousarray(masks, dtype=np.int32)
-    corpus = np.ascontiguousarray(corpus)
+    corpus = np.ascontiguousarray(corpus, dtype=np.uint8)
     n = corpus.shape[0]
     cap = max(1024, n // 64)
     zero_pair = np.zeros(0, np.uint8)
@@ -597,13 +612,15 @@ def teddy_filter_native(corpus, masks):
         out_words = np.empty((W, cap), np.int32)
         if use_nib:
             cnt = lib.hstpu_teddy_filter_nib(
-                masks, M, W,
-                pair_tab if pair_tab is not None else zero_pair,
-                nib, corpus, n, out_pos, out_words, cap,
+                _ptr(masks), M, W,
+                _ptr(pair_tab if pair_tab is not None else zero_pair),
+                _ptr(nib), _ptr(corpus), n, _ptr(out_pos),
+                _ptr(out_words), cap,
             )
         else:
             cnt = lib.hstpu_teddy_filter_pair(
-                masks, M, W, pair_tab, corpus, n, out_pos, out_words, cap,
+                _ptr(masks), M, W, _ptr(pair_tab), _ptr(corpus), n,
+                _ptr(out_pos), _ptr(out_words), cap,
             )
         if cnt <= cap:
             break

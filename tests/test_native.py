@@ -76,15 +76,17 @@ def test_teddy_filter_both_gates_equal_numpy(built):
     M, W, _ = masks.shape
     pair = native._pair_table(plan.masks)
     nib, _surv = native._nib_tables(plan.masks)
+    _p = native._ptr
     for fn, args in (
-        (lib.hstpu_teddy_filter_nib, (masks, M, W, pair, nib)),
-        (lib.hstpu_teddy_filter_pair, (masks, M, W, pair)),
+        (lib.hstpu_teddy_filter_nib,
+         (_p(masks), M, W, _p(pair), _p(nib))),
+        (lib.hstpu_teddy_filter_pair, (_p(masks), M, W, _p(pair))),
     ):
         cap = 1 << 14
         out_pos = np.empty(cap, np.int64)
         out_words = np.empty((W, cap), np.int32)
-        cnt = int(fn(*args, corpus, corpus.shape[0],
-                     out_pos, out_words, cap))
+        cnt = int(fn(*args, _p(corpus), corpus.shape[0],
+                     _p(out_pos), _p(out_words), cap))
         assert cnt <= cap
         assert np.array_equal(out_pos[:cnt], ref_pos)
         assert np.array_equal(out_words[:, :cnt], ref_words)
