@@ -78,6 +78,11 @@ def _build() -> Optional[ctypes.CDLL]:
         _I32P, ctypes.c_int32, ctypes.c_int32, _U8P,
         _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
     ]
+    lib.hstpu_teddy_filter_pair8.restype = ctypes.c_int64
+    lib.hstpu_teddy_filter_pair8.argtypes = [
+        _I32P, ctypes.c_int32, ctypes.c_int32, _U8P,
+        _U8P, ctypes.c_int64, _I64P, _I32P, ctypes.c_int64,
+    ]
     lib.hstpu_teddy_filter_nib.restype = ctypes.c_int64
     lib.hstpu_teddy_filter_nib.argtypes = [
         _I32P, ctypes.c_int32, ctypes.c_int32, _U8P, _U8P,
@@ -543,6 +548,30 @@ def _pair_table(masks: np.ndarray) -> np.ndarray:
     return tab
 
 
+_pair8_tabs: dict = {}
+
+
+def _pair_table8(masks: np.ndarray) -> np.ndarray:
+    """64 KB byte table of exact mask-row-0,1 joint survival, indexed by
+    the same (c[i] << 8 | c[i-1]) key as _pair_table. One byte load per
+    position beats the bit table's load+shift+mask extraction; the table
+    stays L2-resident per database."""
+    ent = _pair8_tabs.get(id(masks))
+    if ent is not None and ent[0] is masks:
+        return ent[1]
+    W = masks.shape[1]
+    alive = np.zeros((256, 256), dtype=bool)  # [x0 (byte at i), x1 (i-1)]
+    for w in range(W):
+        r0 = masks[0, w].astype(np.int64)
+        r1 = masks[1, w].astype(np.int64)
+        alive |= (r0[:, None] & r1[None, :]) != 0
+    tab = np.ascontiguousarray(alive.reshape(-1).astype(np.uint8))
+    if len(_pair8_tabs) > 16:
+        _pair8_tabs.clear()
+    _pair8_tabs[id(masks)] = (masks, tab)
+    return tab
+
+
 _nib_tabs: dict = {}
 
 
@@ -598,9 +627,11 @@ def teddy_filter_native(corpus, masks):
         return None
     M, W, _ = masks.shape
     pair_tab = _pair_table(masks) if M >= 2 else None  # key on caller's array
+    pair8_tab = _pair_table8(masks) if M >= 2 else None
     nib, nib_survival = _nib_tables(masks)
     # dense mask sets saturate the 8-super-bucket gate; the scalar pair
-    # loop (one L1 bit test per byte) wins once most blocks survive
+    # loop (one L1/L2 byte load per position) wins once most blocks
+    # survive
     use_nib = nib_survival < 0.04 or pair_tab is None
     masks = np.ascontiguousarray(masks, dtype=np.int32)
     corpus = np.ascontiguousarray(corpus, dtype=np.uint8)
@@ -618,8 +649,8 @@ def teddy_filter_native(corpus, masks):
                 _ptr(out_words), cap,
             )
         else:
-            cnt = lib.hstpu_teddy_filter_pair(
-                _ptr(masks), M, W, _ptr(pair_tab), _ptr(corpus), n,
+            cnt = lib.hstpu_teddy_filter_pair8(
+                _ptr(masks), M, W, _ptr(pair8_tab), _ptr(corpus), n,
                 _ptr(out_pos), _ptr(out_words), cap,
             )
         if cnt <= cap:
