@@ -77,10 +77,12 @@ def test_teddy_filter_both_gates_equal_numpy(built):
     pair = native._pair_table(plan.masks)
     nib, _surv = native._nib_tables(plan.masks)
     _p = native._ptr
+    pair8 = native._pair_table8(plan.masks)
     for fn, args in (
         (lib.hstpu_teddy_filter_nib,
          (_p(masks), M, W, _p(pair), _p(nib))),
         (lib.hstpu_teddy_filter_pair, (_p(masks), M, W, _p(pair))),
+        (lib.hstpu_teddy_filter_pair8, (_p(masks), M, W, _p(pair8))),
     ):
         cap = 1 << 14
         out_pos = np.empty(cap, np.int64)
