@@ -102,5 +102,15 @@ from .flags import (  # noqa: F401
     UNBOUNDED,
 )
 from .runtime.scan import Match, Scratch, scan_batch  # noqa: F401
+from .runtime.streamset import (  # noqa: F401
+    StreamSet,
+    close_streamset,
+    open_streamset,
+    scan_streamset,
+    streamset_load,
+    streamset_stream,
+    streamset_write_finish,
+    streamset_write_start,
+)
 
 __version__ = "0.1.0"
