@@ -227,7 +227,8 @@ def _jit_filter(M: int, W: int, n_cells: int, capacity: int, cap_chunks: int,
     return jax.jit(run)
 
 
-def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int, nz=None):
+def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int, nz=None,
+                   chunk: int = 256):
     """Two-level sparse extraction of nonzero entries from flat planes.
 
     A flat cumsum+scatter over the whole plane costs ~1.3s/128MB on TPU
@@ -250,7 +251,7 @@ def sparse_extract(flats, n_valid, capacity: int, cap_chunks: int, nz=None):
         for f in flats[1:]:
             nz = nz | f
     N = nz.shape[0]
-    CHUNK = 256  # finer chunks: the hit-chunk gather cost per candidate
+    CHUNK = chunk  # finer chunks: the hit-chunk gather cost per candidate
     # is CHUNK lookups, and XLA gathers run ~130M lookups/s on TPU
     nchunk = N // CHUNK
     chunk_counts = (nz != 0).astype(jnp.int32).reshape(nchunk, CHUNK).sum(axis=1)
@@ -389,17 +390,29 @@ def _lit_key(lit) -> int:
     return lit._teddy_key
 
 
+EXTRACT_CHUNK = 256  # candidate-extraction chunk (bytes per hit-chunk gather)
+
+
 def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                         cap1: int, cap2: int, interpret: bool,
-                        use_classes: bool = False):
+                        use_classes: bool = False,
+                        cap1_chunks: int = None, cap2_chunks: int = None):
     """Traced body of the fused filter+confirm: shared by the
     single-device jit and the shard_map multi-chip path.
 
     With `use_classes`, the trailing filter-table args are the
-    (b2c, cmasks) pair from _class_split instead of the byte masks."""
+    (b2c, cmasks) pair from _class_split instead of the byte masks.
+
+    The chunk capacities (hit-chunk budgets of the two sparse
+    extractions) are decoupled from the value capacities: spread
+    candidates hit the chunk budget at one per chunk, and every stage
+    after the filter costs work proportional to these four caps, so the
+    caller right-sizes them from learned observations."""
     R = ROWS_PER_CELL
-    cap1_chunks = max(64, cap1 // 16)
-    cap2_chunks = max(64, cap2 // 16)
+    if cap1_chunks is None:
+        cap1_chunks = max(64, cap1 // 16)
+    if cap2_chunks is None:
+        cap2_chunks = max(64, cap2 // 16)
 
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
         body = rows_all[1:]
@@ -434,6 +447,7 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
         N = n_cells * R * 128
         meta1, packed1 = sparse_extract(
             [], n_valid, cap1, cap1_chunks, nz=cand_or.reshape(N),
+            chunk=EXTRACT_CHUNK,
         )
         pos = packed1[0]  # [cap1] candidate flat positions (0 = dead)
         have = (
@@ -517,14 +531,16 @@ def dev_filter_tables(lit):
 
 @functools.lru_cache(maxsize=64)
 def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
-                        cap1: int, cap2: int, interpret: bool,
+                        caps: tuple, interpret: bool,
                         use_classes: bool):
     from ..runtime.lit_runtime import confirm_device_tables
 
     lit = _LITS[lit_key]
     groups = confirm_device_tables(lit)
+    cap1, c1ch, cap2, c2ch = caps
     body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
-                               interpret, use_classes=use_classes)
+                               interpret, use_classes=use_classes,
+                               cap1_chunks=c1ch, cap2_chunks=c2ch)
     pre = min(PREFETCH, cap2)
 
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
@@ -538,6 +554,39 @@ def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
         return combined, packed2
 
     return jax.jit(run)
+
+
+def _p2(n: int) -> int:
+    return 1 << max(0, n - 1).bit_length()
+
+
+# observed-count floors keeping every post-filter stage's work
+# proportional to the real candidate load, not a static worst case
+_CAP_FLOORS = (1024, 512, 1024, 256)
+
+
+def _caps_for(lit, capacity: int) -> tuple:
+    """(cap1, cap1_chunks, cap2, cap2_chunks) for the next dispatch.
+
+    Learned from the running max of observed (total, n_hit) pairs: every
+    stage after the filter costs work proportional to these caps (tail
+    gathers, hash probes, hit-chunk gathers), so right-sizing them to
+    ~2x the observed load is worth a one-time recompile (reference
+    analogue: scratch sized at compile from engine counts)."""
+    obs = getattr(lit, "_cap_obs", None)
+    if obs is None:
+        return (max(capacity, _CAP_FLOORS[0]),
+                max(capacity // 4, _CAP_FLOORS[1]),
+                max(capacity // 4, _CAP_FLOORS[2]),
+                max(capacity // 16, _CAP_FLOORS[3]))
+    return tuple(
+        max(f, _p2(2 * o)) for f, o in zip(_CAP_FLOORS, obs)
+    )
+
+
+def _observe_caps(lit, t1, h1, t2, h2) -> None:
+    obs = getattr(lit, "_cap_obs", (0, 0, 0, 0))
+    lit._cap_obs = tuple(max(a, b) for a, b in zip(obs, (t1, h1, t2, h2)))
 
 
 def teddy_confirm_scan(
@@ -564,18 +613,13 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     interpret = jax.default_backend() == "cpu"
     key = _lit_key(lit)
 
-    cap1 = capacity
-    cap2 = max(1 << 12, capacity // 4)
-    hint = get_capacity_hint(lit, "teddy_c")
-    if hint:
-        cap1 = max(cap1, hint[0])
-        cap2 = max(cap2, hint[1])
-    run = _jit_filter_confirm(key, M, W, n_cells, cap1, cap2, interpret,
+    caps = _caps_for(lit, capacity)
+    run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
                               len(ftabs) == 2)
     combined, packed2 = run(
         rows_all, jnp.int32(n_valid), h_tables, f_tables, *ftabs
     )
-    return (lit, rows_all, n_valid, cap1, cap2, combined, packed2)
+    return (lit, rows_all, n_valid, caps, combined, packed2)
 
 
 def teddy_confirm_finish(handle, got: np.ndarray = None
@@ -588,25 +632,23 @@ def teddy_confirm_finish(handle, got: np.ndarray = None
     teddy_confirm_fetch_many)."""
     from ..runtime.lit_runtime import expand_confirm_classes
 
-    (lit, rows_all, n_valid, cap1, cap2, combined, packed2) = handle
+    (lit, rows_all, n_valid, caps, combined, packed2) = handle
     while True:
+        cap1, c1ch, cap2, c2ch = caps
         pre = min(PREFETCH, cap2)
         if got is None:
             got = np.asarray(combined)  # ONE fetch: meta + pair prefix
-        t1, _h1, t2, _h2 = (int(x) for x in got[:4])
-        if t1 <= cap1 and t2 <= cap2:
+        t1, h1, t2, h2 = (int(x) for x in got[:4])
+        # record the observed load: the next dispatch right-sizes every
+        # cap to ~2x the running max (chunk capacities overflow
+        # independently of the totals — spread candidates hit the chunk
+        # budget at one per chunk, and sparse_extract clamps past it)
+        _observe_caps(lit, t1, h1, t2, h2)
+        if t1 <= cap1 and t2 <= cap2 and h1 <= c1ch and h2 <= c2ch:
             break
-        if t1 > cap1:
-            cap1 = 1 << (t1 - 1).bit_length()
-        if t2 > cap2:
-            cap2 = 1 << (t2 - 1).bit_length()
-        # persist the raised caps so the re-dispatch (which reads the
-        # hint) sizes both buffers correctly
-        set_capacity_hint(lit, "teddy_c", cap1, cap2)
-        handle = teddy_confirm_start(rows_all, lit, n_valid, cap1)
-        (lit, rows_all, n_valid, cap1, cap2, combined, packed2) = handle
+        handle = teddy_confirm_start(rows_all, lit, n_valid)
+        (lit, rows_all, n_valid, caps, combined, packed2) = handle
         got = None
-    set_capacity_hint(lit, "teddy_c", cap1, cap2)
     k = min(t2, cap2)
     if k == 0:
         z = np.zeros(0, dtype=np.int64)
@@ -637,8 +679,8 @@ def teddy_confirm_fetch_many(handles):
 
     if not handles:
         return []
-    sizes = [int(h[5].shape[0]) for h in handles]
-    stacked = np.asarray(jnp.concatenate([h[5] for h in handles]))
+    sizes = [int(h[4].shape[0]) for h in handles]
+    stacked = np.asarray(jnp.concatenate([h[4] for h in handles]))
     outs = []
     off = 0
     for s in sizes:

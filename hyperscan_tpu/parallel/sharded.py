@@ -401,13 +401,24 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
         meta = np.asarray(meta)
         m2 = meta[:, 2:]
         t1 = int(meta[:, 0].max())
+        h1 = int(meta[:, 1].max())
         t2 = int(meta[:, 2].max())
-        if t1 <= cap1 and t2 <= cap2:
+        h2 = int(meta[:, 3].max())
+        # chunk capacities (cap//16) overflow independently of the
+        # totals: spread candidates hit them at one per chunk, and
+        # sparse_extract silently clamps past them
+        if (t1 <= cap1 and t2 <= cap2
+                and h1 <= max(64, cap1 // 16)
+                and h2 <= max(64, cap2 // 16)):
             break
         if t1 > cap1:
             cap1 = 1 << (t1 - 1).bit_length()
+        if h1 > max(64, cap1 // 16):
+            cap1 = 16 * (1 << (h1 - 1).bit_length())
         if t2 > cap2:
             cap2 = 1 << (t2 - 1).bit_length()
+        if h2 > max(64, cap2 // 16):
+            cap2 = 16 * (1 << (h2 - 1).bit_length())
     set_capacity_hint(lit, "teddy_sh", cap1, cap2)
 
     from ..runtime.lit_runtime import expand_confirm_classes

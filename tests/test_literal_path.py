@@ -231,3 +231,38 @@ def test_fetch_many_equals_per_scan_finish():
         fid_r, p_r = teddy_confirm_finish(h2)
         assert sorted(zip(fid_b.tolist(), p_b.tolist())) == \
             sorted(zip(fid_r.tolist(), p_r.tolist()))
+
+
+def test_spread_candidates_chunk_capacity_overflow():
+    """Candidates spread one-per-extraction-chunk overflow the chunk
+    budget (cap//16) long before the value budget; the finish retry must
+    raise the chunk capacity instead of silently dropping later chunks'
+    candidates (regression: streams past ~cap_chunks*256 bytes lost all
+    matches in the batched streaming bench)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.ops.teddy import (
+        corpus_to_rows,
+        teddy_confirm_finish,
+        teddy_confirm_start,
+    )
+    from hyperscan_tpu.runtime.lit_runtime import verify_pairs
+
+    db = hs.compile_multi(["needleZ"], ids=[7])
+    # one instance per 256-byte extraction chunk: n_hit == total, far
+    # above total//16
+    NCHUNKS = 2048
+    corpus = np.full(NCHUNKS * 256, ord("."), dtype=np.uint8)
+    for c in range(NCHUNKS):
+        corpus[c * 256 + 17 : c * 256 + 24] = np.frombuffer(
+            b"needleZ", np.uint8)
+    h = teddy_confirm_start(
+        jnp.asarray(corpus_to_rows(corpus)), db.lit, len(corpus),
+        capacity=1 << 14)
+    fid_a, p_a = teddy_confirm_finish(h)
+    fid_a, p_a = verify_pairs(
+        db.lit, corpus, np.zeros(1, np.int64), fid_a, p_a)
+    assert len(p_a) == NCHUNKS, len(p_a)
+    assert sorted(p_a.tolist()) == [c * 256 + 23 for c in range(NCHUNKS)]
