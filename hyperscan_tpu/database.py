@@ -51,7 +51,65 @@ from .flags import (
 )
 
 DB_MAGIC = b"HSTPUDB1"
-DB_VERSION = (0, 3, 0)
+DB_VERSION = (0, 4, 0)
+
+
+def _narrow_array(a: np.ndarray) -> np.ndarray:
+    """Smallest-dtype copy with identical values (storage form only)."""
+    if a.dtype.kind not in "iu" or a.size == 0:
+        return a
+    mn, mx = int(a.min()), int(a.max())
+    if mn >= 0:
+        for dt in (np.uint8, np.uint16, np.uint32):
+            if mx <= np.iinfo(dt).max:
+                return a.astype(dt) if a.dtype != dt else a
+    else:
+        for dt in (np.int8, np.int16, np.int32):
+            ii = np.iinfo(dt)
+            if ii.min <= mn and mx <= ii.max:
+                return a.astype(dt) if a.dtype != dt else a
+    return a
+
+
+class _ArrayStore:
+    """Content-addressed array container for serialization: identical
+    tables (after dtype narrowing) are stored once and referenced by
+    name. Rulesets built from a pattern vocabulary produce thousands of
+    validator DFAs that are identical up to the byte->class remap — the
+    class-indexed transition tables collapse to one stored copy each
+    (reference analogue: engine dedupe/merge, rose_build_merge.cpp)."""
+
+    def __init__(self) -> None:
+        import hashlib
+
+        self._sha = hashlib.sha1
+        self.arrays: Dict[str, np.ndarray] = {}
+        self._names: Dict[bytes, str] = {}
+
+    def put(self, arr: np.ndarray) -> list:
+        """Store (deduplicated); returns a JSON-able [name, dtype] ref."""
+        arr = np.ascontiguousarray(arr)
+        small = _narrow_array(arr)
+        key = self._sha(
+            small.dtype.str.encode()
+            + repr(small.shape).encode()
+            + small.tobytes()
+        ).digest()
+        name = self._names.get(key)
+        if name is None:
+            name = f"a{len(self.arrays)}"
+            self._names[key] = name
+            self.arrays[name] = small
+        return [name, arr.dtype.str]
+
+
+def _ref_get(z, ref, legacy_name: str) -> np.ndarray:
+    """Load an array by [name, dtype] ref (or a legacy per-field name)."""
+    if ref is None:
+        return z[legacy_name]
+    name, dt = ref
+    a = z[name]
+    return a.astype(dt) if a.dtype.str != dt else a
 PLATFORM = "tpu-generic"  # compile-side family tag; reference: hs_platform_info
 
 
@@ -502,6 +560,14 @@ class Database:
         return self._combo_cache
 
     # -- serialization (reference: src/database.c:62,200) -------------------
+    #
+    # Arrays are stored content-addressed: structurally identical tables
+    # (byte-identical content after dtype narrowing) are written once and
+    # referenced by name. Rulesets built from a pattern vocabulary
+    # produce thousands of isomorphic window-validator DFAs whose
+    # transition tables are identical up to the byte->class remap — the
+    # store collapses them (reference analogue: leftfix/suffix dedupe and
+    # merging across patterns, src/rose/rose_build_merge.cpp).
     _ENGINE_ARRAYS = (
         "byte_to_class",
         "trans",
@@ -526,30 +592,30 @@ class Database:
     )
 
     @classmethod
-    def _pack_engine(cls, e, prefix: str, arrays: Dict) -> dict:
+    def _pack_engine(cls, e, store: "_ArrayStore") -> dict:
         if isinstance(e, LbrEngine):
-            arrays[f"{prefix}_class_bits"] = e.class_bits
             return {
                 "kind": "lbr",
+                "arrs": {"class_bits": store.put(e.class_bits)},
                 "lo": e.lo,
                 "hi": e.hi,
                 "eidx": e.eidx,
                 "start_reports": e.start_reports,
             }
         if isinstance(e, NfaEngine):
-            for name in cls._NFA_ENGINE_ARRAYS:
-                arrays[f"{prefix}_{name}"] = getattr(e, name)
+            names = list(cls._NFA_ENGINE_ARRAYS)
             if isinstance(e, SomEngine):
-                arrays[f"{prefix}_hop_mask"] = e.hop_mask
+                names.append("hop_mask")
             return {
                 "kind": "som" if isinstance(e, SomEngine) else "nfa",
+                "arrs": {n: store.put(getattr(e, n)) for n in names},
                 "max_depth": e.max_depth,
                 "acyclic": e.acyclic,
                 "start_reports": e.start_reports,
             }
-        for name in cls._ENGINE_ARRAYS:
-            arrays[f"{prefix}_{name}"] = getattr(e, name)
         return {
+            "arrs": {n: store.put(getattr(e, n))
+                     for n in cls._ENGINE_ARRAYS},
             "start_state": e.start_state,
             "float_state": e.float_state,
             "max_depth": e.max_depth,
@@ -559,22 +625,27 @@ class Database:
     @classmethod
     def _unpack_engine(cls, em: dict, prefix: str, z):
         md = em.get("max_depth")
+        refs = em.get("arrs", {})
+
+        def arr(name):
+            return _ref_get(z, refs.get(name), f"{prefix}_{name}")
+
         if em.get("kind") == "lbr":
             return LbrEngine(
-                class_bits=z[f"{prefix}_class_bits"],
+                class_bits=arr("class_bits"),
                 lo=int(em["lo"]),
                 hi=None if em["hi"] is None else int(em["hi"]),
                 eidx=int(em["eidx"]),
                 start_reports=[tuple(r) for r in em["start_reports"]],
             )
         if em.get("kind") in ("nfa", "som"):
-            kw = {name: z[f"{prefix}_{name}"] for name in cls._NFA_ENGINE_ARRAYS}
+            kw = {name: arr(name) for name in cls._NFA_ENGINE_ARRAYS}
             if em["kind"] == "som":
                 return SomEngine(
                     max_depth=None if md is None else int(md),
                     acyclic=bool(em["acyclic"]),
                     start_reports=[tuple(r) for r in em["start_reports"]],
-                    hop_mask=z[f"{prefix}_hop_mask"],
+                    hop_mask=arr("hop_mask"),
                     **kw,
                 )
             return NfaEngine(
@@ -583,7 +654,7 @@ class Database:
                 start_reports=[tuple(r) for r in em["start_reports"]],
                 **kw,
             )
-        kw = {name: z[f"{prefix}_{name}"] for name in cls._ENGINE_ARRAYS}
+        kw = {name: arr(name) for name in cls._ENGINE_ARRAYS}
         return DfaEngine(
             start_state=int(em["start_state"]),
             float_state=int(em.get("float_state", 0)),
@@ -593,7 +664,7 @@ class Database:
         )
 
     def serialize(self) -> bytes:
-        arrays: Dict[str, np.ndarray] = {}
+        store = _ArrayStore()
         meta = {
             "version": DB_VERSION,
             "platform": PLATFORM,
@@ -603,53 +674,54 @@ class Database:
             "patterns": [dataclasses.asdict(p) for p in self.patterns],
             "engines": [],
         }
-        for i, e in enumerate(self.engines):
-            meta["engines"].append(self._pack_engine(e, f"e{i}", arrays))
+        for e in self.engines:
+            meta["engines"].append(self._pack_engine(e, store))
         if self.lit is not None:
-            arrays["lit_masks"] = self.lit.masks
             rv_meta = {}
             for k, (ra, re) in self.lit.rev_validators.items():
                 rv_meta[str(k)] = [
-                    self._pack_engine(ra, f"ra{k}", arrays) if ra else None,
-                    self._pack_engine(re, f"re{k}", arrays) if re else None,
+                    self._pack_engine(ra, store) if ra else None,
+                    self._pack_engine(re, store) if re else None,
                 ]
             ch_meta = {}
             for k, ch in self.lit.chains.items():
-                arrays[f"chg{k}"] = ch.gap_bits
                 ch_meta[str(k)] = {
+                    "gap_ref": store.put(ch.gap_bits),
                     "gap_lo": ch.gap_lo,
                     "gap_hi": ch.gap_hi,
                     "lead": list(ch.lead) if ch.lead else None,
                     "trail": list(ch.trail) if ch.trail else None,
                     "roles": [
                         {
-                            "fwd": self._pack_engine(
-                                r.fwd, f"c{k}r{ri}f", arrays),
+                            "fwd": self._pack_engine(r.fwd, store),
                             "rev": (
-                                self._pack_engine(
-                                    r.rev, f"c{k}r{ri}r", arrays)
+                                self._pack_engine(r.rev, store)
                                 if r.rev is not None else None
                             ),
                         }
-                        for ri, r in enumerate(ch.roles)
+                        for r in ch.roles
                     ],
                 }
             meta["lit"] = {
+                "masks_ref": store.put(self.lit.masks),
                 "factor_atoms": [
                     [list(a) for a in atoms] for atoms in self.lit.factor_atoms
                 ],
                 "bucket_factors": self.lit.bucket_factors,
                 "factor_refs": self.lit.factor_refs,
                 "validators": {
-                    str(k): self._pack_engine(v, f"v{k}", arrays)
+                    str(k): self._pack_engine(v, store)
                     for k, v in self.lit.validators.items()
                 },
                 "rev_validators": rv_meta,
                 "chains": ch_meta,
             }
         buf = io.BytesIO()
-        np.savez(buf, meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-                 **arrays)
+        np.savez_compressed(
+            buf,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **store.arrays,
+        )
         payload = buf.getvalue()
         crc = zlib.crc32(payload) & 0xFFFFFFFF
         header = DB_MAGIC + crc.to_bytes(4, "little") + len(payload).to_bytes(8, "little")
@@ -684,7 +756,7 @@ class Database:
             if "lit" in meta:
                 lm = meta["lit"]
                 lit = LiteralEngine(
-                    masks=z["lit_masks"],
+                    masks=_ref_get(z, lm.get("masks_ref"), "lit_masks"),
                     factor_atoms=[
                         tuple(tuple(a) for a in atoms)
                         for atoms in lm["factor_atoms"]
@@ -706,7 +778,8 @@ class Database:
                     },
                     chains={
                         int(k): ChainInfo(
-                            gap_bits=z[f"chg{k}"],
+                            gap_bits=_ref_get(z, cm.get("gap_ref"),
+                                              f"chg{k}"),
                             gap_lo=[int(v) for v in cm["gap_lo"]],
                             gap_hi=list(cm["gap_hi"]),
                             lead=(tuple(cm["lead"])
