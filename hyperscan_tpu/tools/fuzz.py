@@ -161,6 +161,36 @@ def fuzz_round(rng, n_patterns: int = 8, n_corpora: int = 6) -> List[str]:
                             f"{sorted(got_som)} != {sorted(want_som)}"
                         )
                         continue
+                    # SOM starts must survive write boundaries: stream
+                    # the same corpus under a random split and diff the
+                    # full (from, to) set against the block result
+                    if len(data) > 1:
+                        try:
+                            somsdb = hs.compile(
+                                p, flags=fl | hs.HS_FLAG_SOM_LEFTMOST,
+                                mode=hs.HS_MODE_STREAM)
+                        except hs.CompileError:
+                            somsdb = None
+                        if somsdb is not None:
+                            k = int(rng.integers(1, min(5, len(data)) + 1))
+                            cuts = sorted(rng.choice(
+                                len(data), size=k, replace=False).tolist())
+                            st = hs.open_stream(somsdb)
+                            ms = []
+                            prev = 0
+                            for c in cuts + [len(data)]:
+                                ms.extend(hs.scan_stream(st, data[prev:c]))
+                                prev = c
+                            ms.extend(hs.close_stream(st))
+                            got_ss = {(m[1], m[2]) for m in ms}
+                            if got_ss != want_som:
+                                fails.append(
+                                    f"SOM-STREAM pattern {p!r} corpus "
+                                    f"{data!r} cuts {cuts}: "
+                                    f"{sorted(got_ss)} != "
+                                    f"{sorted(want_som)}"
+                                )
+                                continue
             # streaming under a random write split must agree with block
             if len(data) > 1:
                 k = int(rng.integers(1, min(5, len(data)) + 1))

@@ -30,7 +30,8 @@ import numpy as np
 
 import hyperscan_tpu as hs
 from hyperscan_tpu.compiler.parser import parse
-from hyperscan_tpu.utils.oracle import ast_match_ends, re_match_ends
+from hyperscan_tpu.utils.oracle import (ast_leftmost_som, ast_match_ends,
+                                        re_leftmost_som, re_match_ends)
 
 from .hscheck import parse_line
 
@@ -100,8 +101,10 @@ def run(entries, corpora, rng, verbose=False) -> int:
     for data in corpora:
         block = hs.scan(bdb, data)
         got: Dict[int, Set[int]] = {}
-        for (mid, _frm, to) in block:
+        got_t: Dict[int, Set[tuple]] = {}
+        for (mid, frm, to) in block:
             got.setdefault(mid, set()).add(to)
+            got_t.setdefault(mid, set()).add((frm, to))
 
         # oracle diff (skip combination/prefilter patterns)
         for (i, p, f) in entries:
@@ -120,6 +123,21 @@ def run(entries, corpora, rng, verbose=False) -> int:
             if want_re is not None and got.get(i, set()) != want_re:
                 report("re", f"id {i} pattern {p!r} corpus {data[:40]!r}: "
                        f"{sorted(got.get(i, set()))} != {sorted(want_re)}")
+            # SOM: full (from, to) diffing (reference: hscollider diffs
+            # exact ResultSets incl. from, tools/hscollider/ResultSet.h)
+            if f & hs.HS_FLAG_SOM_LEFTMOST:
+                som = ast_leftmost_som(parse(p, f), data)
+                want_t = {(s, e) for (e, s) in som.items()}
+                if got_t.get(i, set()) != want_t:
+                    report("som", f"id {i} pattern {p!r} corpus "
+                           f"{data[:40]!r}: {sorted(got_t.get(i, set()))} "
+                           f"!= {sorted(want_t)}")
+                som_re = re_leftmost_som(p, f, data)
+                if som_re is not None:
+                    want_rt = {(s, e) for (e, s) in som_re.items()}
+                    if got_t.get(i, set()) != want_rt:
+                        report("som-re", f"id {i} pattern {p!r} corpus "
+                               f"{data[:40]!r}")
 
         # serialize round trip
         if hs.scan(rdb, data) != block:
@@ -129,15 +147,17 @@ def run(entries, corpora, rng, verbose=False) -> int:
         for (i, p, f) in entries:
             if f & hs.HS_FLAG_COMBINATION:
                 continue
-            single = {(m, t) for (m, _fr, t) in hs.scan(singles[i], data)}
-            multi = {(i, t) for t in got.get(i, set())}
+            single = set(hs.scan(singles[i], data))
+            multi = {(i, fr, t) for (fr, t) in got_t.get(i, set())}
             if single != multi:
                 report("single-vs-multi", f"id {i} corpus {data[:40]!r}")
 
         # streaming splits; every other split also round-trips the
         # stream state codec between writes and checks copy_stream
-        # independence (reference: UltimateTruth.cpp compression sweeps)
-        want_set = {(m, t) for (m, _fr, t) in block}
+        # independence (reference: UltimateTruth.cpp compression sweeps).
+        # Full (id, from, to) triples are diffed — SOM starts must
+        # survive write boundaries and the state codec.
+        want_set = set(block)
         for si, parts in enumerate(_splits(data, rng)):
             st = hs.open_stream(sdb)
             ms = []
@@ -148,11 +168,11 @@ def run(entries, corpora, rng, verbose=False) -> int:
                 elif pi == 0 and len(parts) > 1:
                     st = hs.copy_stream(st)
             ms.extend(hs.close_stream(st))
-            got_s = {(m, t) for (m, _fr, t) in ms}
+            got_s = set(ms)
             if got_s != want_set:
                 report("stream", f"splits {[len(x) for x in parts]} corpus "
                        f"{data[:40]!r}: {sorted(got_s)} != {sorted(want_set)}")
-            vect = {(m, t) for (m, _fr, t) in hs.scan_vector(vdb, parts)}
+            vect = set(hs.scan_vector(vdb, parts))
             if vect != want_set:
                 report("vectored", f"splits {[len(x) for x in parts]}")
 

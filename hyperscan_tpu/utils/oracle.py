@@ -317,3 +317,44 @@ def re_match_ends(pattern: str, flags: int, data: bytes):
             if e not in ends and pat.fullmatch(data, s, e):
                 ends.add(e)
     return ends
+
+
+def re_leftmost_som(pattern: str, flags: int, data: bytes):
+    """end offset -> leftmost start per Python `re` (independent SOM
+    ground truth; reference: hscollider diffs full (id, from, to)
+    ResultSets, tools/hscollider/ResultSet.h). None when untranslatable
+    (same rules as re_match_ends). Ascending-start enumeration makes the
+    first recorded start per end the leftmost."""
+    import re as _re
+
+    from ..flags import (
+        HS_FLAG_CASELESS,
+        HS_FLAG_DOTALL,
+        HS_FLAG_MULTILINE,
+        HS_FLAG_PREFILTER,
+        HS_FLAG_UCP,
+        HS_FLAG_UTF8,
+    )
+
+    if flags & (HS_FLAG_UTF8 | HS_FLAG_UCP | HS_FLAG_PREFILTER):
+        return None
+    if any(tok in pattern for tok in _RE_UNSAFE):
+        return None
+    refl = 0
+    if flags & HS_FLAG_CASELESS:
+        refl |= _re.IGNORECASE
+    if flags & HS_FLAG_DOTALL:
+        refl |= _re.DOTALL
+    if flags & HS_FLAG_MULTILINE:
+        refl |= _re.MULTILINE
+    try:
+        pat = _re.compile(pattern.encode("latin-1"), refl)
+    except (_re.error, UnicodeEncodeError):
+        return None
+    n = len(data)
+    out: Dict[int, int] = {}
+    for s in range(n + 1):
+        for e in range(s, n + 1):
+            if e not in out and pat.fullmatch(data, s, e):
+                out[e] = s
+    return out
