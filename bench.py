@@ -163,6 +163,14 @@ def run_config(n_patterns: int, hs, jax, jnp):
     warm_gots = teddy_confirm_fetch_many(warm_handles)
     nm = finish_scan(warm_handles[0], host_corpora[0], got=warm_gots[0])
     assert nm >= len(_PLANTS), f"warmup found only {nm} matches"
+    # the first finish OBSERVES the candidate load and right-sizes the
+    # capacity shapes (ops/teddy._caps_for); warm the learned shape too,
+    # or the timed loop pays its compile
+    _phase("warmup scans (learned capacity shape)")
+    warm2 = [start_scan(0) for _ in range(ITERS)]
+    gots2 = teddy_confirm_fetch_many(warm2)
+    for k in range(ITERS):
+        finish_scan(warm2[k], host_corpora[0], got=gots2[k])
 
     # full-pipeline dispatch + ONE batched result fetch: all scans are
     # queued on the device back to back, then every scan's meta+prefix
@@ -183,22 +191,28 @@ def run_config(n_patterns: int, hs, jax, jnp):
     return n * ITERS / dt / 1e9, total_matches, t_compile
 
 
-def run_stream_config(hs, n_patterns: int = 10_000):
-    """Streaming: many streams x chunked writes through the full
-    per-write machinery (history rescan, carried state, boundary
-    dedupe). Writes stay on the host literal path — the dev tunnel
-    cannot upload per-write corpora at device speeds."""
-    from hyperscan_tpu.database import compile_patterns
-    from hyperscan_tpu.grey import Grey
+def run_stream_device(hs, db, svals=(1024, 4096)):
+    """Device-batched streaming (StreamSet bulk path): S streams x 8 KB
+    writes per round, extents filtered in one fused device dispatch per
+    round with full per-write semantics (history stitching, boundary
+    dedupe, carried offsets). Returns {S: GB/s aggregate}."""
+    import tools_bench_stream as tbs
 
-    _phase("stream config: compile start")
-    pats, ids = _patterns(n_patterns)
-    # the dev tunnel pays ~100ms per device dispatch and cannot upload
-    # per-write corpora at PCIe speeds; keep small stream writes on the
-    # host literal path (grey tunable — real deployments set this by
-    # their dispatch/upload economics)
-    db = compile_patterns(pats, ids=ids, mode=hs.HS_MODE_STREAM,
-                          grey=Grey(host_scan_limit=1 << 21))
+    out = {}
+    for S in svals:
+        rounds = max(6, min(16, (96 << 20) // (S * tbs.W)))
+        gbps, _nm = tbs.run_config(db, S, rounds)
+        out[S] = gbps
+        _phase(f"stream device S={S}: {gbps:.3f} GB/s")
+    return out
+
+
+def run_stream_config(hs, db):
+    """Streaming, small-batch host path: 16 streams x chunked writes
+    through the full per-write machinery (history rescan, carried
+    state, boundary dedupe). Small writes stay on the host literal
+    path — the dev tunnel cannot upload per-write corpora at device
+    speeds."""
     S, WRITE, ROUNDS = 16, 8192, 24
     rng = np.random.default_rng(7)
     writes = []
@@ -235,14 +249,26 @@ def main() -> None:
 
     import hyperscan_tpu as hs
 
-    # stream config first: it is a pure host-path measurement, and the
+    # shared streaming database: host-path config (grey keeps small
+    # writes off the device; the StreamSet bulk path bypasses the limit
+    # by passing device rows explicitly)
+    from hyperscan_tpu.database import compile_patterns
+    from hyperscan_tpu.grey import Grey
+
+    _phase("stream db: compile start")
+    pats, ids = _patterns(10_000)
+    sdb = compile_patterns(pats, ids=ids, mode=hs.HS_MODE_STREAM,
+                           grey=Grey(host_scan_limit=1 << 21))
+    # host-path config first: it is a pure host measurement, and the
     # axon tunnel client's polling threads (which spin during/after
     # device work) otherwise steal its CPU
-    gs, ms_n = run_stream_config(hs)
+    gs, ms_n = run_stream_config(hs, sdb)
+    gdev = run_stream_device(hs, sdb)
     g100, m100, c100 = run_config(100, hs, jax, jnp)
     g10k, m10k, c10k = run_config(10_000, hs, jax, jnp)
     _phase("done")
 
+    gdev_txt = ", ".join(f"{s}str {v:.2f}" for s, v in gdev.items())
     print(
         json.dumps(
             {
@@ -251,9 +277,10 @@ def main() -> None:
                           f"{CORPUS_MB}MB/scan, compile {c10k:.1f}s, "
                           f"{m10k} matches; 100-pattern config: "
                           f"{g100:.2f} GB/s, compile {c100:.2f}s, "
-                          f"{m100} matches; streaming 10k, 16 streams x "
-                          f"8KB writes, host path: {gs:.3f} GB/s, "
-                          f"{ms_n} matches)",
+                          f"{m100} matches; streaming 10k x 8KB writes, "
+                          f"device-batched StreamSet: {gdev_txt} GB/s "
+                          f"aggregate; 16 streams host path: {gs:.3f} "
+                          f"GB/s, {ms_n} matches)",
                 "value": round(g10k, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(g10k / BASELINE_GBPS, 4),

@@ -101,7 +101,13 @@ from .flags import (  # noqa: F401
     HS_MODE_VECTORED,
     UNBOUNDED,
 )
-from .runtime.scan import Match, Scratch, scan_batch  # noqa: F401
+from .runtime.scan import (  # noqa: F401
+    Match,
+    Scratch,
+    scan_batch,
+    scan_block_ranges,
+    scan_count,
+)
 from .runtime.streamset import (  # noqa: F401
     StreamSet,
     close_streamset,

@@ -220,3 +220,43 @@ def test_scan_streams_threads_match_single():
         return out
 
     assert run(1) == run(3)
+
+
+def test_scan_ranges_and_count_dense():
+    """Range-record API: pathological match densities stay O(ranges)
+    (reference delivers per-offset callbacks at ns cost; the vectorized
+    runtime's equivalent is the interval itself)."""
+    import time
+
+    import numpy as np
+
+    db = hs.compile_multi([r"x*", "needle"], ids=[1, 2],
+                          flags=[hs.HS_FLAG_ALLOWEMPTY, 0])
+    data = b"ab" + b"x" * (1 << 20) + b"needle" + b"y" * 100
+    hs.scan_count(db, data)  # warm (compile)
+    hs.scan_count(db, data)  # warm (learned capacity shape)
+    t0 = time.perf_counter()
+    ms, ranges = hs.scan_block_ranges(db, data)
+    n = hs.scan_count(db, data)
+    dt = time.perf_counter() - t0
+    # every offset reports x* (empty match) plus needle's end
+    assert n == (len(data) + 1) + 1
+    assert (2, 0, 2 + (1 << 20) + 6) in ms
+    total_r = sum(hi - lo + 1 for (_e, lo, hi) in ranges)
+    assert total_r == len(data) + 1
+    assert all(e == 1 for (e, _lo, _hi) in ranges)
+    assert dt < 2.0, dt  # seconds, CI-lenient; O(offsets) would be ~100x
+
+    # semantics parity: expanding the ranges reproduces hs.scan exactly
+    small = b"zz" + b"x" * 50 + b"q"
+    ms2, rg2 = hs.scan_block_ranges(db, small)
+    expanded = set(ms2) | {
+        (e, 0, t) for (e, lo, hi) in rg2 for t in range(lo, hi + 1)}
+    assert expanded == set(hs.scan(db, small))
+
+    # SINGLEMATCH collapses a range to its first offset
+    db3 = hs.compile_multi([r"x*"], ids=[9],
+                           flags=[hs.HS_FLAG_ALLOWEMPTY
+                                  | hs.HS_FLAG_SINGLEMATCH])
+    ms3, rg3 = hs.scan_block_ranges(db3, b"xxxx")
+    assert ms3 == [(9, 0, 0)] and rg3 == []

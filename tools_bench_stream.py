@@ -144,9 +144,13 @@ def run_config(db, S: int, rounds: int):
         return dt, nm
 
     # the dev tunnel adds large run-to-run variance (client polling
-    # threads steal CPU); best-of-3 passes isolates the pipeline's cost
-    _phase(f"S={S}: warm + 3 passes x {rounds} rounds")
-    one_pass("warm")
+    # threads steal CPU); best-of-3 passes isolates the pipeline's cost.
+    # Two warm passes: the first observes the candidate load (capacity
+    # learning re-sizes the jit shapes), the second compiles/loads the
+    # learned shapes so timed passes run entirely warm.
+    _phase(f"S={S}: 2 warm + 3 passes x {rounds} rounds")
+    one_pass("warm0")
+    one_pass("warm1")
     results = [one_pass(f"pass{k}") for k in range(3)]
     dt, nm = min(results)
     vol = S * W * rounds
