@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .compiler.chains import InfixSpec as _InfixSpec
 from .compiler.dfa import DfaLimitExceeded, ScanDFA, determinize
 from .compiler.glushkov import NFAGraph, build_nfa
 from .compiler.parser import parse
@@ -468,6 +469,10 @@ class ChainInfo:
     # covers in [lo, hi] past a final-role end is a match end (MPV puff
     # analogue, dense ends emitted as ranges)
     trail: Optional[Tuple[int, int, Optional[int]]] = None
+    # general (non-single-class) gaps: boundary index -> bit-parallel
+    # infix NFA (reference: LeftEngInfo infix engines, rose_graph.h:140);
+    # joins validate by forward injection scan (block mode)
+    infix: Dict[int, "InfixSpec"] = dataclasses.field(default_factory=dict)
 
     @property
     def num_roles(self) -> int:
@@ -691,6 +696,17 @@ class Database:
                     "gap_hi": ch.gap_hi,
                     "lead": list(ch.lead) if ch.lead else None,
                     "trail": list(ch.trail) if ch.trail else None,
+                    "infix": {
+                        str(gi): {
+                            "reach": store.put(inf.reach),
+                            "follow": store.put(inf.follow),
+                            "chunk_or": store.put(inf.chunk_or),
+                            "start": int(inf.start),
+                            "accept": int(inf.accept),
+                            "nullable": inf.nullable,
+                        }
+                        for gi, inf in ch.infix.items()
+                    },
                     "roles": [
                         {
                             "fwd": self._pack_engine(r.fwd, store),
@@ -786,6 +802,18 @@ class Database:
                                   if cm.get("lead") else None),
                             trail=(tuple(cm["trail"])
                                    if cm.get("trail") else None),
+                            infix={
+                                int(gi): _InfixSpec(
+                                    reach=_ref_get(z, im["reach"], ""),
+                                    follow=_ref_get(z, im["follow"], ""),
+                                    chunk_or=_ref_get(
+                                        z, im["chunk_or"], ""),
+                                    start=int(im["start"]),
+                                    accept=int(im["accept"]),
+                                    nullable=bool(im["nullable"]),
+                                )
+                                for gi, im in cm.get("infix", {}).items()
+                            },
                             roles=[
                                 ChainRole(
                                     fwd=cls._unpack_engine(
@@ -1576,6 +1604,12 @@ def compile_patterns(
 
                     cs = detect_chain(node_b, grey.min_factor_len,
                                       grey.max_window)
+                    if cs is not None and any(cs.infixes) \
+                            and base_mode(mode) != HS_MODE_BLOCK:
+                        # general-infix joins carry engine state across
+                        # writes; streaming routes these to the general
+                        # engines until infix stream state is carried
+                        cs = None
                     if cs is not None:
                         try:
                             from .compiler.dfa import reverse_graph
@@ -1618,6 +1652,9 @@ def compile_patterns(
                             gap_hi=[gb[2] for gb in all_gaps],
                             lead=lead,
                             trail=trail,
+                            infix={gi: inf
+                                   for gi, inf in enumerate(cs.infixes)
+                                   if inf is not None},
                         )
                         for ri, rs in enumerate(cs.roles):
                             for fi in rs.factors:

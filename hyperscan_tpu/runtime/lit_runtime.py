@@ -1039,6 +1039,99 @@ def _emit_role_ends(role, conn_pair, starts_w, blks_w, A_i, A_t, A_aid,
     }
 
 
+def _infix_tables(spec):
+    """Python-int step tables cached on the spec (per-byte stepping in
+    the injection scan runs on host ints, not numpy scalars)."""
+    if not hasattr(spec, "_pyt"):
+        spec._pyt = (
+            [row.tolist() for row in spec.chunk_or],
+            spec.reach.tolist(),
+            int(spec.start),
+            int(spec.accept),
+        )
+    return spec._pyt
+
+
+def _infix_connect(spec, corpus, E, S, block_end: int):
+    """Forward injection scan of a general-gap NFA: start states are
+    injected at every previous-role end in E, accept liveness is read at
+    every candidate next-role start in S; returns the connected subset
+    of S. Exact: mask at position p holds the union of all live
+    part-scans data[e:p) over injected e (reference: triggered infix
+    engine execution, src/rose/infix.h; monotone in the injection set).
+    Bytes are only consumed while some state is live — gaps that die
+    fast (the common case) cost a handful of steps per injection."""
+    chunks, reach, start, accept = _infix_tables(spec)
+    conn = set()
+    E_l = [int(x) for x in E]
+    S_set = set(int(x) for x in S)
+    if spec.nullable:
+        conn |= set(E_l) & S_set
+    if not E_l or not len(S):
+        return conn
+    s_max = min(int(S[-1]), block_end)
+    i_e = 0
+    mask = 0
+    p = 0
+    n_ck = len(chunks)
+    while True:
+        if mask == 0:
+            if i_e >= len(E_l) or E_l[i_e] >= s_max:
+                break
+            p = E_l[i_e]
+        while i_e < len(E_l) and E_l[i_e] == p:
+            mask |= start
+            i_e += 1
+        if p >= s_max:
+            break
+        # step: follow-union of live positions, masked by byte reach
+        f = 0
+        m = mask
+        k = 0
+        while m and k < n_ck:
+            f |= chunks[k][m & 255]
+            m >>= 8
+            k += 1
+        mask = f & reach[corpus[p]]
+        p += 1
+        if (mask & accept) and p in S_set:
+            conn.add(p)
+    return conn
+
+
+def _connect_role_infix(
+    role, corpus, spans, prev_ends, spec, block_starts, block_ends,
+) -> Dict[int, np.ndarray]:
+    """Role matches whose start connects to a previous-boundary end
+    through a general-gap infix NFA (arbitrary sub-graph between
+    literal roles — the full Violet decomposition shape)."""
+    win, starts_w, blks_w, A_i, A_t, A_aid = _role_matches(
+        role, corpus, spans
+    )
+    if len(A_i) == 0:
+        return {}
+    S_k, S_j = _role_starts(role, win, A_i, A_t)
+    if len(S_k) == 0:
+        return {}
+    s_flat = starts_w[A_i[S_k]] + S_j
+    blk_s = blks_w[A_i[S_k]]
+    conn_pair = np.zeros(len(A_i), dtype=bool)
+    for b in np.unique(blk_s):
+        E = prev_ends.get(int(b))
+        if E is None or not len(E):
+            continue
+        m = blk_s == b
+        s = s_flat[m]
+        ok = _infix_connect(spec, corpus, E, np.unique(s),
+                            int(block_ends[b]))
+        if not ok:
+            continue
+        conn = np.asarray([int(x) in ok for x in s], dtype=bool)
+        conn_pair[S_k[np.flatnonzero(m)[conn]]] = True
+    return _emit_role_ends(role, conn_pair, starts_w, blks_w, A_i, A_t,
+                           A_aid, block_starts, block_ends)
+
+
 def _lead_connect_role(
     role, corpus, spans, gap_bits, glo, lead_floor,
     lastbad_cache, block_starts, block_ends,
@@ -1139,8 +1232,15 @@ def resolve_chains(
                 ends, chain_ctx, eidx, r - 1, block_starts
             )
             spans = _merge_spans(list(chain_windows.get((eidx, r), [])))
+            inf = ch.infix.get(r - 1) if getattr(ch, "infix", None) \
+                else None
             if (not ends and not carried_pre) or not spans:
                 new_ends: Dict[int, np.ndarray] = {}
+            elif inf is not None:
+                new_ends = _connect_role_infix(
+                    ch.roles[r], corpus, spans, ends, inf,
+                    block_starts, block_ends,
+                )
             else:
                 new_ends = _connect_role(
                     ch.roles[r], corpus, spans, ends, carried_pre,

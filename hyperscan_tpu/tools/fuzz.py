@@ -57,10 +57,14 @@ def gen_pattern(rng) -> str:
         n = rng.integers(1, 6)
         parts = [quant(atom()) for _ in range(n)]
         if rng.integers(0, 4) == 0 and n >= 2:
-            # chain shape: SEG <unbounded gap> SEG [<gap> SEG]
+            # chain shape: SEG <unbounded gap> SEG [<gap> SEG] — class
+            # gaps AND general group infixes ((ab|cd)* — the full Violet
+            # decomposition shape)
             n_gaps = 1 + int(rng.integers(0, 2))
             for _ in range(n_gaps):
-                gap = ["[a-c]*", ".*", "[^x]+", "b*"][rng.integers(0, 4)]
+                gap = ["[a-c]*", ".*", "[^x]+", "b*",
+                       "(ab|cd)*", "(ba|c)+", "(a[bc]d|xy)*",
+                       "(abc)*"][rng.integers(0, 8)]
                 k = int(rng.integers(1, len(parts)))
                 parts.insert(k, gap)
         if rng.integers(0, 5) == 0:

@@ -312,3 +312,85 @@ def test_trail_chain_stream_compress_roundtrip():
     a = hs.scan_stream(st, b"5" * 400) + hs.close_stream(st)
     b = hs.scan_stream(st2, b"5" * 400) + hs.close_stream(st2)
     assert a == b and len(a) == 101
+
+
+# --------------------------------------------------------------------------
+# General (non-single-class) infix gaps: arbitrary sub-graphs between
+# literal roles, joins validated by the forward injection scan
+# (reference: doViolet with LeftEngInfo infix engines, ng_violet.cpp:3053,
+# rose_graph.h:140, infix.h)
+# --------------------------------------------------------------------------
+
+INFIX_PATS = [
+    r"foomark(ab|cd)*barmark",
+    r"foomark(ab|cd)+barmark",
+    r"alpha(x[0-9]y|qq)*omega7",
+    r"lead77(GET |POST )+trail",
+    r"aaa111(bc*d|e)*zzz222",
+    r"one11(ab|cd)*two22(ef|gh)+three33",  # two general gaps
+    r"mix44[0-9]*gap55(xy|z)+end66",       # class gap + general gap
+]
+
+
+@pytest.mark.parametrize("pat", INFIX_PATS)
+def test_general_infix_routes_literal(pat):
+    """The VERDICT r2 regression: a non-single-class infix must keep the
+    literal prefilter (block mode)."""
+    db = hs.compile_multi([pat], ids=[5])
+    assert db.lit is not None and not db.engines
+    assert 0 in db.lit.chains and db.lit.chains[0].infix
+
+
+@pytest.mark.parametrize("pat", INFIX_PATS)
+def test_general_infix_oracle_exact(pat):
+    rng = np.random.default_rng(11)
+    db = hs.compile_multi([pat], ids=[5])
+    frags = [b"foomark", b"barmark", b"ab", b"cd", b"alpha", b"omega7",
+             b"x3y", b"qq", b"lead77", b"GET ", b"POST ", b"trail",
+             b"aaa111", b"zzz222", b"bcd", b"bccccd", b"e",
+             b"one11", b"two22", b"three33", b"ef", b"gh",
+             b"mix44", b"gap55", b"xy", b"z", b"end66",
+             b"foomarkabbarmark", b"one11two22efthree33",
+             b"mix44123gap55xyzend66", b"alphaqqx4yomega7"]
+    for _trial in range(10):
+        blob = bytearray(
+            (32 + rng.integers(0, 95, 300)).astype(np.uint8).tobytes())
+        for _ in range(int(rng.integers(2, 10))):
+            f = frags[int(rng.integers(0, len(frags)))]
+            off = int(rng.integers(0, 280))
+            blob[off:off + len(f)] = f
+        data = bytes(blob)
+        got = {t for (_i, _f, t) in hs.scan(db, data)}
+        want = ast_match_ends(parse(pat, 0), data)
+        assert got == want, (sorted(got ^ want))
+
+
+def test_general_infix_edges():
+    db = hs.compile_multi([r"fooseg(ab|cd)*barseg"], ids=[1])
+    # zero-length gap (nullable infix)
+    assert hs.scan(db, b"foosegbarseg") == [(1, 0, 12)]
+    # one and many repetitions, mixed branches
+    assert hs.scan(db, b"foosegabbarseg") == [(1, 0, 14)]
+    assert hs.scan(db, b"foosegabcdabbarseg") == [(1, 0, 18)]
+    # broken gap does not connect
+    assert hs.scan(db, b"foosegaXbarseg") == []
+    assert hs.scan(db, b"foosegabXcdbarseg") == []
+    # non-nullable variant rejects the empty gap
+    db2 = hs.compile_multi([r"fooseg(ab|cd)+barseg"], ids=[1])
+    assert hs.scan(db2, b"foosegbarseg") == []
+    assert hs.scan(db2, b"foosegcdbarseg") == [(1, 0, 14)]
+    # serialize round trip preserves the infix engine
+    db3 = hs.deserialize_database(hs.serialize_database(db))
+    assert hs.scan(db3, b"zzfoosegababbarseg") == [(1, 0, 18)]
+
+
+def test_general_infix_streaming_falls_back():
+    """Streaming databases route general-infix patterns to the general
+    engines (infix stream state is not carried yet) — and still match."""
+    db = hs.compile_multi([r"fooseg(ab|cd)*barseg"], ids=[1],
+                          mode=hs.HS_MODE_STREAM)
+    st = hs.open_stream(db)
+    ms = hs.scan_stream(st, b"foosegab")
+    ms += hs.scan_stream(st, b"cdbarseg!")
+    ms += hs.close_stream(st)
+    assert (1, 0, 16) in ms
