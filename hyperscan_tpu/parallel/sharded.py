@@ -62,15 +62,21 @@ def make_multihost_mesh(
         or "JAX_COORDINATOR_ADDRESS" in os.environ
         or "COORDINATOR_ADDRESS" in os.environ
     )
-    if want_init and jax.process_count() == 1:
-        kwargs = {}
-        if coordinator_address is not None:
-            kwargs["coordinator_address"] = coordinator_address
-        if num_processes is not None:
-            kwargs["num_processes"] = num_processes
-        if process_id is not None:
-            kwargs["process_id"] = process_id
-        jax.distributed.initialize(**kwargs)
+    if want_init:
+        # probe the distributed client directly: jax.process_count()
+        # initializes the XLA backend, after which distributed init is
+        # rejected
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is None:
+            kwargs = {}
+            if coordinator_address is not None:
+                kwargs["coordinator_address"] = coordinator_address
+            if num_processes is not None:
+                kwargs["num_processes"] = num_processes
+            if process_id is not None:
+                kwargs["process_id"] = process_id
+            jax.distributed.initialize(**kwargs)
     return Mesh(np.asarray(jax.devices()), (SHARD_AXIS,))
 
 
@@ -392,8 +398,25 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
     if hint:
         cap1 = max(cap1, hint[0])
         cap2 = max(cap2, hint[1])
-    rows_j = jnp.asarray(rows)
-    nv_j = jnp.asarray(n_valid)
+    if jax.process_count() > 1:
+        # multi-host: every process passes the same global block list
+        # (replicated input contract); each process materializes only its
+        # addressable shards of the leading (device) axis. Collective
+        # outputs are all_gather'd to replicated, so the host stages run
+        # identically on every process (SURVEY §5.8 DCN plan).
+        shard = NamedSharding(mesh, P(SHARD_AXIS))
+        rows_j = jax.make_array_from_callback(
+            rows.shape, shard, lambda idx: rows[idx])
+        nv_j = jax.make_array_from_callback(
+            n_valid.shape, shard, lambda idx: n_valid[idx])
+        # replicated table operands must not be committed to one local
+        # device in multi-process jit; hand jit host arrays instead
+        h_tables = tuple(np.asarray(x) for x in h_tables)
+        f_tables = tuple(np.asarray(x) for x in f_tables)
+        ftabs = tuple(np.asarray(x) for x in ftabs)
+    else:
+        rows_j = jnp.asarray(rows)
+        nv_j = jnp.asarray(n_valid)
     while True:
         fn = _jit_sharded_confirm(key, mesh, M, W, n_cells, cap1, cap2,
                                   interpret, len(ftabs) == 2)
