@@ -1333,7 +1333,9 @@ def detect_lbr(node) -> Optional[Tuple[np.ndarray, int, Optional[int]]]:
         return None
     if node.child.bos or node.child.eos:
         return None
-    if node.lo < LBR_MIN_REPEAT:
+    if node.lo < LBR_MIN_REPEAT and node.hi is not None:
+        # small bounded repeats expand cheaply; unbounded ones always
+        # take the counter (dense match ends stay O(runs) ranges)
         return None
     return node.child.cr.bits.copy(), int(node.lo), node.hi
 
@@ -1448,7 +1450,13 @@ def compile_patterns(
         fuzzy = bool(e.edit_distance or e.hamming_distance)
         if not fuzzy and not (f & HS_FLAG_SOM_LEFTMOST) \
                 and not e.min_length and not literal:
+            # pre-expansion shortcut for huge counted repeats only; low
+            # lo repeats expand cheaply and must pass the vacuous /
+            # ALLOWEMPTY validation below before routing (they still
+            # reach the counter engine in route_branch)
             lbr = detect_lbr(node)
+            if lbr is not None and lbr[1] < LBR_MIN_REPEAT:
+                lbr = None
             if lbr is not None:
                 # counter engine: no Glushkov expansion, O(1) state
                 bits, lo, hi = lbr
@@ -1570,15 +1578,25 @@ def compile_patterns(
 
         def route_branch(node_b, g_b) -> None:
             w_b = _nfa_widths(g_b)[1]
+            if not fuzzy and not want_som:
+                # counter route first, vacuous or not: `x*` and friends
+                # match densely (every run offset, or every offset when
+                # nullable) — a run-length counter emits them as O(runs)
+                # ranges where a DFA engine pays per-offset extraction
+                # (reference: ng_lbr.cpp isLBR; vacuous empty matches
+                # ride the start-report machinery, ng_vacuous.cpp)
+                lbr = detect_lbr(node_b)
+                if lbr is not None:
+                    bits, lo, hi = lbr
+                    som_engines.append(LbrEngine(
+                        class_bits=bits, lo=lo, hi=hi, eidx=i,
+                        start_reports=[
+                            (anch, eod, adj, i)
+                            for (anch, eod, adj) in g_b.start_accepts
+                        ],
+                    ))
+                    return
             if not g_b.is_vacuous() and not fuzzy:
-                if not want_som:
-                    lbr = detect_lbr(node_b)
-                    if lbr is not None:
-                        bits, lo, hi = lbr
-                        som_engines.append(LbrEngine(
-                            class_bits=bits, lo=lo, hi=hi, eidx=i,
-                        ))
-                        return
                 lr = _try_literal_route(node_b, g_b, i, grey)
                 if lr is not None:
                     fs, lit_equiv = lr

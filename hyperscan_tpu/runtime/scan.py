@@ -165,6 +165,18 @@ class RecordSink:
                 fs.append(t.copy())  # empty match: from == to
             else:
                 ranges.append((eid, lo, hi))
+        # merge overlapping/adjacent same-pattern ranges (run ends and
+        # vacuous reports can cover the same intervals)
+        ranges.sort()
+        merged_r: List[List[int]] = []
+        for (eid, lo, hi) in ranges:
+            if merged_r and merged_r[-1][0] == eid \
+                    and lo <= merged_r[-1][2] + 1:
+                if hi > merged_r[-1][2]:
+                    merged_r[-1][2] = hi
+            else:
+                merged_r.append([eid, lo, hi])
+        ranges = [(e, lo, hi) for (e, lo, hi) in merged_r]
         ranges.sort(key=lambda r: r[1])
         if not ts:
             z = np.zeros(0, dtype=np.int64)
@@ -419,7 +431,18 @@ def _host_engine_scan(engines, blocks, per_block) -> np.ndarray:
                 data, lengths, [0] * B
             )
             for bi in range(B):
-                per_block[bi].add_batch(engine.eidx, runs[bi] + 1)
+                r = runs[bi]
+                if len(r):
+                    # contiguous run offsets coalesce to lazy ranges
+                    # (dense-match patterns stay O(runs), not O(offsets))
+                    tos = r + 1
+                    cuts = np.flatnonzero(np.diff(tos) > 1)
+                    los = np.concatenate([[0], cuts + 1])
+                    his = np.concatenate([cuts, [len(tos) - 1]])
+                    for (a, b) in zip(los.tolist(), his.tolist()):
+                        per_block[bi].add_range(
+                            engine.eidx, int(tos[a]), int(tos[b]))
+            _add_start_reports(engine, per_block, lengths)
             continue
         hits, finals = engine_scan_host(engine, data, lengths)
         if isinstance(engine, SomEngine):

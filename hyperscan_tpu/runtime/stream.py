@@ -137,6 +137,8 @@ def _engine_pass(db, streams, chunks, recs_abs, ranges_abs):
                             (engine.eidx, int(tos[a]), int(tos[b]))
                         )
                 st.engine_states[ei] = int(finals[bi])
+            _vacuous_stream_reports(engine, streams, chunks, recs_abs,
+                                    ranges_abs)
             continue
         if isinstance(engine, SomEngine):
             # SOM engines carry (activation, leftmost-start registers)
