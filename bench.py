@@ -89,8 +89,9 @@ def _gen_host(n: int, salt: int) -> np.ndarray:
     return corpus
 
 
-def run_config(n_patterns: int, hs, jax, jnp):
-    _phase(f"run_config({n_patterns}): compile start")
+def run_config(n_patterns: int, hs, jax, jnp, flags: int = 0,
+               corpus_mb: int = None):
+    _phase(f"run_config({n_patterns}, flags={flags}): compile start")
     from hyperscan_tpu.ops.teddy import (
         ROWS_PER_CELL,
         teddy_confirm_fetch_many,
@@ -105,13 +106,13 @@ def run_config(n_patterns: int, hs, jax, jnp):
 
     pats, ids = _patterns(n_patterns)
     t_compile = time.perf_counter()
-    db = hs.compile_multi(pats, ids=ids)
+    db = hs.compile_multi(pats, ids=ids, flags=[flags] * len(pats))
     t_compile = time.perf_counter() - t_compile
     _phase(f"run_config({n_patterns}): compiled in {t_compile:.1f}s")
     assert db.lit is not None and not db.engines, \
         "bench set must be literal-routed"
 
-    n = CORPUS_MB << 20
+    n = (corpus_mb or CORPUS_MB) << 20
     cell = ROWS_PER_CELL * 128
     n_cells = -(-n // cell)
     n_rows = 1 + n_cells * ROWS_PER_CELL
@@ -265,6 +266,10 @@ def main() -> None:
     gs, ms_n = run_stream_config(hs, sdb)
     gdev = run_stream_device(hs, sdb)
     g100, m100, c100 = run_config(100, hs, jax, jnp)
+    # SOM config: leftmost-start reporting end to end (reverse back-scan
+    # validators on the literal route; reference: som/som_runtime.c)
+    gsom, msom, _csom = run_config(
+        100, hs, jax, jnp, flags=hs.HS_FLAG_SOM_LEFTMOST, corpus_mb=64)
     g10k, m10k, c10k = run_config(10_000, hs, jax, jnp)
     _phase("done")
 
@@ -277,7 +282,9 @@ def main() -> None:
                           f"{CORPUS_MB}MB/scan, compile {c10k:.1f}s, "
                           f"{m10k} matches; 100-pattern config: "
                           f"{g100:.2f} GB/s, compile {c100:.2f}s, "
-                          f"{m100} matches; streaming 10k x 8KB writes, "
+                          f"{m100} matches; 100-pattern SOM_LEFTMOST: "
+                          f"{gsom:.2f} GB/s, {msom} matches; "
+                          "streaming 10k x 8KB writes, "
                           f"device-batched StreamSet: {gdev_txt} GB/s "
                           f"aggregate; 16 streams host path: {gs:.3f} "
                           f"GB/s, {ms_n} matches)",

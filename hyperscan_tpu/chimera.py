@@ -27,6 +27,24 @@ Semantics notes (as in the reference): matches are PCRE "global match"
 style — leftmost, non-overlapping per pattern — not the main engine's
 all-match-ends semantics. Ordering across patterns is by pattern order,
 as in ch_runtime.c's per-hit confirm loop; within a pattern, by offset.
+
+PCRE-semantics boundary (the confirm engine is Python `re`, not real
+libpcre — the supported subset differs; unsupported constructs raise
+CompileError with the expression index, the CH_COMPILER_ERROR analogue):
+
+SUPPORTED beyond the main engine: backreferences (\\1, (?P=name)),
+lookahead/lookbehind (fixed-width behind), atomic groups (?>...),
+possessive quantifiers (a++, Python >= 3.11), conditional references
+(?(1)yes|no), named groups, inline flag regions (?i:...).
+
+NOT supported (real libpcre accepts these; `ch_compile` rejects them):
+recursion (?R) / subroutine calls (?1) (?&name), callouts (?C...),
+backtracking control verbs (*SKIP) (*PRUNE) (*THEN) (*COMMIT) (*FAIL)
+(*ACCEPT), \\K match-start reset, variable-width lookbehind, \\cX outside
+the main parser's range, and PCRE-specific escapes Python re lacks
+(\\R, \\N{...} differences aside). Reference: ch_compile.cpp accepts
+anything libpcre compiles; this stand-in accepts anything Python `re`
+compiles — the split logic (hyperscan-able vs confirm-only) is the same.
 """
 from __future__ import annotations
 

@@ -145,3 +145,45 @@ def test_pcre_end_anchor_translation():
     assert {(i, f, t) for i, f, t, _ in out} == {(1, 0, 3)}
     rc, out = collect(db, b"bar")
     assert {(i, f, t) for i, f, t, _ in out} == {(2, 0, 3)}
+
+
+# --------------------------------------------------------------------------
+# PCRE-semantics boundary (docstring contract): constructs real libpcre
+# accepts but the `re` confirm engine rejects must fail cleanly with the
+# expression index (CH_COMPILER_ERROR analogue, chimera/ch_compile.cpp),
+# and the supported subset must report capture parity.
+# --------------------------------------------------------------------------
+
+UNSUPPORTED_PCRE = [
+    r"(?R)",              # recursion
+    r"a(?1)b(x)",         # subroutine call
+    r"a(?C1)b",           # callout
+    r"a(*SKIP)b",         # backtracking verb
+    r"a(*FAIL)",          # backtracking verb
+    r"foo\Kbar",          # match-start reset
+]
+
+
+@pytest.mark.parametrize("pat", UNSUPPORTED_PCRE)
+def test_chimera_rejects_pcre_only(pat):
+    with pytest.raises(CompileError) as ei:
+        ch.ch_compile_multi(["ok1", pat], ids=[1, 2])
+    assert getattr(ei.value, "expression", 1) == 1
+
+
+def test_chimera_supported_subset_captures():
+    cases = [
+        # (pattern, data, expected (frm, to) per capture group, group 0
+        # = whole match)
+        (r"(\w+)=(\w+);\1", b"k=v;k rest", [(0, 5), (0, 1), (2, 3)]),
+        (r"(?=ab)a(b)", b"zab", [(1, 3), (2, 3)]),
+        (r"(?<=x)(y+)", b"axyyy", [(2, 5), (2, 5)]),
+        (r"(?>a+)(b)", b"aaab", [(0, 4), (3, 4)]),
+        (r"(a)(?(1)x|y)", b"zax", [(1, 3), (1, 2)]),
+    ]
+    for (pat, data, want) in cases:
+        db = ch.ch_compile(pat, mode=ch.CH_MODE_GROUPS)
+        rc, out = collect(db, data)
+        assert rc == ch.CH_SUCCESS and out, (pat, rc, out)
+        _id, _frm, _to, caps = out[0]
+        assert [(f2, t2) for (_fl, f2, t2) in caps] == want, (pat, caps)
