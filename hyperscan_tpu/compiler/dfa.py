@@ -49,6 +49,15 @@ class ScanDFA:
     accept_sets: List[FrozenSet[Report]]  # accept_sets[0] == frozenset()
     # empty-match reports: (anchored, eod, adjust, expr)
     start_reports: List[Tuple[bool, bool, int, int]]
+    # partial determinization (capped subset exploration): transitions
+    # into unexplored subsets land in an absorbing sink with no accepts;
+    # callers must treat any path through the sink as "unknown" and
+    # rescan exactly (the lazy-DFA fallback contract). None = exact DFA.
+    sink_state: "Optional[int]" = None
+    # NFA position subset per DFA state, packed little-endian into
+    # ceil(P/64) uint64 words — lets a speculative scan chain exact NFA
+    # activation masks through DFA exits. None unless partial.
+    state_masks: "Optional[np.ndarray]" = None
 
     @property
     def num_states(self) -> int:
@@ -162,7 +171,17 @@ def determinize(
     expr_ids: Sequence[int],
     max_states: int = 60000,
     prune_covered: bool = True,
+    partial: bool = False,
 ) -> ScanDFA:
+    """Subset construction over the scanning NFA.
+
+    With ``partial``, exceeding ``max_states`` does not raise: further
+    transitions land in an absorbing no-accept sink and the result
+    carries ``sink_state`` + per-state NFA masks — the lazy-DFA form the
+    speculative device scan uses for engines whose full subset space
+    blows up (reference analogue: limex runs such NFAs directly,
+    src/nfa/limex_runtime_impl.h; here the explored-core DFA runs on
+    device and sink-touched chunks rescan exactly on host)."""
     u = _flatten(nfas, expr_ids)
     if prune_covered:
         # not valid under SOM: a vacuous report's from == to does not
@@ -191,14 +210,18 @@ def determinize(
     states: Dict[Tuple[int, bool], int] = {}
     order: List[Tuple[int, bool]] = []
 
+    sink_key = ("sink", "sink")
+
     def intern(key: Tuple[int, bool]) -> int:
         sid = states.get(key)
         if sid is None:
-            sid = len(order)
-            if sid >= max_states:
+            if len(order) >= max_states and key != sink_key:
+                if partial:
+                    return intern(sink_key)
                 raise DfaLimitExceeded(
                     f"DFA exceeds {max_states} states; partition the pattern set"
                 )
+            sid = len(order)
             states[key] = sid
             order.append(key)
         return sid
@@ -209,6 +232,10 @@ def determinize(
     i = 0
     # cache of OR-of-follow masks per state mask
     while i < len(order):
+        if order[i] == sink_key:
+            trans_rows.append([states[sink_key]] * C)
+            i += 1
+            continue
         mask, is_start = order[i]
         base_next = 0
         m = mask
@@ -241,6 +268,8 @@ def determinize(
     accept_id = np.zeros(S, dtype=np.int32)
     accept_eod_id = np.zeros(S, dtype=np.int32)
     for sid, (mask, _is_start) in enumerate(order):
+        if mask == "sink":
+            continue  # the sink accepts nothing
         acc: Set[Report] = set()
         acce: Set[Report] = set()
         m = mask
@@ -257,6 +286,21 @@ def determinize(
         if acce:
             accept_eod_id[sid] = set_id(frozenset(acce))
 
+    sink_state = states.get(sink_key)
+    state_masks = None
+    if partial:
+        # per-state NFA subset masks, packed into uint64 words (sink = 0)
+        W64 = max(1, -(-P // 64))
+        state_masks = np.zeros((S, W64), dtype=np.uint64)
+        for sid, (mask, _is_start) in enumerate(order):
+            if mask == "sink":
+                continue
+            m = mask
+            w = 0
+            while m:
+                state_masks[sid, w] = m & 0xFFFFFFFFFFFFFFFF
+                m >>= 64
+                w += 1
     dfa = ScanDFA(
         byte_to_class=byte_to_class,
         trans=trans,
@@ -266,8 +310,12 @@ def determinize(
         accept_eod_id=accept_eod_id,
         accept_sets=accept_sets,
         start_reports=u.start_reports,
+        sink_state=sink_state,
+        state_masks=state_masks,
     )
-    return minimize(dfa)
+    # Moore minimization would merge the sink with dead states and lose
+    # its "unknown" meaning; partial DFAs are used as-is
+    return dfa if partial else minimize(dfa)
 
 
 def reverse_graph(g: NFAGraph, eod: bool) -> NFAGraph:

@@ -180,6 +180,11 @@ class DfaEngine:
     set_adjusts: np.ndarray  # [total] int32
     # empty-match reports: (anchored, eod, adjust, expr)
     start_reports: List[Tuple[bool, bool, int, int]]
+    # partial-determinization extras (lazy-DFA core for the speculative
+    # device scan of blown-up NFAs): absorbing unknown-subset sink and
+    # per-state NFA position masks (uint64 words). None = exact DFA.
+    sink_state: "Optional[int]" = None
+    state_masks: "Optional[np.ndarray]" = None
 
     @property
     def num_states(self) -> int:
@@ -207,6 +212,8 @@ class DfaEngine:
             set_exprs=np.asarray(exprs, dtype=np.int32),
             set_adjusts=np.asarray(adjusts, dtype=np.int32),
             start_reports=list(d.start_reports),
+            sink_state=d.sink_state,
+            state_masks=d.state_masks,
         )
 
     def expand_set(self, set_id: int) -> List[Tuple[int, int]]:
@@ -247,6 +254,11 @@ class NfaEngine:
     max_depth: Optional[int]  # bounded match width or None
     acyclic: bool
     topo_order: np.ndarray  # [P] int32 evaluation order when acyclic
+    # lazy-DFA core over the reachable subset space (partial
+    # determinization with a sink): lets cyclic engines scan on device
+    # speculatively, with sink-touched chunks rescanned exactly on host
+    # (reference analogue: SIMD LimEx execution, limex_runtime_impl.h)
+    spec_dfa: "Optional[DfaEngine]" = None
 
     @property
     def num_positions(self) -> int:
@@ -617,8 +629,10 @@ class Database:
                 "max_depth": e.max_depth,
                 "acyclic": e.acyclic,
                 "start_reports": e.start_reports,
+                "spec_dfa": (cls._pack_engine(e.spec_dfa, store)
+                             if e.spec_dfa is not None else None),
             }
-        return {
+        meta = {
             "arrs": {n: store.put(getattr(e, n))
                      for n in cls._ENGINE_ARRAYS},
             "start_state": e.start_state,
@@ -626,6 +640,11 @@ class Database:
             "max_depth": e.max_depth,
             "start_reports": e.start_reports,
         }
+        if e.sink_state is not None:
+            meta["sink_state"] = int(e.sink_state)
+        if e.state_masks is not None:
+            meta["arrs"]["state_masks"] = store.put(e.state_masks)
+        return meta
 
     @classmethod
     def _unpack_engine(cls, em: dict, prefix: str, z):
@@ -657,14 +676,20 @@ class Database:
                 max_depth=None if md is None else int(md),
                 acyclic=bool(em["acyclic"]),
                 start_reports=[tuple(r) for r in em["start_reports"]],
+                spec_dfa=(cls._unpack_engine(em["spec_dfa"], prefix, z)
+                          if em.get("spec_dfa") else None),
                 **kw,
             )
         kw = {name: arr(name) for name in cls._ENGINE_ARRAYS}
+        sink = em.get("sink_state")
         return DfaEngine(
             start_state=int(em["start_state"]),
             float_state=int(em.get("float_state", 0)),
             max_depth=None if md is None else int(md),
             start_reports=[tuple(r) for r in em["start_reports"]],
+            sink_state=None if sink is None else int(sink),
+            state_masks=(arr("state_masks")
+                         if "state_masks" in refs else None),
             **kw,
         )
 
@@ -1314,10 +1339,22 @@ def _build_bitnfa_engine(
             "pattern exceeds the bit-NFA accept-set limit "
             f"({NFA_MAX_ACCEPT_SETS})", eidx
         )
-    return NfaEngine.from_bitnfa(nfa, max_depth=width)
+    eng = NfaEngine.from_bitnfa(nfa, max_depth=width)
+    # lazy-DFA core: partial determinization over the most-reachable
+    # subsets, with an absorbing sink for the rest — the device scans
+    # this speculatively; sink-touched chunks rescan exactly on host
+    # (closes the host-only gap for cyclic literal-less engines)
+    try:
+        d = determinize([g], [eidx], max_states=SPEC_DFA_STATES,
+                        partial=True)
+        eng.spec_dfa = DfaEngine.from_scan_dfa(d)
+    except Exception:
+        eng.spec_dfa = None  # speculation is an optimization only
+    return eng
 
 
 LBR_MIN_REPEAT = 32  # below this, position expansion is cheap enough
+SPEC_DFA_STATES = 2048  # lazy-DFA core size for blown-up NFA engines
 
 
 def detect_lbr(node) -> Optional[Tuple[np.ndarray, int, Optional[int]]]:

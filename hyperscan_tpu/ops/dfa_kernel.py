@@ -442,3 +442,115 @@ def dfa_scan_corpus_device_speculative(
         pos_a = np.concatenate([pos_a, pos_x])
         aids = np.concatenate([aids, sid_x])
     return (bi_a, pos_a, aids), finals
+
+
+def nfa_scan_corpus_device_speculative(
+    engine, blocks: List[bytes], block_anchored: np.ndarray,
+    capacity: int = 1 << 14,
+):
+    """Device scan for *cyclic* bit-NFA engines via their lazy-DFA core.
+
+    The engine's ``spec_dfa`` (partial determinization of the reachable
+    subset space, with an absorbing unknown-subset sink) scans every
+    chunk speculatively from the float state; the host chains exact NFA
+    activation masks through the per-chunk DFA exits (state_masks maps
+    DFA ids back to subsets). A chunk is valid iff its true entry mask
+    equals the speculated one AND the device exit stayed inside the
+    explored core; everything else rescans exactly with the host
+    word-packed NFA loop — the path it replaces (reference analogue:
+    SIMD LimEx execution, src/nfa/limex_runtime_impl.h:29-33; here the
+    explored core rides the chunk-parallel DFA kernel).
+
+    Returns ((block_idx, pos_local, dfa_accept_set_id) device records to
+    expand with ``engine.spec_dfa``, a list of (block_idx, pos_array,
+    nfa_accept_bits) host-rescan records to expand with ``engine``, and
+    per-block final NFA states).
+    """
+    d = engine.spec_dfa
+    H, CS = 0, SPEC_CS
+    trans_rows, b2c_rows, accept_rows, C = pack_tables(d)
+    Wt, Wa = trans_rows.shape[0], accept_rows.shape[0]
+
+    (Xe, nchunks, chunk_block, chunk_body_start, vfrom, vto, first,
+     ngroups) = _layout_corpus(blocks, H, CS)
+    n_tb = (H + CS) // T_BLOCK
+
+    init_flat = np.full(vfrom.size, np.int32(d.float_state), np.int32)
+    anch = first & block_anchored[chunk_block]
+    init_flat[:nchunks][anch] = d.start_state
+    init = init_flat.reshape(vfrom.shape)
+
+    t, c, aids, fin_np = _invoke_device(
+        engine, Xe, trans_rows, b2c_rows, accept_rows, init, vfrom, vto,
+        Wt, Wa, C, H, ngroups, n_tb, nchunks, capacity, "nfa-spec",
+    )
+
+    # DFA state id -> NFA subset mask (python ints, cached per dfa)
+    if not hasattr(d, "_mask_ints"):
+        sm = d.state_masks
+        ints = []
+        for sid in range(sm.shape[0]):
+            v = 0
+            for w in range(sm.shape[1] - 1, -1, -1):
+                v = (v << 64) | int(sm[sid, w])
+            ints.append(v)
+        d._mask_ints = ints
+    mask_ints = d._mask_ints
+    sink = -1 if d.sink_state is None else int(d.sink_state)
+    start_bit = 1 << engine.num_positions
+
+    from ..runtime.scan import engine_scan_host
+
+    n_blocks = len(blocks)
+    finals: List[int] = [0] * n_blocks
+    entry0 = init_flat[:nchunks]
+    body_len = vto.reshape(-1)[:nchunks] - H
+    rescanned: List[int] = []
+    host_records: List[Tuple[int, np.ndarray, np.ndarray]] = []
+    ci = 0
+    for bi in range(n_blocks):
+        n = len(blocks[bi])
+        nch = max(1, -(-n // CS)) if n else 1
+        blk = np.frombuffer(blocks[bi], np.uint8) if n else \
+            np.zeros(0, np.uint8)
+        actual = (engine.start_state if block_anchored[bi]
+                  else engine.float_state)
+        for k in range(nch):
+            cc = ci + k
+            bl = int(body_len[cc])
+            if bl == 0:
+                continue
+            spec = int(entry0[cc])
+            exit_s = int(fin_np[cc])
+            amask = int(actual) & (start_bit - 1)
+            a_is_start = bool(int(actual) & start_bit)
+            if (amask == mask_ints[spec]
+                    and a_is_start == (spec == d.start_state)
+                    and exit_s != sink):
+                actual = mask_ints[exit_s]
+                continue
+            # speculation missed or the core was left: exact host rescan
+            rescanned.append(cc)
+            row = np.zeros((1, CS), np.uint8)
+            seg = blk[k * CS : k * CS + bl]
+            row[0, : seg.size] = seg
+            hits, fin_h = engine_scan_host(
+                engine, row, np.asarray([bl], np.int64), [actual]
+            )
+            ph, hv = hits[0]
+            if len(ph):
+                host_records.append((
+                    bi,
+                    chunk_body_start[cc] + np.asarray(ph, np.int64),
+                    np.asarray(hv, np.int64),
+                ))
+            actual = int(fin_h[0])
+        finals[bi] = int(actual)
+        ci += nch
+
+    if rescanned:
+        keep = ~np.isin(c, np.asarray(rescanned, dtype=c.dtype))
+        t, c, aids = t[keep], c[keep], aids[keep]
+    bi_a = chunk_block[c]
+    pos_a = chunk_body_start[c] + t - H
+    return (bi_a, pos_a, aids), host_records, finals

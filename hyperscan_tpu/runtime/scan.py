@@ -327,6 +327,36 @@ def scan_blocks_raw(
             from ..ops.nfa_kernel import nfa_device_eligible, nfa_scan_corpus_device
 
             if not nfa_device_eligible(engine):
+                from .smallwrite import HOST_SCAN_LIMIT
+
+                limit = getattr(db, "host_scan_limit", HOST_SCAN_LIMIT)
+                if engine.spec_dfa is not None \
+                        and int(lengths.sum()) > limit:
+                    # cyclic bit-NFA: speculative device scan over the
+                    # lazy-DFA core, host rescan of sink/mismatch chunks
+                    from ..ops.dfa_kernel import (
+                        nfa_scan_corpus_device_speculative,
+                    )
+
+                    (bi_a, pos_a, aids), host_recs, finals = \
+                        nfa_scan_corpus_device_speculative(
+                            engine, blocks_b, np.ones(B, dtype=bool),
+                            capacity=capacity,
+                        )
+                    _expand_device_records(
+                        engine.spec_dfa, bi_a, pos_a, aids, per_block)
+                    for (bi, pp, hv) in host_recs:
+                        _expand_device_records(
+                            engine, np.full(len(pp), bi, np.int64),
+                            pp, hv, per_block)
+                    for bi in range(B):
+                        sid = engine.eod_set(finals[bi])
+                        if sid:
+                            for (eid, adj) in engine.expand_set(sid):
+                                per_block[bi].add(
+                                    eid, int(lengths[bi]) + adj)
+                    _add_start_reports(engine, per_block, lengths)
+                    continue
                 host_engines.append(engine)
                 continue
             # acyclic bit-NFA: layered position-parallel device scan

@@ -221,3 +221,65 @@ def test_pallas_layered_kernel_interpret(monkeypatch):
     d = bytes(rng.choice(np.frombuffer(b"xyzab", np.uint8), size=9000))
     got = {t for (_i, _f, t) in scan_block(db, d)[0]}
     assert got == ast_match_ends(node, d)
+
+
+def test_cyclic_nfa_speculative_device_scan():
+    """Cyclic literal-less bit-NFA engines (the last host-only class)
+    scan on device via their lazy-DFA core (partial determinization +
+    chunk speculation); sink/mismatch chunks rescan exactly on host.
+    Must be bit-identical to the host word-packed loop."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.database import NfaEngine
+    from hyperscan_tpu.grey import Grey
+
+    pat = r"(ax|by|cz|dw)+[!]"
+    db = compile_patterns([pat], grey=Grey(max_dfa_states=8,
+                                           allow_teddy=False))
+    eng = next(e for e in db.engines if isinstance(e, NfaEngine))
+    assert not eng.acyclic and eng.spec_dfa is not None
+    assert eng.spec_dfa.sink_state is not None \
+        or eng.spec_dfa.state_masks is not None
+
+    rng = np.random.default_rng(17)
+    # large block (forces the device path) with planted accept paths
+    blob = bytearray(
+        (32 + rng.integers(0, 95, 300_000)).astype(np.uint8).tobytes())
+    for k in range(60):
+        frag = b"ax" * int(rng.integers(0, 4)) + b"by" + b"!"
+        off = int(rng.integers(0, len(blob) - 20))
+        blob[off:off + len(frag)] = frag
+    data = bytes(blob)
+
+    got = sorted(hs.scan(db, data))
+
+    # host-only reference: same engine with the spec core stripped
+    db2 = compile_patterns([pat], grey=Grey(max_dfa_states=8,
+                                            allow_teddy=False))
+    eng2 = next(e for e in db2.engines if isinstance(e, NfaEngine))
+    eng2.spec_dfa = None
+    ref = sorted(hs.scan(db2, data))
+    assert got == ref and len(got) >= 40
+
+    # serialize round trip keeps the spec core
+    db3 = hs.deserialize_database(hs.serialize_database(db))
+    eng3 = next(e for e in db3.engines if isinstance(e, NfaEngine))
+    assert eng3.spec_dfa is not None
+    assert sorted(hs.scan(db3, data)) == got
+
+    # tiny core: transitions leave the explored space (real sink) —
+    # sink-touched chunks must rescan exactly on host
+    import hyperscan_tpu.database as dbmod
+
+    old = dbmod.SPEC_DFA_STATES
+    dbmod.SPEC_DFA_STATES = 5
+    try:
+        db4 = compile_patterns([pat], grey=Grey(max_dfa_states=8,
+                                                allow_teddy=False))
+    finally:
+        dbmod.SPEC_DFA_STATES = old
+    eng4 = next(e for e in db4.engines if isinstance(e, NfaEngine))
+    assert eng4.spec_dfa is not None \
+        and eng4.spec_dfa.sink_state is not None
+    assert sorted(hs.scan(db4, data)) == ref

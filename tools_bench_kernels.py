@@ -140,6 +140,72 @@ def bench_spec_kernel(jnp, jax, rng):
               f"{n / dt / 1e9:.2f} GB/s ({total} accepts)", flush=True)
 
 
+def bench_nfa_spec_kernel(jnp, jax, rng):
+    """Speculative device scan for a CYCLIC bit-NFA engine via its
+    lazy-DFA core (the class that previously only had the ~161 MB/s host
+    word-packed loop). Device pass only; host fixup is data-dependent
+    and ~zero when speculation holds on random corpora."""
+    from hyperscan_tpu.database import NfaEngine, compile_patterns
+    from hyperscan_tpu.grey import Grey
+    from hyperscan_tpu.ops import dfa_kernel as DK
+
+    db = compile_patterns(
+        [r"(ax|by|cz|dw)+[!]"],
+        grey=Grey(max_dfa_states=8, allow_teddy=False),
+    )
+    eng = next(e for e in db.engines if isinstance(e, NfaEngine))
+    assert not eng.acyclic and eng.spec_dfa is not None
+    d = eng.spec_dfa
+    H, CS = 0, DK.SPEC_CS
+    trans_rows, b2c_rows, accept_rows, C = DK.pack_tables(d)
+    Wt, Wa = trans_rows.shape[0], accept_rows.shape[0]
+    G = DK.GROUP_ROWS
+
+    for n_mb in (32, 64):
+        n = n_mb << 20
+        nch = -(-n // CS)
+        nrows = -(-nch // 128)
+        ngroups = max(1, -(-nrows // G))
+        nrows_pad = ngroups * G
+        ncap = nrows_pad * 128
+        n_tb = (H + CS) // DK.T_BLOCK
+
+        @jax.jit
+        def make_xe(salt):
+            i = jnp.arange(ncap * CS, dtype=jnp.uint32)
+            v = (i + salt * jnp.uint32(7919)) * jnp.uint32(2654435761)
+            flat = (32 + ((v >> 16) % 95)).astype(jnp.uint8)
+            flat = jnp.where(i < n, flat, 0)
+            return flat.reshape(ncap, CS).T.reshape(CS, nrows_pad, 128)
+
+        vfrom = np.zeros(ncap, np.int32)
+        vto = np.zeros(ncap, np.int32)
+        vto[:nch] = CS
+        vto[nch - 1] = n - (nch - 1) * CS
+        init = np.full(ncap, d.float_state, np.int32)
+        init[0] = d.start_state
+        run = DK._jit_scan(Wt, Wa, C, H, ngroups, n_tb, 1 << 16,
+                           max(64, (1 << 16) // 16), False)
+        args = (
+            jnp.asarray(trans_rows), jnp.asarray(b2c_rows),
+            jnp.asarray(accept_rows),
+            jnp.asarray(init.reshape(nrows_pad, 128)),
+            jnp.asarray(vfrom.reshape(nrows_pad, 128)),
+            jnp.asarray(vto.reshape(nrows_pad, 128)),
+        )
+        xe = make_xe(jnp.uint32(0))
+        meta, packed, fin = run(xe, *args, jnp.int32(xe.size))
+        _ = np.asarray(meta)  # warm + force
+        t0 = time.perf_counter()
+        xe = make_xe(jnp.uint32(1))
+        meta, packed, fin = run(xe, *args, jnp.int32(xe.size))
+        total = int(np.asarray(meta)[0])
+        dt = time.perf_counter() - t0
+        print(f"cyclic bit-NFA spec kernel (lazy-DFA core): {n_mb} MB in "
+              f"{dt:.3f}s = {n / dt / 1e9:.2f} GB/s ({total} accepts)",
+              flush=True)
+
+
 def bench_nfa_kernel(jnp, jax, rng):
     import hyperscan_tpu as hs
     from hyperscan_tpu.database import NfaEngine
@@ -213,6 +279,8 @@ def main():
 
     rng = np.random.default_rng(0)
     bench_dfa_kernel(jnp, jax, rng)
+    bench_spec_kernel(jnp, jax, rng)
+    bench_nfa_spec_kernel(jnp, jax, rng)
     bench_nfa_kernel(jnp, jax, rng)
 
 
