@@ -318,6 +318,57 @@ def determinize(
     return dfa if partial else minimize(dfa)
 
 
+def structural_key(g: NFAGraph, *extra) -> tuple:
+    """Cache key identifying a graph up to byte relabeling: two graphs
+    with the same set of distinct reach columns, follow structure,
+    firsts and accepts produce byte-identical class-indexed DFA tables
+    (``_byte_classes`` orders classes by column content, not byte
+    value), differing only in byte_to_class."""
+    cols = np.unique(np.ascontiguousarray(g.reach.T), axis=0)
+    return (
+        cols.shape, cols.tobytes(),
+        tuple(tuple(sorted(s)) for s in g.follow),
+        tuple(sorted(g.anchored_first)),
+        tuple(sorted(g.float_first)),
+        tuple(sorted((p, tuple(sorted(a))) for p, a in g.accept.items())),
+        tuple(sorted((p, tuple(sorted(a)))
+                     for p, a in g.accept_eod.items())),
+        tuple(sorted(g.start_accepts)),
+    ) + extra
+
+
+def determinize_cached(
+    g: NFAGraph, eidx: int, cache: dict,
+    max_states: int = 60000, prune_covered: bool = True,
+) -> ScanDFA:
+    """Structure-keyed single-graph determinization: isomorphic graphs
+    (same shape, different literal bytes — the dominant case in
+    vocabulary-built rulesets) run subset construction ONCE and share
+    the class-indexed tables; per pattern only the byte_to_class remap
+    and the report id differ (reference analogue: leftfix/suffix dedupe
+    across patterns, rose_build_merge.cpp + ng_is_equal.cpp)."""
+    import dataclasses as _dc
+
+    key = structural_key(g, max_states, prune_covered)
+    hit = cache.get(key)
+    if hit is None:
+        d = determinize([g], [eidx], max_states=max_states,
+                        prune_covered=prune_covered)
+        cache[key] = d
+        return d
+    b2c, _reps = _byte_classes(g.reach)
+    return _dc.replace(
+        hit,
+        byte_to_class=b2c,
+        accept_sets=[
+            frozenset((eidx, adj) for (_e, adj) in s)
+            for s in hit.accept_sets
+        ],
+        start_reports=[(a, e2, adj, eidx)
+                       for (a, e2, adj, _i) in hit.start_reports],
+    )
+
+
 def reverse_graph(g: NFAGraph, eod: bool) -> NFAGraph:
     """Reverse NFA for SOM back-scans (reference: ng_som.cpp reverse NFAs
     + nfaBlockExecReverse, src/nfa/nfa_rev_api.h).

@@ -25,7 +25,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .compiler.chains import InfixSpec as _InfixSpec
-from .compiler.dfa import DfaLimitExceeded, ScanDFA, determinize
+from .compiler.dfa import (DfaLimitExceeded, ScanDFA, determinize,
+                           determinize_cached)
 from .compiler.glushkov import NFAGraph, build_nfa
 from .compiler.parser import parse
 from .errors import (
@@ -1436,6 +1437,9 @@ def compile_patterns(
     factor_refs: List[List[Tuple[int, int, int, bool]]] = []
     factor_objs = []
     validators: Dict[int, DfaEngine] = {}
+    # structure-keyed determinization cache: isomorphic graphs (same
+    # shape, different literal bytes) share one subset construction
+    dfa_cache: Dict = {}
     rev_validators: Dict[int, Tuple] = {}
     chains: Dict[int, ChainInfo] = {}
     combination_specs: List[Tuple[int, object, set]] = []
@@ -1589,22 +1593,23 @@ def compile_patterns(
             if not grey.allow_validators:
                 return False
             try:
-                d = determinize([g], [i],
-                                max_states=grey.validator_max_states,
-                                prune_covered=not want_som)
+                d = determinize_cached(
+                    g, i, dfa_cache,
+                    max_states=grey.validator_max_states,
+                    prune_covered=not want_som)
                 validators[i] = DfaEngine.from_scan_dfa(d)
                 if want_som:
                     from .compiler.dfa import reverse_graph
 
                     rev_a = rev_e = None
                     if g.accept:
-                        rev_a = DfaEngine.from_scan_dfa(determinize(
-                            [reverse_graph(g, eod=False)], [i],
+                        rev_a = DfaEngine.from_scan_dfa(determinize_cached(
+                            reverse_graph(g, eod=False), i, dfa_cache,
                             max_states=grey.validator_max_states,
                         ))
                     if g.accept_eod:
-                        rev_e = DfaEngine.from_scan_dfa(determinize(
-                            [reverse_graph(g, eod=True)], [i],
+                        rev_e = DfaEngine.from_scan_dfa(determinize_cached(
+                            reverse_graph(g, eod=True), i, dfa_cache,
                             max_states=grey.validator_max_states,
                         ))
                     rev_validators[i] = (rev_a, rev_e)
@@ -1675,15 +1680,17 @@ def compile_patterns(
                                 if rg.accept_eod or rg.is_vacuous():
                                     raise DfaLimitExceeded(
                                         "chain segment unsupported")
-                                fwd = DfaEngine.from_scan_dfa(determinize(
-                                    [rg], [i],
-                                    max_states=grey.validator_max_states))
+                                fwd = DfaEngine.from_scan_dfa(
+                                    determinize_cached(
+                                        rg, i, dfa_cache,
+                                        max_states=grey.
+                                        validator_max_states))
                                 rev = None
                                 if ri > 0 or cs.lead is not None:
                                     rev = DfaEngine.from_scan_dfa(
-                                        determinize(
-                                            [reverse_graph(rg, eod=False)],
-                                            [i],
+                                        determinize_cached(
+                                            reverse_graph(rg, eod=False),
+                                            i, dfa_cache,
                                             max_states=grey.
                                             validator_max_states))
                                 roles.append(ChainRole(fwd=fwd, rev=rev))

@@ -676,25 +676,39 @@ def _packed_validators(lit):
     if V == 0:
         lit._vpack = None
         return None
-    sizes = [lit.validators[e].trans.shape[0] for e in eids]
     cmax = max(lit.validators[e].trans.shape[1] for e in eids)
-    total = int(np.sum(sizes))
-    trans_all = np.zeros((total, cmax), dtype=np.int64)
-    acc_all = np.zeros(total, dtype=np.int64)
-    acce_all = np.zeros(total, dtype=np.int64)
+    # content-deduplicated table regions: isomorphic validators (same
+    # class-indexed tables, different byte remap) share one transition
+    # region — b2c stays per pattern, states are global ids either way
+    # (reference analogue: leftfix dedupe, rose_build_merge.cpp)
+    tid_base: Dict[bytes, int] = {}
+    tparts: List = []
     b2c_all = np.zeros((V, 256), dtype=np.int64)
     start_g = np.zeros(V, dtype=np.int64)
     float_g = np.zeros(V, dtype=np.int64)
-    base = 0
+    total = 0
     for i, e in enumerate(eids):
         v = lit.validators[e]
+        key = (v.trans.tobytes() + v.accept_id.tobytes()
+               + v.accept_eod_id.tobytes())
+        base = tid_base.get(key)
+        if base is None:
+            base = total
+            tid_base[key] = base
+            tparts.append(v)
+            total += v.trans.shape[0]
+        b2c_all[i] = v.byte_to_class
+        start_g[i] = base + v.start_state
+        float_g[i] = base + v.float_state
+    trans_all = np.zeros((total, cmax), dtype=np.int64)
+    acc_all = np.zeros(total, dtype=np.int64)
+    acce_all = np.zeros(total, dtype=np.int64)
+    base = 0
+    for v in tparts:
         S, C = v.trans.shape
         trans_all[base : base + S, :C] = v.trans.astype(np.int64) + base
         acc_all[base : base + S] = v.accept_id
         acce_all[base : base + S] = v.accept_eod_id
-        b2c_all[i] = v.byte_to_class
-        start_g[i] = base + v.start_state
-        float_g[i] = base + v.float_state
         base += S
     max_e = max(eids)
     vid_arr = np.full(max_e + 1, -1, dtype=np.int64)
