@@ -38,7 +38,8 @@ def _phase(msg: str) -> None:
 
 BASELINE_GBPS = 19241.10 / 8 / 1000.0  # doc sample, Mbit/s -> GB/s
 
-CORPUS_MB = 256
+CORPUS_MB = 512  # bulk batch per scan (fixed dispatch costs amortize;
+# hsbench's analogue is re-scanning a preloaded corpus)
 ITERS = 4
 
 WORDS = ["attack", "payload", "shell", "admin", "select", "union", "eval",
@@ -46,10 +47,12 @@ WORDS = ["attack", "payload", "shell", "admin", "select", "union", "eval",
 
 
 def _patterns(n: int):
-    """Snort-flavored patterns, all carrying bounded literal factors."""
+    """Snort-flavored patterns, all carrying bounded literal factors
+    (incl. general-infix chains — arbitrary sub-graphs between literal
+    roles, the full Violet decomposition shape)."""
     pats, ids = [], []
     for i in range(n):
-        k = i % 5
+        k = i % 6
         w = WORDS[i % len(WORDS)]
         if k == 0:
             pats.append(w + str(i))
@@ -59,14 +62,17 @@ def _patterns(n: int):
             pats.append(rf"x{i}(GET|POST|PUT) /[a-z]{{1,20}}")
         elif k == 3:
             pats.append(rf"q{i}h[a-f0-9]{{8}}")
-        else:
+        elif k == 4:
             pats.append(rf"v{i}\.(exe|dll|bat)")
+        else:
+            pats.append(rf"gate{i}x(ab|cd)*{w}{i}end")
         ids.append(i)
     return pats, ids
 
 
 _PLANTS = [b"attack0 ", b"payload16y99z!", b"x12GET /abc ", b"q8hdeadbeef ",
-           b"v4.exe ", b"union55 ", b"shell2222 "]
+           b"v4.exe ", b"union55 ", b"shell2222 ",
+           b"gate5xabcdabeval5end ", b"gate11xlogin11end "]
 
 
 def _plant_region() -> np.ndarray:

@@ -1664,12 +1664,6 @@ def compile_patterns(
 
                     cs = detect_chain(node_b, grey.min_factor_len,
                                       grey.max_window)
-                    if cs is not None and any(cs.infixes) \
-                            and base_mode(mode) != HS_MODE_BLOCK:
-                        # general-infix joins carry engine state across
-                        # writes; streaming routes these to the general
-                        # engines until infix stream state is carried
-                        cs = None
                     if cs is not None:
                         try:
                             from .compiler.dfa import reverse_graph

@@ -1066,37 +1066,58 @@ def _infix_tables(spec):
     return spec._pyt
 
 
-def _infix_connect(spec, corpus, E, S, block_end: int):
+def _infix_connect(spec, corpus, E, S, block_end: int,
+                   init_mask: int = 0, init_pos: int = 0,
+                   capture_at: int = None):
     """Forward injection scan of a general-gap NFA: start states are
     injected at every previous-role end in E, accept liveness is read at
-    every candidate next-role start in S; returns the connected subset
-    of S. Exact: mask at position p holds the union of all live
-    part-scans data[e:p) over injected e (reference: triggered infix
-    engine execution, src/rose/infix.h; monotone in the injection set).
-    Bytes are only consumed while some state is live — gaps that die
-    fast (the common case) cost a handful of steps per injection."""
+    every candidate next-role start in S; returns (connected subset of
+    S, mask at `capture_at`). Exact: mask at position p holds the union
+    of all live part-scans data[e:p) over injected e (reference:
+    triggered infix engine execution, src/rose/infix.h; monotone in the
+    injection set). Bytes are only consumed while some state is live —
+    gaps that die fast (the common case) cost a handful of steps per
+    injection.
+
+    Streaming: `init_mask` is the carried NFA state valid at `init_pos`
+    (the extent start), and `capture_at` asks for the evolved mask at
+    that position (the next write's extent start) — the O(1) carried
+    infix stream state (reference analogue: LeftEngInfo infix stream
+    state, rose_graph.h:140)."""
     chunks, reach, start, accept = _infix_tables(spec)
     conn = set()
     E_l = [int(x) for x in E]
     S_set = set(int(x) for x in S)
     if spec.nullable:
         conn |= set(E_l) & S_set
-    if not E_l or not len(S):
-        return conn
-    s_max = min(int(S[-1]), block_end)
+    s_max = min(int(S[-1]), block_end) if len(S) else init_pos
+    scan_to = s_max if capture_at is None else max(s_max, capture_at)
+    scan_to = min(scan_to, block_end)
     i_e = 0
-    mask = 0
-    p = 0
+    mask = init_mask
+    p = init_pos
+    cap_mask = 0
+    captured = capture_at is None
+    if not captured and p >= capture_at:
+        cap_mask = init_mask
+        captured = True
     n_ck = len(chunks)
     while True:
         if mask == 0:
-            if i_e >= len(E_l) or E_l[i_e] >= s_max:
+            # dead: jump to the next injection (bytes between are free)
+            if i_e >= len(E_l) or E_l[i_e] >= scan_to:
                 break
-            p = E_l[i_e]
+            nxt = max(p, E_l[i_e])
+            if not captured and nxt >= capture_at:
+                captured = True  # dead through the capture point
+            p = nxt
         while i_e < len(E_l) and E_l[i_e] == p:
             mask |= start
             i_e += 1
-        if p >= s_max:
+        if not captured and p == capture_at:
+            cap_mask = mask
+            captured = True
+        if p >= scan_to:
             break
         # step: follow-union of live positions, masked by byte reach
         f = 0
@@ -1110,38 +1131,94 @@ def _infix_connect(spec, corpus, E, S, block_end: int):
         p += 1
         if (mask & accept) and p in S_set:
             conn.add(p)
-    return conn
+        if not captured and p == capture_at:
+            cap_mask = mask
+            captured = True
+    return conn, cap_mask
 
 
-def _connect_role_infix(
-    role, corpus, spans, prev_ends, spec, block_starts, block_ends,
+def lit_history_required(lit) -> int:
+    """History bytes needed so candidates, confirm bytes and windows of
+    matches ending in a new chunk stay inside history+chunk (reference:
+    RoseEngine historyRequired). Cached per lit table set."""
+    if hasattr(lit, "_hist_req"):
+        return lit._hist_req
+    h = 0
+    for fid, refs in enumerate(lit.factor_refs):
+        flen = len(lit.factor_atoms[fid])
+        for (_e, max_s2f, max_f2e, _le) in refs:
+            h = max(h, max_f2e + max(max_s2f + WINDOW_SLACK, flen) + 2)
+    lit._hist_req = h
+    return h
+
+
+def _resolve_infix_boundary(
+    lit, role, spec, eidx, bnd, corpus, spans, prev_ends,
+    block_starts, block_ends, chain_ctx, chain_out,
 ) -> Dict[int, np.ndarray]:
-    """Role matches whose start connects to a previous-boundary end
-    through a general-gap infix NFA (arbitrary sub-graph between
-    literal roles — the full Violet decomposition shape)."""
-    win, starts_w, blks_w, A_i, A_t, A_aid = _role_matches(
-        role, corpus, spans
-    )
-    if len(A_i) == 0:
-        return {}
-    S_k, S_j = _role_starts(role, win, A_i, A_t)
-    if len(S_k) == 0:
-        return {}
-    s_flat = starts_w[A_i[S_k]] + S_j
-    blk_s = blks_w[A_i[S_k]]
+    """Resolve one general-gap boundary: role-r matches whose start
+    connects to a previous-boundary end through the infix NFA (forward
+    injection scan). Streaming (`chain_out` given) carries the infix
+    engine's state across writes: the NFA mask captured at the next
+    extent's start plus recent end positions whose factor context will
+    be trimmed out of the rescanable history (reference analogue:
+    LeftEngInfo infix stream state, rose_graph.h:140)."""
+    streaming = chain_out is not None
+    if spans:
+        win, starts_w, blks_w, A_i, A_t, A_aid = _role_matches(
+            role, corpus, spans
+        )
+        S_k, S_j = (_role_starts(role, win, A_i, A_t)
+                    if len(A_i) else (np.zeros(0, np.int64),) * 2)
+        s_flat = starts_w[A_i[S_k]] + S_j if len(S_k) else \
+            np.zeros(0, np.int64)
+        blk_s = blks_w[A_i[S_k]] if len(S_k) else np.zeros(0, np.int64)
+    else:
+        A_i = A_t = A_aid = starts_w = blks_w = np.zeros(0, np.int64)
+        S_k = s_flat = blk_s = np.zeros(0, np.int64)
+    carried: Dict[int, tuple] = {}
+    if chain_ctx:
+        for (b, e, rr), v in chain_ctx.items():
+            if e == eidx and rr == bnd:
+                carried[b] = v
+    touched = set(int(b) for b in prev_ends) | set(carried)
+    if len(blk_s):
+        touched |= set(int(b) for b in np.unique(blk_s))
     conn_pair = np.zeros(len(A_i), dtype=bool)
-    for b in np.unique(blk_s):
-        E = prev_ends.get(int(b))
-        if E is None or not len(E):
-            continue
+    hist_req = lit_history_required(lit) if streaming else None
+    for b in sorted(touched):
+        bs = int(block_starts[b])
+        be = int(block_ends[b])
+        E_set = set()
+        Ep = prev_ends.get(b)
+        if Ep is not None:
+            E_set |= set(int(x) for x in Ep)
+        mask0 = 0
+        if b in carried:
+            arr, cap_abs, base_abs = carried[b]
+            arr = np.asarray(arr)
+            if len(arr):
+                mask0 = int(arr[0])
+                # carried recent ends, absolute -> flat local
+                E_set |= {bs + (int(x) - base_abs) for x in arr[1:]}
         m = blk_s == b
-        s = s_flat[m]
-        ok = _infix_connect(spec, corpus, E, np.unique(s),
-                            int(block_ends[b]))
-        if not ok:
+        S_b = np.unique(s_flat[m]) if m.any() else np.zeros(0, np.int64)
+        E = np.asarray(sorted(E_set), dtype=np.int64)
+        if not len(E) and not mask0 and not streaming:
             continue
-        conn = np.asarray([int(x) in ok for x in s], dtype=bool)
-        conn_pair[S_k[np.flatnonzero(m)[conn]]] = True
+        capture_at = max(bs, be - hist_req) if streaming else None
+        ok, cap_mask = _infix_connect(
+            spec, corpus, E, S_b, be,
+            init_mask=mask0, init_pos=bs, capture_at=capture_at,
+        )
+        if streaming:
+            keeps = sorted(x for x in E_set if x >= capture_at)[-4096:]
+            chain_out[(b, eidx, bnd)] = (
+                "imask", int(cap_mask), keeps, int(capture_at))
+        if ok and m.any():
+            conn = np.asarray([int(x) in ok for x in s_flat[m]],
+                              dtype=bool)
+            conn_pair[S_k[np.flatnonzero(m)[conn]]] = True
     return _emit_role_ends(role, conn_pair, starts_w, blks_w, A_i, A_t,
                            A_aid, block_starts, block_ends)
 
@@ -1242,19 +1319,30 @@ def resolve_chains(
                 chain_out[(b, eidx, 0)] = arr
 
         for r in range(1, R):
-            ends, carried_pre = _merge_carried(
-                ends, chain_ctx, eidx, r - 1, block_starts
-            )
             spans = _merge_spans(list(chain_windows.get((eidx, r), [])))
             inf = ch.infix.get(r - 1) if getattr(ch, "infix", None) \
                 else None
+            if inf is not None:
+                # general-gap boundary (carried state = NFA mask, not
+                # class-run evidence — _merge_carried does not apply):
+                # runs even without new windows, so the streaming mask
+                # advances through every write
+                new_ends = _resolve_infix_boundary(
+                    lit, ch.roles[r], inf, eidx, r - 1, corpus, spans,
+                    ends, block_starts, block_ends, chain_ctx, chain_out,
+                )
+                ends = new_ends
+                if r < R - 1 and streaming:
+                    for b, arr in new_ends.items():
+                        chain_out[(b, eidx, r)] = arr
+                if not streaming and not ends and r < R - 1:
+                    break
+                continue
+            ends, carried_pre = _merge_carried(
+                ends, chain_ctx, eidx, r - 1, block_starts
+            )
             if (not ends and not carried_pre) or not spans:
                 new_ends: Dict[int, np.ndarray] = {}
-            elif inf is not None:
-                new_ends = _connect_role_infix(
-                    ch.roles[r], corpus, spans, ends, inf,
-                    block_starts, block_ends,
-                )
             else:
                 new_ends = _connect_role(
                     ch.roles[r], corpus, spans, ends, carried_pre,

@@ -238,6 +238,23 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
                     (ch.num_roles - 1, ch.gap_bits[ch.trail[0]],
                      ch.trail[2]))
             for (r, gb, ghi) in bounds:
+                if getattr(ch, "infix", None) and r in ch.infix:
+                    # general-gap boundary: carried state is the infix
+                    # NFA mask at the next extent start plus recent end
+                    # positions (resolve_chains wrote an "imask" record)
+                    rec = chain_out.get((bi, eidx, r))
+                    if rec is None:
+                        continue  # chain untouched this write
+                    _tag, mask, keeps, cap_flat = rec
+                    fs = int(flat_starts[bi])
+                    cap_abs = base_abs + (int(cap_flat) - fs)
+                    ends_abs = [base_abs + (int(p) - fs) for p in keeps]
+                    if mask or ends_abs:
+                        st.chain_state[(eidx, r)] = (
+                            [int(mask)] + ends_abs, cap_abs)
+                    else:
+                        st.chain_state[(eidx, r)] = ([], 0)
+                    continue
                 c_ends, c_run = st.chain_state.get((eidx, r), ([], 0))
                 bad = np.flatnonzero(~gb[ext]) if len(ext) else \
                     np.zeros(0, np.int64)
@@ -332,10 +349,17 @@ def _scan_streams_sharded(db, exts, anchored, mesh, chain_ctx, chain_out,
         if out_g:
             for (li, e, r), arr in out_g.items():
                 gi = g[li]
-                chain_out[(gi, e, r)] = (
-                    np.asarray(arr, dtype=np.int64)
-                    - int(starts_d[li]) + int(g_starts[gi])
-                )
+                delta = int(g_starts[gi]) - int(starts_d[li])
+                if isinstance(arr, tuple) and arr and arr[0] == "imask":
+                    chain_out[(gi, e, r)] = (
+                        "imask", arr[1],
+                        [int(p) + delta for p in arr[2]],
+                        int(arr[3]) + delta,
+                    )
+                else:
+                    chain_out[(gi, e, r)] = (
+                        np.asarray(arr, dtype=np.int64) + delta
+                    )
 
 
 def scan_streams(

@@ -384,13 +384,68 @@ def test_general_infix_edges():
     assert hs.scan(db3, b"zzfoosegababbarseg") == [(1, 0, 18)]
 
 
-def test_general_infix_streaming_falls_back():
-    """Streaming databases route general-infix patterns to the general
-    engines (infix stream state is not carried yet) — and still match."""
+def test_general_infix_streaming_carried_state():
+    """Streaming carries the infix engine's state across writes (NFA
+    mask at the next extent start + recent role ends): matches whose
+    gap spans many writes must be found, and write splits must be
+    invisible (block parity)."""
     db = hs.compile_multi([r"fooseg(ab|cd)*barseg"], ids=[1],
                           mode=hs.HS_MODE_STREAM)
+    assert db.lit is not None and 0 in db.lit.chains \
+        and db.lit.chains[0].infix
     st = hs.open_stream(db)
     ms = hs.scan_stream(st, b"foosegab")
     ms += hs.scan_stream(st, b"cdbarseg!")
     ms += hs.close_stream(st)
     assert (1, 0, 16) in ms
+
+    # gap spanning MANY writes (far beyond the history window)
+    st = hs.open_stream(db)
+    ms = hs.scan_stream(st, b"xx fooseg")
+    for _ in range(40):
+        ms += hs.scan_stream(st, b"abcd" * 16)
+    ms += hs.scan_stream(st, b"abbarseg yy")
+    ms += hs.close_stream(st)
+    assert len(ms) == 1 and ms[0][2] == 9 + 40 * 64 + 8, ms
+    # a broken gap mid-stream kills the carried state
+    st = hs.open_stream(db)
+    hs.scan_stream(st, b"fooseg" + b"ab" * 30)
+    hs.scan_stream(st, b"X")
+    ms = hs.scan_stream(st, b"ab" * 10 + b"barseg")
+    assert ms == []
+
+
+@pytest.mark.parametrize("pat", INFIX_PATS)
+@pytest.mark.parametrize("seed", [3, 9])
+def test_general_infix_stream_splits_match_block(pat, seed):
+    """Random write splits (with state-codec round trips) must reproduce
+    the block match set for general-infix chains."""
+    bdb = hs.compile_multi([pat], ids=[5])
+    sdb = hs.compile_multi([pat], ids=[5], mode=hs.HS_MODE_STREAM)
+    rng = np.random.default_rng(seed)
+    frags = [b"foomark", b"barmark", b"ab", b"cd", b"alpha", b"omega7",
+             b"x3y", b"qq", b"lead77", b"GET ", b"POST ", b"trail",
+             b"aaa111", b"zzz222", b"bcd", b"e", b"one11", b"two22",
+             b"three33", b"ef", b"gh", b"mix44", b"gap55", b"xy", b"z",
+             b"end66", b"foomarkababbarmark", b"one11cdtwo22ghthree33"]
+    for _trial in range(6):
+        blob = bytearray(
+            (32 + rng.integers(0, 95, 300)).astype(np.uint8).tobytes())
+        for _ in range(int(rng.integers(3, 10))):
+            f = frags[int(rng.integers(0, len(frags)))]
+            off = int(rng.integers(0, 280))
+            blob[off:off + len(f)] = f
+        data = bytes(blob)
+        want = set(hs.scan(bdb, data))
+        k = int(rng.integers(1, 7))
+        cuts = sorted(rng.choice(len(data), size=k, replace=False).tolist())
+        st = hs.open_stream(sdb)
+        ms = []
+        prev = 0
+        for ci, c in enumerate(cuts + [len(data)]):
+            ms.extend(hs.scan_stream(st, data[prev:c]))
+            if ci % 2 == 1:
+                st = hs.expand_stream(sdb, hs.compress_stream(st))
+            prev = c
+        ms.extend(hs.close_stream(st))
+        assert set(ms) == want, (pat, _trial, sorted(set(ms) ^ want))
