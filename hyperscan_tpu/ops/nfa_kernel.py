@@ -193,7 +193,13 @@ def _jit_group(engine_key, NT: int, NE: int, B: int, capacity: int,
 
 # jit-cache key registry: id() alone can collide after gc; pair with a
 # monotonically assigned token stored on the engine
-_ENGINES = {}
+import weakref as _weakref
+
+# jit-key registry: weak values, so dropping a database releases its
+# engines (the lru-bounded jit wrappers below bound compiled-kernel
+# count; without weak refs a long-lived process compiling many
+# databases would pin every engine's tables forever)
+_ENGINES = _weakref.WeakValueDictionary()
 _NEXT_KEY = [0]
 
 

@@ -378,7 +378,13 @@ def teddy_scan(
 # scale would dominate the scan).
 # --------------------------------------------------------------------------
 
-_LITS = {}
+import weakref as _weakref
+
+# jit-key registry: weak values, so dropping a database releases its
+# literal tables (the lru-bounded jit wrappers bound compiled-kernel
+# count; without weak refs a long-lived process compiling many
+# databases would pin every database's device tables forever)
+_LITS = _weakref.WeakValueDictionary()
 _NEXT_LIT_KEY = [0]
 
 

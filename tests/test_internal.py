@@ -177,3 +177,32 @@ def test_lbr_counter_engine():
                              size=int(rng.integers(0, 180))))
         got2 = {t for (_i, _f, t) in hs.scan(db2, d)}
         assert got2 == ast_match_ends(node, d)
+
+
+def test_jit_registries_release_dropped_databases():
+    """The jit-key registries hold weak references: dropping a database
+    must release its literal tables and engines (a long-lived process
+    compiling many databases must not pin every device table forever)."""
+    import gc
+    import weakref
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.ops import teddy as T
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperscan_tpu.ops.teddy import corpus_to_rows, teddy_confirm_scan_rows
+
+    db = hs.compile_multi(["attackZZ", "needle77"], ids=[1, 2])
+    corpus = np.frombuffer(b"xx attackZZ yy" + b"." * 200, np.uint8)
+    fid_a, p_a = teddy_confirm_scan_rows(
+        jnp.asarray(corpus_to_rows(corpus)), db.lit, corpus.shape[0])
+    assert len(fid_a) == 1
+    key = db.lit._teddy_key
+    assert key in T._LITS
+    ref = weakref.ref(db.lit)
+    del db
+    gc.collect()
+    assert ref() is None
+    assert key not in T._LITS
