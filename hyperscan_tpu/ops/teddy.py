@@ -628,14 +628,20 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     return (lit, rows_all, n_valid, caps, combined, packed2)
 
 
-def teddy_confirm_finish(handle, got: np.ndarray = None
+def teddy_confirm_finish(handle, got: np.ndarray = None,
+                         host_corpus: np.ndarray = None,
                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """Fetch a started scan's confirmed pairs, retrying on capacity
-    overflow. Returns hash-matched (fid_array, pos_array) pairs —
-    callers must exact-verify with runtime.lit_runtime.verify_pairs.
+    """Fetch a started scan's confirmed pairs. Returns hash-matched
+    (fid_array, pos_array) pairs — callers must exact-verify with
+    runtime.lit_runtime.verify_pairs.
 
     `got` optionally supplies the already-fetched combined buffer (see
-    teddy_confirm_fetch_many)."""
+    teddy_confirm_fetch_many). Capacity overflow with `host_corpus`
+    given falls back to the host filter+confirm for THIS scan — zero
+    new kernel shapes on the overflow path (a fresh shape costs minutes
+    through the dev tunnel); the observed load still teaches the next
+    dispatch its right size. Without a host corpus the scan
+    re-dispatches at the learned shape."""
     from ..runtime.lit_runtime import expand_confirm_classes
 
     (lit, rows_all, n_valid, caps, combined, packed2) = handle
@@ -652,6 +658,13 @@ def teddy_confirm_finish(handle, got: np.ndarray = None
         _observe_caps(lit, t1, h1, t2, h2)
         if t1 <= cap1 and t2 <= cap2 and h1 <= c1ch and h2 <= c2ch:
             break
+        if host_corpus is not None:
+            from ..runtime.lit_runtime import confirm_candidates
+            from ..runtime.smallwrite import teddy_filter_host
+
+            pos, words = teddy_filter_host(host_corpus, lit.masks)
+            return confirm_candidates(
+                lit, host_corpus, np.zeros(1, np.int64), pos, words)
         handle = teddy_confirm_start(rows_all, lit, n_valid)
         (lit, rows_all, n_valid, caps, combined, packed2) = handle
         got = None

@@ -484,10 +484,16 @@ def scan_literal_path(
             ranges_out=ranges_out,
         )
     # device path: fused filter + hash confirm — only (pos, fid) pairs
-    # cross the device boundary; exact re-verify on host
-    from ..ops.teddy import teddy_confirm_scan
+    # cross the device boundary; exact re-verify on host. The host
+    # corpus doubles as the capacity-overflow fallback (zero new kernel
+    # shapes on that path).
+    from ..ops.teddy import corpus_to_rows, teddy_confirm_finish, \
+        teddy_confirm_start
+    import jax.numpy as jnp
 
-    fid_a, p_a = teddy_confirm_scan(corpus, lit, capacity)
+    h = teddy_confirm_start(jnp.asarray(corpus_to_rows(corpus)), lit,
+                            corpus.shape[0], capacity)
+    fid_a, p_a = teddy_confirm_finish(h, host_corpus=corpus)
     fid_a, p_a = verify_pairs(lit, corpus, block_starts, fid_a, p_a)
     return finish_confirmed(
         db, corpus, block_starts, block_ends, fid_a, p_a,

@@ -964,6 +964,11 @@ def scan_batch(
     C scans release the GIL, so host-path batches scale with cores."""
     if base_mode(db.mode) != HS_MODE_BLOCK:
         raise DbModeError("database not compiled for block mode")
+    if threads > 1 and mesh is not None:
+        raise InvalidError(
+            "threads and mesh are exclusive: a mesh already partitions "
+            "the batch across chips (one dispatching host thread); use "
+            "threads only for host-path scans")
     scratch = scratch or Scratch()
     blocks = [bytes(b) for b in blocks]
     if threads > 1 and mesh is None and len(blocks) > 1:

@@ -380,6 +380,11 @@ def scan_streams(
     B = len(streams)
     if B != len(chunks):
         raise InvalidError("streams/chunks length mismatch")
+    if threads > 1 and mesh is not None:
+        raise InvalidError(
+            "threads and mesh are exclusive: a mesh already partitions "
+            "the streams across chips (one dispatching host thread); "
+            "use threads only for host-path writes")
     if threads > 1 and mesh is None and B > 1:
         from concurrent.futures import ThreadPoolExecutor
 

@@ -55,7 +55,10 @@ class StreamSet:
     db: Database
     size: int
     offsets: np.ndarray  # int64[S] absolute bytes consumed
-    hist: List[bytes]  # per-stream history tails (<= history_required)
+    # per-stream history tails (<= history_required): either a uniform
+    # [S, hlen] uint8 array (bulk path: O(1) numpy per round) or a ragged
+    # list of bytes/uint8 views
+    hist: object
     terminated: np.ndarray  # bool[S]
     closed: np.ndarray  # bool[S]
     # sparse per-stream sets, allocated only for streams that matched
@@ -80,11 +83,28 @@ def open_streamset(db: Database, size: int) -> StreamSet:
         db=db,
         size=size,
         offsets=np.zeros(size, dtype=np.int64),
-        hist=[b""] * size,
+        hist=np.zeros((size, 0), dtype=np.uint8),
         terminated=np.zeros(size, dtype=bool),
         closed=np.zeros(size, dtype=bool),
         engine_states=[[e.start_state] * size for e in db.engines],
     )
+
+
+def _hist_lens(ss: StreamSet) -> np.ndarray:
+    if isinstance(ss.hist, np.ndarray):
+        return np.full(ss.size, ss.hist.shape[1], dtype=np.int64)
+    return np.asarray([len(h) for h in ss.hist], dtype=np.int64)
+
+
+def _hist_bytes(ss: StreamSet, i: int) -> bytes:
+    h = ss.hist[i]
+    return h if isinstance(h, bytes) else bytes(h)
+
+
+def _hist_as_list(ss: StreamSet) -> list:
+    if isinstance(ss.hist, np.ndarray):
+        ss.hist = [row.tobytes() for row in ss.hist]
+    return ss.hist
 
 
 def streamset_stream(ss: StreamSet, i: int) -> Stream:
@@ -93,7 +113,7 @@ def streamset_stream(ss: StreamSet, i: int) -> Stream:
     consumed the same writes via scan_stream)."""
     s = Stream(db=ss.db)
     s.offset = int(ss.offsets[i])
-    s.history = ss.hist[i]
+    s.history = _hist_bytes(ss, i)
     s.terminated = bool(ss.terminated[i])
     s.closed = bool(ss.closed[i])
     s.engine_states = [ss.engine_states[ei][i]
@@ -114,7 +134,7 @@ def streamset_load(ss: StreamSet, i: int, s: Stream) -> None:
     if s.db is not ss.db:
         raise InvalidError("stream belongs to a different database")
     ss.offsets[i] = s.offset
-    ss.hist[i] = s.history
+    _hist_as_list(ss)[i] = s.history
     ss.terminated[i] = s.terminated
     ss.closed[i] = s.closed
     for ei in range(len(ss.db.engines)):
@@ -191,8 +211,6 @@ class _WriteHandle:
     chunks: Optional[List[bytes]] = None  # only when engines need them
 
 
-def _needs_serial(db: Database) -> bool:
-    return bool(db.engines) or bool(db.lit is not None and db.lit.chains)
 
 
 def streamset_write_start(
@@ -222,16 +240,12 @@ def streamset_write_start(
       TPU-native bulk path: device-resident write corpora are filtered
       without any host->device upload in the write loop.
 
-    Starting round r+1 before finishing round r is allowed exactly when
-    the database carries no cross-write scan state outside the literal
-    path (no general engines, no chain roles): the literal filter is
-    stateless over extents, so device dispatches pipeline; host finish
-    stages still run in write order.
+    Rounds PIPELINE for every database shape: start() only stitches
+    extents and dispatches the stateless literal filter (history bytes
+    are part of the extent); all cross-write scan state — boundary
+    dedupe, chain/infix evidence, general engine states — advances in
+    streamset_write_finish, which enforces write order.
     """
-    if ss.seq_started != ss.seq_finished and _needs_serial(db):
-        raise InvalidError(
-            "database carries per-write engine/chain state: finish the "
-            "previous write before starting the next")
     if ss.closed.any():
         raise InvalidError("streamset contains closed streams")
     S = ss.size
@@ -240,10 +254,11 @@ def streamset_write_start(
             raise InvalidError("chunks length != streamset size")
         chunks = [bytes(c) for c in chunks]
         lens = np.asarray([len(c) for c in chunks], dtype=np.int64)
-        hl = np.asarray([len(h) for h in ss.hist], dtype=np.int64)
+        hl = _hist_lens(ss)
         parts: List[bytes] = []
         for h, c in zip(ss.hist, chunks):
-            parts.append(h)
+            parts.append(h if isinstance(h, bytes) else
+                         np.ascontiguousarray(h).data)
             parts.append(c)
         flat = b"".join(parts)
         ext_np = np.frombuffer(flat, dtype=np.uint8)
@@ -253,8 +268,8 @@ def streamset_write_start(
         if chunk_lens is None:
             raise InvalidError("ext_np form requires chunk_lens")
         lens = np.asarray(chunk_lens, dtype=np.int64)
-        hl = (np.asarray([len(h) for h in ss.hist], dtype=np.int64)
-              if hlens is None else np.asarray(hlens, dtype=np.int64))
+        hl = _hist_lens(ss) if hlens is None else \
+            np.asarray(hlens, dtype=np.int64)
     ext_lens = hl + lens
     starts = np.zeros(S, dtype=np.int64)
     if S > 1:
@@ -302,15 +317,18 @@ def streamset_write_start(
     # state advance: next round's extents stitch on the new history
     hist_req = history_required(db)
     ss.offsets = ss.offsets + lens
-    new_hist: List[bytes] = []
-    for i in range(S):
-        if hist_req == 0:
-            new_hist.append(b"")
-        else:
-            e = int(ends[i])
-            s = max(int(starts[i]), e - hist_req)
-            new_hist.append(ext_np[s:e].tobytes())
-    ss.hist = new_hist
+    if hist_req == 0:
+        ss.hist = np.zeros((S, 0), dtype=np.uint8)
+    elif (ext_lens == ext_lens[0]).all():
+        # uniform extents: one reshape+slice, O(1) Python per round
+        ext2d = ext_np.reshape(S, int(ext_lens[0]))
+        ss.hist = ext2d[:, -min(hist_req, int(ext_lens[0])):]
+    else:
+        ss.hist = [
+            ext_np[max(int(starts[i]), int(ends[i]) - hist_req):
+                   int(ends[i])].tobytes()
+            for i in range(S)
+        ]
     ss.seq_started += 1
     return h
 
@@ -340,7 +358,8 @@ def streamset_write_finish(
         if h.dev_handle is not None:
             from ..ops.teddy import teddy_confirm_finish
 
-            fid_a, p_a = teddy_confirm_finish(h.dev_handle, got=got)
+            fid_a, p_a = teddy_confirm_finish(h.dev_handle, got=got,
+                                              host_corpus=h.ext_np)
             fid_a, p_a = verify_pairs(db.lit, h.ext_np, h.starts, fid_a, p_a)
         else:
             fid_a, p_a = h.host_pairs or (np.zeros(0, np.int64),) * 2

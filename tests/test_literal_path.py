@@ -266,3 +266,44 @@ def test_spread_candidates_chunk_capacity_overflow():
         db.lit, corpus, np.zeros(1, np.int64), fid_a, p_a)
     assert len(p_a) == NCHUNKS, len(p_a)
     assert sorted(p_a.tolist()) == [c * 256 + 23 for c in range(NCHUNKS)]
+
+
+def test_capacity_overflow_compiles_no_new_shapes():
+    """Capacity overflow with a host corpus available falls back to the
+    host filter for that scan — zero new kernel shapes (a fresh shape
+    costs minutes through the dev tunnel). The observed load still
+    teaches the NEXT dispatch its size."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.ops import teddy as T
+
+    db = hs.compile_multi(["needleZ"], ids=[7])
+    # small scan: compiles the default capacity shape
+    small = np.full(1 << 16, ord("."), dtype=np.uint8)
+    small[100:107] = np.frombuffer(b"needleZ", np.uint8)
+    h = T.teddy_confirm_start(jnp.asarray(T.corpus_to_rows(small)),
+                              db.lit, len(small))
+    fid, pos = T.teddy_confirm_finish(h, host_corpus=small)
+    assert len(pos) == 1
+
+    # one needle per extraction chunk, enough to overflow every cap
+    NC = 6000
+    big = np.full(NC * 256, ord("."), dtype=np.uint8)
+    for c in range(NC):
+        big[c * 256 + 9 : c * 256 + 16] = np.frombuffer(b"needleZ", np.uint8)
+    h = T.teddy_confirm_start(jnp.asarray(T.corpus_to_rows(big)),
+                              db.lit, len(big))
+    # the start above may compile the (new corpus size) shape — that is
+    # the normal per-size shape; the OVERFLOW handling below must not
+    # compile anything further
+    misses_before = T._jit_filter_confirm.cache_info().misses
+    fid, pos = T.teddy_confirm_finish(h, host_corpus=big)
+    assert len(pos) == NC
+    assert sorted(pos.tolist()) == [c * 256 + 15 for c in range(NC)]
+    assert T._jit_filter_confirm.cache_info().misses == misses_before, \
+        "overflow handling must not compile new kernel shapes"
+    # the observed load right-sizes the NEXT dispatch
+    caps = T._caps_for(db.lit, 1 << 14)
+    assert caps[0] >= NC and caps[1] >= NC

@@ -179,16 +179,40 @@ def test_streamset_ext_rows_device_form():
     assert close_streamset(db, ss) == close_streamset(db, ss_ref)
 
 
+def test_streamset_pipelines_with_engines_and_chains():
+    """Every database shape pipelines: engine/chain state advances in
+    the (ordered) finish stage, so pipelined rounds must equal
+    synchronous rounds even for stateful engines."""
+    for dbname in ("engines", "chains"):
+        pats, ids, flags = DBSETS[dbname]
+        db = hs.compile_multi(pats, ids=ids, flags=flags,
+                              mode=hs.HS_MODE_STREAM)
+        rng = np.random.default_rng(31)
+        S, ROUNDS = 3, 4
+        writes = _gen_writes(rng, S, ROUNDS)
+        ss_sync = open_streamset(db, S)
+        ref = [scan_streamset(db, ss_sync, writes[r]) for r in range(ROUNDS)]
+        ss = open_streamset(db, S)
+        handles = [streamset_write_start(db, ss, writes[r])
+                   for r in range(ROUNDS)]
+        got = [streamset_write_finish(db, ss, h) for h in handles]
+        for r in range(ROUNDS):
+            assert got[r] == ref[r], (dbname, r)
+        assert close_streamset(db, ss) == close_streamset(db, ss_sync)
+
+
 def test_streamset_guards():
     pats, ids, flags = DBSETS["engines"]
     db = hs.compile_multi(pats, ids=ids, flags=flags,
                           mode=hs.HS_MODE_STREAM)
     ss = open_streamset(db, 2)
     h = streamset_write_start(db, ss, [b"abc", b"def"])
-    # engine state is per-write serial: a second start must be rejected
+    h2 = streamset_write_start(db, ss, [b"x", b"y"])
+    # finishes must run in write order
     with pytest.raises(hs.InvalidError):
-        streamset_write_start(db, ss, [b"x", b"y"])
+        streamset_write_finish(db, ss, h2)
     streamset_write_finish(db, ss, h)
+    streamset_write_finish(db, ss, h2)
     close_streamset(db, ss)
     with pytest.raises(hs.InvalidError):
         streamset_write_start(db, ss, [b"x", b"y"])
