@@ -38,8 +38,48 @@ from .hscheck import parse_line
 ORACLE_SKIP = hs.HS_FLAG_COMBINATION | hs.HS_FLAG_PREFILTER
 
 
+def _nfa_walks(pat: str, flags: int, rng, n_walks: int = 4,
+               max_len: int = 300) -> List[bytes]:
+    """Accept-path-derived strings: random walks over the pattern's
+    Glushkov NFA, stopping (sometimes) at accept positions — exercises
+    deep branches (long counted gaps, multi-byte paths) that factor
+    seeding reaches only by luck (reference analogue:
+    tools/hscollider/NfaGeneratedCorpora.cpp). Truncated walks double
+    as near-miss corpora."""
+    from hyperscan_tpu.compiler.glushkov import build_nfa
+
+    try:
+        g = build_nfa(parse(pat, flags))
+    except hs.HyperscanError:
+        return []
+    firsts = sorted(g.anchored_first | g.float_first)
+    if not firsts:
+        return []
+    out: List[bytes] = []
+    for _w in range(n_walks):
+        s = bytearray()
+        p = firsts[int(rng.integers(0, len(firsts)))]
+        for _step in range(max_len):
+            ok = np.flatnonzero(g.reach[p])
+            if not len(ok):
+                break
+            s.append(int(ok[int(rng.integers(0, len(ok)))]))
+            if p in g.accept and rng.integers(0, 3) == 0:
+                break
+            nxt = sorted(g.follow[p])
+            if not nxt:
+                break
+            p = nxt[int(rng.integers(0, len(nxt)))]
+        if s:
+            out.append(bytes(s))
+            if len(s) > 2:  # near-miss prefix
+                out.append(bytes(s[: int(rng.integers(1, len(s)))]))
+    return out
+
+
 def _gen_corpora(entries, rng, n=6) -> List[bytes]:
-    """Noise corpora seeded with fragments of the patterns themselves."""
+    """Noise corpora seeded with pattern fragments AND NFA-accept-path
+    walks (NfaGeneratedCorpora analogue)."""
     from hyperscan_tpu.compiler.literals import extract_factors
 
     frags: List[bytes] = []
@@ -50,9 +90,10 @@ def _gen_corpora(entries, rng, n=6) -> List[bytes]:
             continue
         for fi in fs or []:
             frags.append(bytes(a.value for a in fi.factor.atoms))
+        frags.extend(_nfa_walks(pat, flags, rng))
     out = [b"", b"\x00" * 16]
     for k in range(n):
-        blob = bytearray(rng.integers(32, 127, 512, dtype=np.uint8).tobytes())
+        blob = bytearray(rng.integers(32, 127, 768, dtype=np.uint8).tobytes())
         for j, frag in enumerate(frags):
             if (j + k) % 3 == 0:
                 off = int(rng.integers(0, max(1, len(blob) - len(frag))))
