@@ -116,3 +116,45 @@ def test_speculative_unbounded_device_scan():
         want_pairs = sorted(zip(hits[0][0].tolist(), hits[0][1].tolist()))
         assert got_pairs == want_pairs, bi
         assert int(finals[bi]) == int(fin_h[0]), bi
+
+
+def test_speculative_dfa_adversarial_full_miss_exact():
+    """Corpus engineered so nearly every 512-byte chunk boundary sits
+    mid-match: speculation (enter at float) misses, the host pass
+    rescans the mismatched chunks, and the result must still be exact —
+    the pinned worst case decays to the host path it replaces."""
+    from unittest import mock
+
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.grey import Grey
+    from hyperscan_tpu.database import compile_patterns
+    from hyperscan_tpu.runtime import smallwrite as SW
+
+    db = compile_patterns([r"\d+[a-z]{3,}\d+"], flags=[hs.HS_FLAG_DOTALL],
+                          grey=Grey(allow_teddy=False))
+    eng = db.engines[0]
+    assert eng.max_depth is None  # unbounded: speculative kernel path
+
+    # long digit/letter runs keep the DFA mid-match at every boundary
+    unit = b"123456789" * 40 + b"abcdefgh" * 40 + b"55"
+    data = (unit * (300_000 // len(unit)))[:260_000]
+
+    real = SW.dfa_scan_host
+    calls = {"n": 0}
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    with mock.patch.object(SW, "dfa_scan_host", side_effect=counting):
+        got = {t for (_i, _f, t) in hs.scan(db, data)}
+    assert calls["n"] >= 100, calls  # speculation missed, host rescans ran
+
+    # exactness vs the pure host path
+    db2 = compile_patterns([r"\d+[a-z]{3,}\d+"], flags=[hs.HS_FLAG_DOTALL],
+                           grey=Grey(allow_teddy=False,
+                                     host_scan_limit=1 << 30))
+    want = {t for (_i, _f, t) in hs.scan(db2, data)}
+    assert got == want and len(want) > 100
