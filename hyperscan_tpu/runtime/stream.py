@@ -212,6 +212,20 @@ def _engine_pass(db, streams, chunks, recs_abs, ranges_abs):
                                 ranges_abs)
 
 
+def _chains_sweep_always(lit) -> bool:
+    """True when some chain carries class-run state that advances on
+    every byte (class gaps / lead / trail): the per-write sweep must
+    visit every (stream, chain) pair. All-infix rulesets only need the
+    pairs with evidence. Cached per lit."""
+    if not hasattr(lit, "_sweep_always"):
+        lit._sweep_always = any(
+            ch.lead is not None or ch.trail is not None
+            or len(getattr(ch, "infix", {})) < ch.num_roles - 1
+            for ch in lit.chains.values()
+        )
+    return lit._sweep_always
+
+
 def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
     """Advance per-stream chain evidence: merge newly validated prefix
     ends, restart gap runs at bad bytes, prune dead evidence (reference
@@ -219,11 +233,26 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
     from .lit_runtime import LEAD_BOUNDARY
 
     CAP = 4096  # evidence cap per (stream, chain, boundary)
+    # chains whose boundaries are ALL general infixes have no class-run
+    # state to maintain; touch them only where evidence exists (at 10k
+    # patterns x thousands of streams, the unconditional sweep is the
+    # per-write bottleneck). Chains with class gaps keep the full sweep
+    # (their run state advances on every byte).
+    all_infix = {
+        eidx for eidx, ch in db.lit.chains.items()
+        if ch.lead is None and ch.trail is None
+        and len(getattr(ch, "infix", {})) == ch.num_roles - 1
+    }
+    touched = {(bi, eidx) for (bi, eidx, _r) in chain_out}
     for bi, st in enumerate(streams):
+        for (key, _v) in list(st.chain_state.items()):
+            touched.add((bi, key[0]))
         base_abs = st.offset - len(st.history)
         ext = np.frombuffer(exts[bi], np.uint8)
         new_boundary = base_abs + len(ext)
         for eidx, ch in db.lit.chains.items():
+            if eidx in all_infix and (bi, eidx) not in touched:
+                continue
             # boundaries to advance: mid gaps carry role ends inside the
             # live gap run; the lead boundary carries only its run; the
             # trail boundary (index R-1) carries final-role ends whose

@@ -404,18 +404,33 @@ def streamset_write_finish(
             if hi_abs >= lo_abs:
                 ranges_abs.setdefault(bi, []).append((eidx, lo_abs, hi_abs))
         if has_chains:
-            # shared chain-state updater works on Stream-shaped objects
-            adapters = [
-                _ESAdapter(ss, i, int(h.prev_offsets[i]),
-                           h.ext_np[int(h.starts[i]):
-                                    int(h.starts[i] + h.hlens[i])].tobytes())
-                for i in range(S)
-            ]
-            exts = [
-                h.ext_np[int(h.starts[i]):int(h.ends[i])].tobytes()
-                for i in range(S)
-            ]
-            _update_chain_state(db, adapters, exts, h.starts, chain_out)
+            from .stream import _chains_sweep_always
+
+            # all-infix rulesets only need the (stream, chain) pairs
+            # with evidence — skip the per-round extent copies entirely
+            # when nothing is live
+            if (_chains_sweep_always(db.lit) or chain_out
+                    or ss.chain_state):
+                needed = (range(S) if _chains_sweep_always(db.lit) else
+                          sorted({b for (b, _e, _r) in chain_out}
+                                 | {b for (b, _e, _r) in ss.chain_state}))
+                adapters = [
+                    _ESAdapter(ss, i, int(h.prev_offsets[i]),
+                               h.ext_np[int(h.starts[i]):
+                                        int(h.starts[i] + h.hlens[i])
+                                        ].tobytes())
+                    for i in needed
+                ]
+                exts = [
+                    h.ext_np[int(h.starts[i]):int(h.ends[i])].tobytes()
+                    for i in needed
+                ]
+                starts_n = h.starts[list(needed)]
+                # remap chain_out block indices to the reduced list
+                imap = {b: k for k, b in enumerate(needed)}
+                co = {(imap[b], e, r): v
+                      for (b, e, r), v in chain_out.items()}
+                _update_chain_state(db, adapters, exts, starts_n, co)
 
     if db.engines:
         adapters = [
