@@ -96,7 +96,7 @@ def _gen_host(n: int, salt: int) -> np.ndarray:
 
 
 def run_config(n_patterns: int, hs, jax, jnp, flags: int = 0,
-               corpus_mb: int = None):
+               corpus_mb: int = None, drop_shapes: tuple = ()):
     _phase(f"run_config({n_patterns}, flags={flags}): compile start")
     from hyperscan_tpu.ops.teddy import (
         ROWS_PER_CELL,
@@ -111,6 +111,10 @@ def run_config(n_patterns: int, hs, jax, jnp, flags: int = 0,
     from hyperscan_tpu.runtime.scan import RecordSink, finalize_reports
 
     pats, ids = _patterns(n_patterns)
+    if drop_shapes:
+        keep = [j for j, i in enumerate(ids) if i % 6 not in drop_shapes]
+        pats = [pats[j] for j in keep]
+        ids = [ids[j] for j in keep]
     t_compile = time.perf_counter()
     db = hs.compile_multi(pats, ids=ids, flags=[flags] * len(pats))
     t_compile = time.perf_counter() - t_compile
@@ -274,8 +278,11 @@ def main() -> None:
     g100, m100, c100 = run_config(100, hs, jax, jnp)
     # SOM config: leftmost-start reporting end to end (reverse back-scan
     # validators on the literal route; reference: som/som_runtime.c)
+    # (general-infix chains are routed to SOM engines under SOM_LEFTMOST;
+    # the SOM config measures the literal-route back-scan pipeline)
     gsom, msom, _csom = run_config(
-        100, hs, jax, jnp, flags=hs.HS_FLAG_SOM_LEFTMOST, corpus_mb=64)
+        100, hs, jax, jnp, flags=hs.HS_FLAG_SOM_LEFTMOST, corpus_mb=64,
+        drop_shapes=(5,))
     g10k, m10k, c10k = run_config(10_000, hs, jax, jnp)
     _phase("done")
 
