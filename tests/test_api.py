@@ -260,3 +260,31 @@ def test_scan_ranges_and_count_dense():
                                   | hs.HS_FLAG_SINGLEMATCH])
     ms3, rg3 = hs.scan_block_ranges(db3, b"xxxx")
     assert ms3 == [(9, 0, 0)] and rg3 == []
+
+
+def test_scan_batch_threads_ordering_and_mesh_exclusive():
+    """Thread-partitioned batches must return per-block matches in the
+    same order as single-threaded scans (one scratch per thread in the
+    reference model), and threads+mesh together is an error."""
+    import numpy as np
+
+    pats = ["alpha", "beta", r"g[0-9]{2}x"]
+    db = hs.compile_multi(pats, ids=[1, 2, 3])
+    rng = np.random.default_rng(8)
+    blocks = []
+    for b in range(9):
+        blob = bytearray((32 + rng.integers(0, 95, 300)).astype(
+            np.uint8).tobytes())
+        blob[10:15] = b"alpha"
+        blob[50:54] = b"beta"
+        blob[90:94] = b"g77x"
+        blocks.append(bytes(blob))
+    ref = hs.scan_batch(db, blocks)
+    got = hs.scan_batch(db, blocks, threads=3)
+    assert got == ref  # exact per-block lists, offset-ordered
+    import pytest as _pytest
+
+    from hyperscan_tpu.parallel.sharded import make_mesh
+
+    with _pytest.raises(hs.InvalidError):
+        hs.scan_batch(db, blocks, threads=2, mesh=make_mesh(2))
