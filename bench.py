@@ -72,7 +72,7 @@ def _patterns(n: int):
 
 _PLANTS = [b"attack0 ", b"payload16y99z!", b"x12GET /abc ", b"q8hdeadbeef ",
            b"v4.exe ", b"union55 ", b"shell2222 ",
-           b"gate5xabcdabeval5end ", b"gate11xlogin11end "]
+           b"gate5xabcdabunion5end ", b"gate11xlogin11end "]
 
 
 def _plant_region() -> np.ndarray:

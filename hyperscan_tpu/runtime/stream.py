@@ -645,6 +645,13 @@ def _eod_pass(stream: Stream) -> List[Tuple[int, int, int]]:
             eod_only=True,
         ):
             recs.add((eidx, base + to_local, base + frm))
+    # an (id, to) already reported at the final write boundary must not
+    # re-report at close with a different (e.g. empty-match) start: a
+    # match is delivered once per (id, to), at first detection — the
+    # block path's min-merge sees both records in one materialize, the
+    # stream path suppresses the later one (found by the SOM-stream
+    # fuzzer: `...9*$`-style nullable EOD branches)
+    recs = {r for r in recs if (r[0], r[1]) not in stream.recent}
     return _order_abs(recs)
 
 
