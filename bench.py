@@ -173,7 +173,9 @@ def run_config(n_patterns: int, hs, jax, jnp, flags: int = 0,
     warm_handles = [start_scan(0) for _ in range(ITERS)]
     warm_gots = teddy_confirm_fetch_many(warm_handles)
     nm = finish_scan(warm_handles[0], host_corpora[0], got=warm_gots[0])
-    assert nm >= len(_PLANTS), f"warmup found only {nm} matches"
+    # the two gate* plants belong to shape 5 (dropped by the SOM config)
+    need = len(_PLANTS) - (2 if 5 in drop_shapes else 0)
+    assert nm >= need, f"warmup found only {nm} matches (need {need})"
     # the first finish OBSERVES the candidate load and right-sizes the
     # capacity shapes (ops/teddy._caps_for); warm the learned shape too,
     # or the timed loop pays its compile
