@@ -235,24 +235,34 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
     CAP = 4096  # evidence cap per (stream, chain, boundary)
     # chains whose boundaries are ALL general infixes have no class-run
     # state to maintain; touch them only where evidence exists (at 10k
-    # patterns x thousands of streams, the unconditional sweep is the
-    # per-write bottleneck). Chains with class gaps keep the full sweep
-    # (their run state advances on every byte).
-    all_infix = {
-        eidx for eidx, ch in db.lit.chains.items()
-        if ch.lead is None and ch.trail is None
-        and len(getattr(ch, "infix", {})) == ch.num_roles - 1
-    }
-    touched = {(bi, eidx) for (bi, eidx, _r) in chain_out}
+    # patterns a sixth of the ruleset is infix chains — an unconditional
+    # stream x chain sweep is the per-write bottleneck). Chains with
+    # class gaps keep the full sweep (run state advances on every byte).
+    lit = db.lit
+    if not hasattr(lit, "_class_chain_ids"):
+        lit._class_chain_ids = [
+            eidx for eidx, ch in lit.chains.items()
+            if ch.lead is not None or ch.trail is not None
+            or len(getattr(ch, "infix", {})) < ch.num_roles - 1
+        ]
+    class_ids = lit._class_chain_ids
+    touched_by_stream: Dict[int, Set[int]] = {}
+    for (bi, eidx, _r) in chain_out:
+        touched_by_stream.setdefault(bi, set()).add(eidx)
     for bi, st in enumerate(streams):
+        tb = touched_by_stream.get(bi, set())
         for (key, _v) in list(st.chain_state.items()):
-            touched.add((bi, key[0]))
+            tb.add(key[0])
+        if tb:
+            touched_by_stream[bi] = tb
         base_abs = st.offset - len(st.history)
-        ext = np.frombuffer(exts[bi], np.uint8)
-        new_boundary = base_abs + len(ext)
-        for eidx, ch in db.lit.chains.items():
-            if eidx in all_infix and (bi, eidx) not in touched:
-                continue
+        ext = None
+        new_boundary = base_abs + len(exts[bi])
+        chain_ids = sorted(set(class_ids) | tb) if tb else class_ids
+        for eidx in chain_ids:
+            ch = lit.chains[eidx]
+            if ext is None:
+                ext = np.frombuffer(exts[bi], np.uint8)
             # boundaries to advance: mid gaps carry role ends inside the
             # live gap run; the lead boundary carries only its run; the
             # trail boundary (index R-1) carries final-role ends whose
