@@ -15,6 +15,9 @@ def patfile(tmp_path):
         "# comment\n"
         "3:/err(or)?/\n"
         "4:/[ab]+c[de]+/\n"
+        "5:/gatex(ab|cd)*doorq/\n"     # general-infix chain
+        "6:/num[0-9]{2,4}tail/L\n"     # SOM triples
+        "7:/lead[a-z]*mark7/\n"        # class-gap chain
     )
     return str(p)
 
@@ -32,7 +35,7 @@ def corpusfile(tmp_path):
 
 def test_hscheck_ok(patfile, capsys):
     assert hscheck.main([patfile]) == 0
-    assert "4 compiled, 0 failed" in capsys.readouterr().out
+    assert "7 compiled, 0 failed" in capsys.readouterr().out
 
 
 def test_hscheck_reports_bad(tmp_path, capsys):
