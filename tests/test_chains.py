@@ -449,3 +449,29 @@ def test_general_infix_stream_splits_match_block(pat, seed):
             prev = c
         ms.extend(hs.close_stream(st))
         assert set(ms) == want, (pat, _trial, sorted(set(ms) ^ want))
+
+
+def test_nested_chain_alternations_ride_infix_gaps():
+    """Alternations OF sub-chains between literal roles (role-graph
+    shapes: `pre(foo.*bar|baz\\d+qux)post`) keep the literal prefilter —
+    the alternation compiles into the gap's infix NFA (reference: Rose
+    role graphs from RoseInGraph, rose_graph.h)."""
+    for p in (r"pre7x(foo.*bar|baz[0-9]+qux)post7y",
+              r"hdr9(GET .*|POST [a-z]+)end9q"):
+        db = hs.compile_multi([p], ids=[1])
+        assert db.lit is not None and not db.engines
+        assert 0 in db.lit.chains and db.lit.chains[0].infix
+        rng = np.random.default_rng(2)
+        frags = [b"pre7x", b"post7y", b"foo", b"bar", b"baz123qux",
+                 b"fooZZbar", b"hdr9", b"end9q", b"GET xx", b"POST ab"]
+        for t in range(6):
+            blob = bytearray(
+                (32 + rng.integers(0, 95, 250)).astype(np.uint8).tobytes())
+            for _ in range(int(rng.integers(2, 8))):
+                f = frags[int(rng.integers(0, len(frags)))]
+                off = int(rng.integers(0, 230))
+                blob[off:off + len(f)] = f
+            data = bytes(blob)
+            got = {x[2] for x in hs.scan(db, data)}
+            want = ast_match_ends(parse(p, 0), data)
+            assert got == want, (p, t, sorted(got ^ want))
