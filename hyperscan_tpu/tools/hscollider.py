@@ -134,9 +134,12 @@ def run(entries, corpora, rng, verbose=False) -> int:
                            mode=hs.HS_MODE_VECTORED)
     rdb = hs.deserialize_database(hs.serialize_database(bdb))
 
-    # per-pattern oracle databases (single-compile cross-check)
+    # per-pattern oracle databases (single-compile cross-check);
+    # combinations reference sibling expressions and cannot stand alone
     singles = {}
     for (i, p, f) in entries:
+        if f & hs.HS_FLAG_COMBINATION:
+            continue
         singles[i] = hs.compile_multi([p], flags=[f], ids=[i])
 
     for data in corpora:
