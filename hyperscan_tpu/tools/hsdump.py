@@ -47,11 +47,17 @@ def dump(db) -> None:
     if db.lit is not None and db.lit.chains:
         for eidx, ch in sorted(db.lit.chains.items()):
             R = ch.num_roles
-            gaps = ", ".join(
-                f"[{ch.gap_lo[r]},"
-                f"{'inf' if ch.gap_hi[r] is None else ch.gap_hi[r]}]"
-                for r in range(R - 1)
-            )
+            def _gap(r):
+                inf = getattr(ch, "infix", {}).get(r)
+                if inf is not None:
+                    P = len(inf.follow) - 1  # minus the virtual pre-start
+                    eps = "eps," if inf.nullable else ""
+                    return f"infix<{eps}{P}pos>"
+                lo = ch.gap_lo[r]
+                hi = "inf" if ch.gap_hi[r] is None else ch.gap_hi[r]
+                return f"[{lo},{hi}]"
+
+            gaps = ", ".join(_gap(r) for r in range(R - 1))
             extra = ""
             if ch.lead is not None:
                 extra += (f" lead[{ch.lead[1]},"
