@@ -235,6 +235,41 @@ def run_stream_device(hs, db, svals=(1024, 4096)):
     return out
 
 
+def run_stream_som(hs):
+    """Streaming SOM: leftmost starts across write boundaries (reverse
+    back-scans on the literal route + carried dedupe), host path."""
+    from hyperscan_tpu.database import compile_patterns
+    from hyperscan_tpu.grey import Grey
+
+    pats, ids = _patterns(96)
+    keep = [j for j, i in enumerate(ids) if i % 6 != 5]
+    db = compile_patterns(
+        [pats[j] for j in keep], ids=[ids[j] for j in keep],
+        flags=[hs.HS_FLAG_SOM_LEFTMOST] * len(keep),
+        mode=hs.HS_MODE_STREAM, grey=Grey(host_scan_limit=1 << 21))
+    S, WRITE, ROUNDS = 16, 8192, 16
+    rng = np.random.default_rng(3)
+    writes = []
+    for r in range(ROUNDS):
+        row = []
+        for s in range(S):
+            c = (32 + rng.integers(0, 95, size=WRITE)).astype(np.uint8)
+            if (r + s) % 4 == 0:
+                c[100:108] = np.frombuffer(b"attack0 ", np.uint8)
+            row.append(c.tobytes())
+        writes.append(row)
+    streams = [hs.open_stream(db) for _ in range(S)]
+    hs.scan_streams(db, streams, writes[0])
+    t0 = time.perf_counter()
+    nm = 0
+    for r in range(1, ROUNDS):
+        nm += sum(len(o) for o in hs.scan_streams(db, streams, writes[r]))
+    dt = time.perf_counter() - t0
+    for st in streams:
+        hs.close_stream(st)
+    return S * WRITE * (ROUNDS - 1) / dt / 1e9, nm
+
+
 def run_stream_config(hs, db):
     """Streaming, small-batch host path: 16 streams x chunked writes
     through the full per-write machinery (history rescan, carried
@@ -291,6 +326,7 @@ def main() -> None:
     # axon tunnel client's polling threads (which spin during/after
     # device work) otherwise steal its CPU
     gs, ms_n = run_stream_config(hs, sdb)
+    gss, _nms = run_stream_som(hs)
     gdev = run_stream_device(hs, sdb)
     g100, m100, c100 = run_config(100, hs, jax, jnp)
     # SOM config: leftmost-start reporting end to end (reverse back-scan
@@ -317,7 +353,8 @@ def main() -> None:
                           "streaming 10k x 8KB writes, "
                           f"device-batched StreamSet: {gdev_txt} GB/s "
                           f"aggregate; 16 streams host path: {gs:.3f} "
-                          f"GB/s, {ms_n} matches)",
+                          f"GB/s, {ms_n} matches; SOM streaming 96p: "
+                          f"{gss:.3f} GB/s)",
                 "value": round(g10k, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(g10k / BASELINE_GBPS, 4),
