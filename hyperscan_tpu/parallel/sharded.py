@@ -63,12 +63,18 @@ def make_multihost_mesh(
         or "COORDINATOR_ADDRESS" in os.environ
     )
     if want_init:
-        # probe the distributed client directly: jax.process_count()
-        # initializes the XLA backend, after which distributed init is
-        # rejected
-        from jax._src import distributed as _dist
+        # probe the distributed client WITHOUT initializing the XLA
+        # backend (jax.process_count() would, and distributed init is
+        # rejected afterwards); the private-module probe falls back to
+        # is_initialized when available
+        try:
+            from jax._src import distributed as _dist
 
-        if _dist.global_state.client is None:
+            already = _dist.global_state.client is not None
+        except Exception:
+            already = bool(getattr(jax.distributed, "is_initialized",
+                                   lambda: False)())
+        if not already:
             kwargs = {}
             if coordinator_address is not None:
                 kwargs["coordinator_address"] = coordinator_address

@@ -695,8 +695,8 @@ def _packed_validators(lit):
     total = 0
     for i, e in enumerate(eids):
         v = lit.validators[e]
-        key = (v.trans.tobytes() + v.accept_id.tobytes()
-               + v.accept_eod_id.tobytes())
+        key = (v.trans.shape, v.trans.tobytes(), v.accept_id.tobytes(),
+               v.accept_eod_id.tobytes())
         base = tid_base.get(key)
         if base is None:
             base = total
@@ -1096,6 +1096,11 @@ def _infix_connect(spec, corpus, E, S, block_end: int,
     S_set = set(int(x) for x in S)
     if spec.nullable:
         conn |= set(E_l) & S_set
+    if (init_mask & accept) and init_pos in S_set:
+        # the carried mask is accept-live AT the extent start: a span
+        # ending exactly there connects a role start at that position
+        # (the history-cut boundary — older ends live only in the mask)
+        conn.add(init_pos)
     s_max = min(int(S[-1]), block_end) if len(S) else init_pos
     scan_to = s_max if capture_at is None else max(s_max, capture_at)
     scan_to = min(scan_to, block_end)

@@ -31,7 +31,6 @@ from ..database import Database
 from ..errors import DbModeError, InvalidError, ScanTerminated
 from ..flags import (HS_MODE_STREAM, HS_MODE_VECTORED, base_mode,
                      som_horizon_span)
-from .lit_runtime import WINDOW_SLACK
 from .scan import Match, finalize_reports
 
 STREAM_MAGIC = b"HSTPUST3"
@@ -41,17 +40,12 @@ def history_required(db: Database) -> int:
     """Bytes of history each stream must keep so that any match ending in
     a new chunk has its factor candidate, confirm bytes and validation
     window fully inside history+chunk (reference analogue:
-    RoseEngine historyRequired). Cached per database."""
-    if hasattr(db, "_hist_req"):
-        return db._hist_req
-    h = 0
-    if db.lit is not None:
-        for fid, refs in enumerate(db.lit.factor_refs):
-            flen = len(db.lit.factor_atoms[fid])
-            for (_e, max_s2f, max_f2e, _le) in refs:
-                h = max(h, max_f2e + max(max_s2f + WINDOW_SLACK, flen) + 2)
-    db._hist_req = h
-    return h
+    RoseEngine historyRequired). One formula, shared with the infix
+    capture points (lit_runtime.lit_history_required) — history
+    retention and mask-capture positions must agree exactly."""
+    from .lit_runtime import lit_history_required
+
+    return lit_history_required(db.lit) if db.lit is not None else 0
 
 
 @dataclasses.dataclass
@@ -292,7 +286,10 @@ def _update_chain_state(db, streams, exts, flat_starts, chain_out) -> None:
                         st.chain_state[(eidx, r)] = (
                             [int(mask)] + ends_abs, cap_abs)
                     else:
-                        st.chain_state[(eidx, r)] = ([], 0)
+                        # dead: remove outright (a permanent placeholder
+                        # would keep the stream in the evidence sweep and
+                        # grow chain_state without bound)
+                        st.chain_state.pop((eidx, r), None)
                     continue
                 c_ends, c_run = st.chain_state.get((eidx, r), ([], 0))
                 bad = np.flatnonzero(~gb[ext]) if len(ext) else \
@@ -555,8 +552,10 @@ def scan_streams(
     out: List[List[Match]] = []
     hist_req = history_required(db)
     for bi, st in enumerate(streams):
-        if not recs_abs[bi] and not ranges_abs[bi]:
-            # nothing matched in this write: skip the report pipeline
+        if st.terminated or (not recs_abs[bi] and not ranges_abs[bi]):
+            # nothing matched in this write — or the stream was
+            # terminated by an earlier callback (no further delivery;
+            # offsets/history still advance so the batch stays aligned)
             ms, terminated = [], False
         else:
             from .scan import RecordSink

@@ -124,6 +124,10 @@ def streamset_stream(ss: StreamSet, i: int) -> Stream:
     """Detached single-stream copy of stream `i` (state-codec and EOD
     interop: the returned Stream is semantically identical to one that
     consumed the same writes via scan_stream)."""
+    if ss.seq_started != ss.seq_finished:
+        raise InvalidError(
+            "finish outstanding writes before snapshotting a stream "
+            "(offsets/history already advanced, report state has not)")
     s = Stream(db=ss.db)
     s.offset = int(ss.offsets[i])
     s.history = _hist_bytes(ss, i)
@@ -146,6 +150,9 @@ def streamset_load(ss: StreamSet, i: int, s: Stream) -> None:
     interop — inverse of streamset_stream)."""
     if s.db is not ss.db:
         raise InvalidError("stream belongs to a different database")
+    if ss.seq_started != ss.seq_finished:
+        raise InvalidError(
+            "finish outstanding writes before loading stream state")
     ss.offsets[i] = s.offset
     _hist_as_list(ss)[i] = s.history
     ss.terminated[i] = s.terminated
@@ -207,6 +214,9 @@ class _ChainView:
 
     def __setitem__(self, key, value):
         self.ss.chain_state[(self.i,) + key] = value
+
+    def pop(self, key, default=None):
+        return self.ss.chain_state.pop((self.i,) + key, default)
 
 
 @dataclasses.dataclass
@@ -288,7 +298,8 @@ def streamset_write_start(
     if S > 1:
         np.cumsum(ext_lens[:-1], out=starts[1:])
     ends = starts + ext_lens
-    if int(ends[-1]) != int(ext_np.shape[0]):
+    total_ext = int(ends[-1]) if S else 0
+    if total_ext != int(ext_np.shape[0]):
         raise InvalidError("ext_np length != sum of extents")
     anchored = (ss.offsets - hl) == 0
 
@@ -311,7 +322,7 @@ def streamset_write_start(
         from .smallwrite import HOST_SCAN_LIMIT, teddy_filter_host
 
         limit = getattr(db, "host_scan_limit", HOST_SCAN_LIMIT)
-        total = int(ends[-1])
+        total = total_ext
         if ext_rows is not None or total > limit:
             from ..ops.teddy import corpus_to_rows, teddy_confirm_start
             import jax.numpy as jnp
@@ -330,7 +341,7 @@ def streamset_write_start(
     # state advance: next round's extents stitch on the new history
     hist_req = history_required(db)
     ss.offsets = ss.offsets + lens
-    if hist_req == 0:
+    if hist_req == 0 or S == 0:
         ss.hist = np.zeros((S, 0), dtype=np.uint8)
     elif (ext_lens == ext_lens[0]).all():
         # uniform extents: one reshape+slice, O(1) Python per round
@@ -500,7 +511,10 @@ def streamset_write_finish(
         ext = extid[e_a]
         el, fl_, tl, bl = (ext.tolist(), rep_f.tolist(), t_a.tolist(),
                            bi_a.tolist())
+        term = ss.terminated if ss.terminated.any() else None
         for j in range(len(el)):
+            if term is not None and term[bl[j]]:
+                continue  # no delivery after callback termination
             fv = fl_[j]
             if fv < 0:
                 fv = HS_OFFSET_PAST_HORIZON
@@ -519,19 +533,22 @@ def streamset_write_finish(
                 del ss.recent[bi]
         touched = set()  # scalar loop below skipped
     for bi in touched:
-        seen = ss.seen_single.setdefault(bi, set())
-        combo = ss.combo_matched.setdefault(bi, set())
-        sink = RecordSink()
-        sink.single = recs_abs.get(bi, set())
-        for (eid, lo, hi) in ranges_abs.get(bi, ()):
-            sink.add_range(eid, lo, hi)
-        ms, terminated = finalize_reports(
-            db, sink.materialize(None, db.som_eids()), callbacks[bi],
-            seen_single=seen, combo_matched=combo, at_end=False,
-            som_horizon=som_horizon_span(db.mode),
-        )
-        if terminated:
-            ss.terminated[bi] = True
+        if ss.terminated[bi]:
+            ms = []  # no delivery after callback termination
+        else:
+            seen = ss.seen_single.setdefault(bi, set())
+            combo = ss.combo_matched.setdefault(bi, set())
+            sink = RecordSink()
+            sink.single = recs_abs.get(bi, set())
+            for (eid, lo, hi) in ranges_abs.get(bi, ()):
+                sink.add_range(eid, lo, hi)
+            ms, terminated = finalize_reports(
+                db, sink.materialize(None, db.som_eids()), callbacks[bi],
+                seen_single=seen, combo_matched=combo, at_end=False,
+                som_horizon=som_horizon_span(db.mode),
+            )
+            if terminated:
+                ss.terminated[bi] = True
         out[bi] = ms
         new_off = int(new_offsets[bi])
         rec_new = {(e, t) for (e, t, _f) in recs_abs.get(bi, ())

@@ -216,3 +216,73 @@ def test_streamset_guards():
     close_streamset(db, ss)
     with pytest.raises(hs.InvalidError):
         streamset_write_start(db, ss, [b"x", b"y"])
+
+
+def test_terminated_stream_stops_delivery():
+    """A callback-terminated stream receives no further matches or
+    callbacks (reference: HS_SCAN_TERMINATED), in both the scalar and
+    vectorized delivery paths and in scan_streams."""
+    db = hs.compile_multi(["stopword", "other1"], ids=[1, 2],
+                          mode=hs.HS_MODE_STREAM)
+    calls = []
+
+    def cb(mid, frm, to, fl):
+        calls.append((mid, to))
+        return 1  # terminate on first match
+
+    ss = open_streamset(db, 2)
+    out = scan_streamset(db, ss, [b"x stopword y", b"quiet"],
+                         callbacks=[cb, None])
+    assert ss.terminated[0] and len(calls) == 1
+    out2 = scan_streamset(db, ss, [b"stopword again", b"other1"],
+                          callbacks=[cb, None])
+    assert out2[0] == [] and len(calls) == 1  # no delivery, no callback
+    assert out2[1] and out2[1][0][0] == 2  # other stream unaffected
+    # vectorized (no-callback) path also suppresses
+    out3 = scan_streamset(db, ss, [b"stopword", b"zz"])
+    assert out3[0] == []
+
+    # scan_streams parity
+    s1, s2 = hs.open_stream(db), hs.open_stream(db)
+    hs.scan_streams(db, [s1, s2], [b"x stopword y", b"quiet"],
+                    [cb, None])
+    r = hs.scan_streams(db, [s1, s2], [b"stopword again", b"other1"])
+    assert r[0] == [] and r[1]
+
+
+def test_streamset_empty_and_pipeline_guards():
+    db = hs.compile_multi(["abc"], ids=[1], mode=hs.HS_MODE_STREAM)
+    ss = open_streamset(db, 0)
+    assert scan_streamset(db, ss, []) == []
+    assert close_streamset(db, ss) == []
+
+    db2 = hs.compile_multi(["abc"], ids=[1], mode=hs.HS_MODE_STREAM)
+    ss2 = open_streamset(db2, 1)
+    h = streamset_write_start(db2, ss2, [b"ab"])
+    with pytest.raises(hs.InvalidError):
+        streamset_stream(ss2, 0)  # mid-pipeline snapshot is inconsistent
+    streamset_write_finish(db2, ss2, h)
+    streamset_stream(ss2, 0)  # fine once finished
+
+
+def test_infix_connect_accept_live_at_extent_start():
+    """A carried infix mask that is accept-live AT the extent start must
+    connect a role start at that exact position (the history-cut
+    boundary) — found by code review with a unit repro."""
+    import numpy as np
+
+    from hyperscan_tpu.compiler.chains import build_infix
+    from hyperscan_tpu.compiler.parser import parse
+    from hyperscan_tpu.runtime.lit_runtime import _infix_connect
+
+    spec = build_infix(parse(r"(ab|cd)+", 0))
+    corpus = np.frombuffer(b"ababab", np.uint8)
+    # block-style: inject at 0, role start at 6
+    conn, cap = _infix_connect(spec, corpus, np.asarray([0]),
+                               np.asarray([6]), 6, capture_at=6)
+    assert 6 in conn and cap
+    # streaming resume: carried mask at position 6, start exactly there
+    conn2, _ = _infix_connect(spec, corpus, np.zeros(0, np.int64),
+                              np.asarray([6]), 6,
+                              init_mask=cap, init_pos=6)
+    assert 6 in conn2
