@@ -158,6 +158,10 @@ class PatternInfo:
     # src/rose/rose_internal.h + parseLogicalCombination); None for
     # ordinary patterns
     combination: Optional[list] = None
+    # the pattern has EOD-anchored accepts ($-reachable): streaming SOM
+    # must defer boundary-offset reports until close can min-merge the
+    # EOD matches' (possibly earlier) leftmost starts
+    eod_capable: bool = False
 
 
 @dataclasses.dataclass
@@ -562,6 +566,19 @@ class Database:
                 if p.flags & HS_FLAG_SOM_LEFTMOST
             )
         return self._som_eids
+
+    def som_eod_eids(self) -> frozenset:
+        """SOM patterns with EOD-anchored accepts: a close-time match
+        can end at the final write boundary with an EARLIER leftmost
+        start than the record already known there, so streaming defers
+        boundary-offset reports for these until the next write or close
+        (where _eod_pass min-merges the starts)."""
+        if not hasattr(self, "_som_eod_eids"):
+            self._som_eod_eids = frozenset(
+                i for i, p in enumerate(self.patterns)
+                if (p.flags & HS_FLAG_SOM_LEFTMOST) and p.eod_capable
+            )
+        return self._som_eod_eids
 
     def combos(self) -> List[Tuple[int, object, frozenset]]:
         """[(pattern_idx, ast, referenced external ids)] for combination
@@ -1577,6 +1594,10 @@ def compile_patterns(
                 min_length=e.min_length if need_minlen else 0,
                 min_width=min_w,
                 max_width=max_w,
+                eod_capable=bool(
+                    g.accept_eod
+                    or any(eod for (_a, eod, _adj) in g.start_accepts)
+                ),
             )
         )
 

@@ -33,7 +33,7 @@ from ..flags import (HS_MODE_STREAM, HS_MODE_VECTORED, base_mode,
                      som_horizon_span)
 from .scan import Match, finalize_reports
 
-STREAM_MAGIC = b"HSTPUST3"
+STREAM_MAGIC = b"HSTPUST4"
 
 
 def history_required(db: Database) -> int:
@@ -69,6 +69,13 @@ class Stream:
     # offsets within the live gap run, absolute start of that run)
     chain_state: Dict[Tuple[int, int], Tuple[List[int], int]] = \
         dataclasses.field(default_factory=dict)
+    # deferred boundary reports of EOD-capable SOM patterns: a match
+    # ending exactly at the current stream end may gain an EARLIER
+    # leftmost start from a $-anchored alternative at close, so its
+    # report holds here until the next write (boundary becomes interior)
+    # or close (min-merged with the EOD pass)
+    pending: Set[Tuple[int, int, int]] = dataclasses.field(
+        default_factory=set)
 
     def _init_states(self) -> None:
         self.engine_states = [e.start_state for e in self.db.engines]
@@ -93,6 +100,7 @@ def copy_stream(stream: Stream) -> Stream:
         recent=set(stream.recent),
         chain_state={k: (list(v[0]), v[1])
                      for k, v in stream.chain_state.items()},
+        pending=set(stream.pending),
     )
 
 
@@ -551,8 +559,30 @@ def scan_streams(
 
     out: List[List[Match]] = []
     hist_req = history_required(db)
+    risk = db.som_eod_eids()
     for bi, st in enumerate(streams):
-        if st.terminated or (not recs_abs[bi] and not ranges_abs[bi]):
+        new_off = st.offset + len(chunks[bi])
+        # previously deferred boundary reports: the boundary is now
+        # interior (or unchanged on a zero-length write — re-defer below)
+        recs_bi = recs_abs[bi] | st.pending
+        rngs_bi = ranges_abs[bi]
+        new_pending: Set[Tuple[int, int, int]] = set()
+        if risk:
+            new_pending = {(e, t, f) for (e, t, f) in recs_bi
+                           if t == new_off and e in risk}
+            recs_bi = recs_bi - new_pending
+            if rngs_bi and any(e in risk and hi == new_off
+                               for (e, _lo, hi) in rngs_bi):
+                clipped = []
+                for (eid, lo, hi) in rngs_bi:
+                    if eid in risk and hi == new_off:
+                        # empty match at the boundary: frm == to
+                        new_pending.add((eid, new_off, new_off))
+                        hi -= 1
+                    if hi >= lo:
+                        clipped.append((eid, lo, hi))
+                rngs_bi = clipped
+        if st.terminated or (not recs_bi and not rngs_bi):
             # nothing matched in this write — or the stream was
             # terminated by an earlier callback (no further delivery;
             # offsets/history still advance so the batch stays aligned)
@@ -561,8 +591,8 @@ def scan_streams(
             from .scan import RecordSink
 
             sink = RecordSink()
-            sink.single = recs_abs[bi]
-            for (eid, lo, hi) in ranges_abs[bi]:
+            sink.single = recs_bi
+            for (eid, lo, hi) in rngs_bi:
                 sink.add_range(eid, lo, hi)
             ms, terminated = finalize_reports(
                 db, sink.materialize(None, db.som_eids()), callbacks[bi],
@@ -571,12 +601,14 @@ def scan_streams(
                 som_horizon=som_horizon_span(db.mode),
             )
         st.terminated = st.terminated or terminated
-        new_off = st.offset + len(chunks[bi])
+        st.pending = new_pending
         # preserve prior boundary dedupe entries when the boundary does
         # not advance (zero-length write), else they are re-reported by
-        # the next history rescan
+        # the next history rescan (deferred records count: their rescan
+        # duplicates must not deliver either)
         st.recent = {(e, t) for (e, t, _f) in recs_abs[bi]
                      if t >= new_off} | {
+            (e, t) for (e, t, _f) in new_pending} | {
             (e, t) for (e, t) in st.recent if t >= new_off} | {
             (eid, t) for (eid, lo, hi) in ranges_abs[bi]
             for t in range(max(lo, new_off), hi + 1)}
@@ -656,11 +688,17 @@ def _eod_pass(stream: Stream) -> List[Tuple[int, int, int]]:
             recs.add((eidx, base + to_local, base + frm))
     # an (id, to) already reported at the final write boundary must not
     # re-report at close with a different (e.g. empty-match) start: a
-    # match is delivered once per (id, to), at first detection — the
-    # block path's min-merge sees both records in one materialize, the
-    # stream path suppresses the later one (found by the SOM-stream
-    # fuzzer: `...9*$`-style nullable EOD branches)
-    recs = {r for r in recs if (r[0], r[1]) not in stream.recent}
+    # match is delivered once per (id, to) — the block path's min-merge
+    # sees both records in one materialize; the stream path suppresses
+    # the later one (found by the SOM-stream fuzzer: `...9*$`-style
+    # nullable EOD branches). DEFERRED boundary reports of EOD-capable
+    # SOM patterns were never delivered: they merge here so the EOD
+    # matches' (possibly earlier) leftmost starts win, exactly like the
+    # block min-merge.
+    pend_keys = {(e, t) for (e, t, _f) in stream.pending}
+    recs |= set(stream.pending)
+    suppressed = stream.recent - pend_keys
+    recs = {r for r in recs if (r[0], r[1]) not in suppressed}
     return _order_abs(recs)
 
 
@@ -706,6 +744,7 @@ def reset_stream(
     stream.combo_matched = set()
     stream.recent = set()
     stream.chain_state = {}
+    stream.pending = set()
     stream._init_states()
     return ms
 
@@ -760,6 +799,10 @@ def compress_stream(stream: Stream) -> bytes:
     for ((eidx, role), (ends, run_start)) in cs:
         parts.append(struct.pack("<iiqI", eidx, role, run_start, len(ends)))
         parts.append(struct.pack(f"<{len(ends)}q", *ends))
+    pd = sorted(stream.pending)
+    parts.append(struct.pack("<I", len(pd)))
+    for (e, t, frm) in pd:
+        parts.append(struct.pack("<iqq", e, t, frm))
     return b"".join(parts)
 
 
@@ -810,6 +853,13 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
         c_ends = list(struct.unpack_from(f"<{n_ends}q", buf, off))
         off += 8 * n_ends
         chain_state[(ceidx, role)] = (c_ends, run_start)
+    (npd,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    pending = set()
+    for _ in range(npd):
+        e, t, frm = struct.unpack_from("<iqq", buf, off)
+        off += struct.calcsize("<iqq")
+        pending.add((e, t, frm))
     if ne != len(db.engines):
         raise InvalidError("stream state does not match database")
     s = open_stream(db)
@@ -822,6 +872,7 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     s.combo_matched = cmatched
     s.recent = recent
     s.chain_state = chain_state
+    s.pending = pending
     return s
 
 

@@ -50,8 +50,11 @@ def _stateless_reports(db: Database) -> bool:
     SINGLEMATCH, no logical combinations): the vectorized multi-stream
     finalize applies."""
     if not hasattr(db, "_stateless_rep"):
-        db._stateless_rep = not db.combos() and not any(
-            p.flags & HS_FLAG_SINGLEMATCH for p in db.patterns
+        db._stateless_rep = (
+            not db.combos()
+            and not db.som_eod_eids()  # boundary reports defer (stateful)
+            and not any(p.flags & HS_FLAG_SINGLEMATCH
+                        for p in db.patterns)
         )
     return db._stateless_rep
 
@@ -82,6 +85,10 @@ class StreamSet:
     # (stream, eidx, boundary) -> (sorted abs role-end offsets, run start)
     chain_state: Dict[Tuple[int, int, int], Tuple[List[int], int]] = \
         dataclasses.field(default_factory=dict)
+    # deferred boundary reports of EOD-capable SOM patterns (see
+    # Stream.pending), sparse per stream
+    pending: Dict[int, Set[Tuple[int, int, int]]] = dataclasses.field(
+        default_factory=dict)
     engine_states: List[list] = dataclasses.field(default_factory=list)
     # pipeline bookkeeping: rounds started / finished
     seq_started: int = 0
@@ -138,6 +145,7 @@ def streamset_stream(ss: StreamSet, i: int) -> Stream:
     s.seen_single = set(ss.seen_single.get(i, ()))
     s.combo_matched = set(ss.combo_matched.get(i, ()))
     s.recent = set(ss.recent.get(i, ()))
+    s.pending = set(ss.pending.get(i, ()))
     s.chain_state = {
         (e, r): (list(v[0]), v[1])
         for (b, e, r), v in ss.chain_state.items() if b == i
@@ -161,7 +169,8 @@ def streamset_load(ss: StreamSet, i: int, s: Stream) -> None:
         ss.engine_states[ei][i] = s.engine_states[ei]
     for d, v in ((ss.seen_single, s.seen_single),
                  (ss.combo_matched, s.combo_matched),
-                 (ss.recent, s.recent)):
+                 (ss.recent, s.recent),
+                 (ss.pending, s.pending)):
         if v:
             d[i] = set(v)
         else:
@@ -475,7 +484,7 @@ def streamset_write_finish(
     # finalize per matched stream; advance dedupe state vectorized
     out: List[List[Match]] = [[] for _ in range(S)]
     new_offsets = h.prev_offsets + h.lens
-    touched = set(recs_abs) | set(ranges_abs)
+    touched = set(recs_abs) | set(ranges_abs) | set(ss.pending)
     fast = _stateless_reports(db) and not ranges_abs \
         and all(cb is None for cb in callbacks)
     if fast and touched:
@@ -532,15 +541,40 @@ def streamset_write_finish(
             elif old:
                 del ss.recent[bi]
         touched = set()  # scalar loop below skipped
+    risk = db.som_eod_eids()
     for bi in touched:
-        if ss.terminated[bi]:
-            ms = []  # no delivery after callback termination
+        new_off = int(new_offsets[bi])
+        recs_bi = recs_abs.get(bi, set()) | ss.pending.get(bi, set())
+        rngs_bi = list(ranges_abs.get(bi, ()))
+        new_pending: Set[Tuple[int, int, int]] = set()
+        if risk:
+            # defer boundary reports of EOD-capable SOM patterns (see
+            # Stream.pending)
+            new_pending = {(e, t, f) for (e, t, f) in recs_bi
+                           if t == new_off and e in risk}
+            recs_bi -= new_pending
+            if any(e in risk and hi == new_off
+                   for (e, _lo, hi) in rngs_bi):
+                clipped = []
+                for (eid, lo, hi) in rngs_bi:
+                    if eid in risk and hi == new_off:
+                        new_pending.add((eid, new_off, new_off))
+                        hi -= 1
+                    if hi >= lo:
+                        clipped.append((eid, lo, hi))
+                rngs_bi = clipped
+        if new_pending:
+            ss.pending[bi] = new_pending
+        else:
+            ss.pending.pop(bi, None)
+        if ss.terminated[bi] or (not recs_bi and not rngs_bi):
+            ms = []  # no delivery (terminated, or all records deferred)
         else:
             seen = ss.seen_single.setdefault(bi, set())
             combo = ss.combo_matched.setdefault(bi, set())
             sink = RecordSink()
-            sink.single = recs_abs.get(bi, set())
-            for (eid, lo, hi) in ranges_abs.get(bi, ()):
+            sink.single = recs_bi
+            for (eid, lo, hi) in rngs_bi:
                 sink.add_range(eid, lo, hi)
             ms, terminated = finalize_reports(
                 db, sink.materialize(None, db.som_eids()), callbacks[bi],
@@ -550,9 +584,9 @@ def streamset_write_finish(
             if terminated:
                 ss.terminated[bi] = True
         out[bi] = ms
-        new_off = int(new_offsets[bi])
         rec_new = {(e, t) for (e, t, _f) in recs_abs.get(bi, ())
                    if t >= new_off} | {
+            (e, t) for (e, t, _f) in new_pending} | {
             (eid, t) for (eid, lo, hi) in ranges_abs.get(bi, ())
             for t in range(max(lo, new_off), hi + 1)}
         old = ss.recent.get(bi)

@@ -176,3 +176,47 @@ def test_som_vacuous_branch_with_literal_branch():
         want = {(s, e) for (e, s)
                 in ast_leftmost_som(parse(p, fl), d).items()}
         assert got == want, (d, sorted(got), sorted(want))
+
+
+def test_som_eod_boundary_report_defers_until_close():
+    """An EOD-capable SOM pattern's report at the final write boundary
+    must min-merge with the close-time \$-match's earlier leftmost start
+    (block parity) — and still deliver promptly when the boundary turns
+    out to be interior. Found by the SOM-stream fuzzer."""
+    pat = r"ab|a.?b$"
+    flags = [hs.HS_FLAG_SOM_LEFTMOST]
+    bdb = hs.compile_multi([pat], flags=flags)
+    sdb = hs.compile_multi([pat], flags=flags, mode=hs.HS_MODE_STREAM)
+    data = b"zaxb"  # 'a.?b$' matches (1,4); no 'ab' literal match
+    want = set(hs.scan(bdb, data))
+    assert want == {(0, 1, 4)}
+    st = hs.open_stream(sdb)
+    ms = hs.scan_stream(st, b"za")
+    ms += hs.scan_stream(st, b"xb")
+    ms += hs.close_stream(st)
+    assert set(ms) == want, ms
+
+    # both branches end at the same offset: block min-merges to the
+    # earlier start; streaming must match even when 'ab' completes at a
+    # write boundary
+    data2 = b"zaab"  # 'ab' at (2,4); 'a.?b$' at (1,4) -> leftmost 1
+    want2 = set(hs.scan(bdb, data2))
+    assert want2 == {(0, 1, 4)}
+    st = hs.open_stream(sdb)
+    ms = hs.scan_stream(st, b"zaab")  # boundary == EOD candidate
+    ms += hs.close_stream(st)
+    assert set(ms) == want2, ms
+
+    # interior boundary: the deferred report must be released unchanged
+    st = hs.open_stream(sdb)
+    ms = hs.scan_stream(st, b"zaab")
+    ms += hs.scan_stream(st, b"zz")   # boundary becomes interior
+    ms += hs.close_stream(st)
+    got = set(ms)
+    assert got == set(hs.scan(bdb, b"zaabzz")), got
+
+    # codec round trip carries the pending deferral
+    st = hs.open_stream(sdb)
+    hs.scan_stream(st, b"zaab")
+    st2 = hs.expand_stream(sdb, hs.compress_stream(st))
+    assert set(hs.close_stream(st2)) == want2
