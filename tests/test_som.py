@@ -179,8 +179,8 @@ def test_som_vacuous_branch_with_literal_branch():
 
 
 def test_som_eod_boundary_report_defers_until_close():
-    """An EOD-capable SOM pattern's report at the final write boundary
-    must min-merge with the close-time \$-match's earlier leftmost start
+    r"""An EOD-capable SOM pattern's report at the final write boundary
+    must min-merge with the close-time $-match's earlier leftmost start
     (block parity) — and still deliver promptly when the boundary turns
     out to be interior. Found by the SOM-stream fuzzer."""
     pat = r"ab|a.?b$"
