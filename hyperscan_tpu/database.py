@@ -105,6 +105,23 @@ class _ArrayStore:
         return [name, arr.dtype.str]
 
 
+class _MemoZip:
+    """Memoizing view over an npz handle: content-addressed references
+    alias heavily (thousands of validators share dozens of arrays), and
+    np.load decompresses on every access — cache each name once."""
+
+    def __init__(self, z):
+        self._z = z
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        a = self._cache.get(name)
+        if a is None:
+            a = self._z[name]
+            self._cache[name] = a
+        return a
+
+
 def _ref_get(z, ref, legacy_name: str) -> np.ndarray:
     """Load an array by [name, dtype] ref (or a legacy per-field name)."""
     if ref is None:
@@ -795,7 +812,8 @@ class Database:
         payload = data[20 : 20 + plen]
         if len(payload) != plen or (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
             raise DbVersionError("database CRC mismatch")
-        with np.load(io.BytesIO(payload)) as z:
+        with np.load(io.BytesIO(payload)) as zf:
+            z = _MemoZip(zf)
             meta = json.loads(bytes(z["meta"]).decode())
             if tuple(meta["version"])[:2] != DB_VERSION[:2]:
                 raise DbVersionError(
