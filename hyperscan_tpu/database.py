@@ -537,6 +537,10 @@ class LiteralEngine:
         dataclasses.field(default_factory=dict)
     )
     chains: Dict[int, ChainInfo] = dataclasses.field(default_factory=dict)
+    # [M, 1, 256] int32 single-word gate tables for the two-stage device
+    # filter (compiler.teddy.build_gate_masks), or None when gating does
+    # not pay (W < 2, or the hot/cold split is too leaky)
+    gate_masks: Optional[np.ndarray] = None
 
     @property
     def num_factors(self) -> int:
@@ -780,6 +784,10 @@ class Database:
                 }
             meta["lit"] = {
                 "masks_ref": store.put(self.lit.masks),
+                **(
+                    {"gate_masks_ref": store.put(self.lit.gate_masks)}
+                    if self.lit.gate_masks is not None else {}
+                ),
                 "factor_atoms": [
                     [list(a) for a in atoms] for atoms in self.lit.factor_atoms
                 ],
@@ -834,6 +842,10 @@ class Database:
                 lm = meta["lit"]
                 lit = LiteralEngine(
                     masks=_ref_get(z, lm.get("masks_ref"), "lit_masks"),
+                    gate_masks=(
+                        _ref_get(z, lm["gate_masks_ref"], "lit_gate_masks")
+                        if "gate_masks_ref" in lm else None
+                    ),
                     factor_atoms=[
                         tuple(tuple(a) for a in atoms)
                         for atoms in lm["factor_atoms"]
@@ -1820,6 +1832,7 @@ def compile_patterns(
         plan = build_teddy(factor_objs)
         lit = LiteralEngine(
             masks=plan.masks,
+            gate_masks=plan.gate_masks,
             factor_atoms=factor_atoms,
             bucket_factors=plan.buckets,
             factor_refs=factor_refs,

@@ -131,6 +131,50 @@ def _make_kernel_fused_classes(M: int, W: int, R: int):
 
 
 @functools.lru_cache(maxsize=64)
+def _make_kernel_gate(M: int, R: int):
+    """Single-word gate kernel: class remap + M one-word mask lookups,
+    OR-reduced along lanes to ONE flag per 128-byte corpus row.
+
+    The gate tables (compiler.teddy.build_gate_masks) are a per-position
+    superset of the full filter, so a row whose flag is 0 provably holds
+    no candidate end; the full-width kernel then runs only on flagged
+    rows. Cost: 2 remap + M table gathers per vreg versus the full
+    kernel's 2 + M*W — the family's per-gather cost is flat (~6 ns), so
+    the gate runs ~(2+M*W)/(2+M) times faster. Output is [R, 1] int32
+    row flags (one lane), not a byte plane: the survivor machinery needs
+    1/128th of the plane traffic."""
+    def kernel(halo_ref, body_ref, b2c_ref, gmask_ref, out_f):
+        data = jnp.concatenate(
+            [halo_ref[0:1, :], body_ref[...]], axis=0
+        ).astype(jnp.int32)  # [R+1, 128]
+        is_lo = data < 128
+        idx_lo = jnp.where(is_lo, data, 0)
+        idx_hi = jnp.where(is_lo, 0, data - 128)
+        lo_t = jnp.broadcast_to(b2c_ref[0, :][None, :], data.shape)
+        hi_t = jnp.broadcast_to(b2c_ref[1, :][None, :], data.shape)
+        cls = jnp.where(
+            is_lo,
+            jnp.take_along_axis(lo_t, idx_lo, axis=1),
+            jnp.take_along_axis(hi_t, idx_hi, axis=1),
+        )  # [R+1, 128] class ids
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        acc = None
+        for m in range(M):
+            if m == 0:
+                cm = cls[1:, :]
+            else:
+                r = pltpu.roll(cls, m, axis=1)
+                cm = jnp.where(lane >= m, r[1:, :], r[:-1, :])
+            tab = jnp.broadcast_to(gmask_ref[m, :][None, :], cm.shape)
+            v = jnp.take_along_axis(tab, cm, axis=1)
+            acc = v if acc is None else (acc & v)
+        out_f[...] = jnp.max(
+            (acc != 0).astype(jnp.int32), axis=1, keepdims=True
+        )
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
 def _make_kernel_fused(M: int, W: int, R: int):
     """Fused-path variant: emits only the cand_or plane.
 
@@ -460,50 +504,188 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
             jnp.arange(cap1, dtype=jnp.int32)
             < jnp.minimum(meta1[0], cap1)
         )
-        # gather the 8 candidate tail bytes from the corpus (flat byte i
-        # lives at rows_all.reshape(-1)[128 + i]) and pack them into the
-        # two little-endian words the hash confirm expects: lo_w = bytes
-        # pos-7..pos-4, hi_w = bytes pos-3..pos (newest byte on top)
-        flat = rows_all.reshape(-1)
-        tb = []
-        for k in range(8):
-            src = pos - k
-            b = jnp.take(flat, jnp.maximum(src, -128) + 128, axis=0)
-            tb.append(jnp.where(src >= 0, b, 0).astype(jnp.uint32))
-        lo_w = tb[7] | (tb[6] << 8) | (tb[5] << 16) | (tb[4] << 24)
-        hi_w = tb[3] | (tb[2] << 8) | (tb[1] << 16) | (tb[0] << 24)
-
-        cls_planes = []
-        pos_planes = []
-        for gi, (cl, mlo, mhi, h_s, c_s, maxmult) in enumerate(groups):
-            lo = lo_w & jnp.uint32(mlo)
-            hi = hi_w & jnp.uint32(mhi)
-            h = ((lo * jnp.uint32(0x9E3779B1))
-                 ^ (hi * jnp.uint32(0x85EBCA6B))).astype(jnp.int32)
-            tbl = h_tables[gi]
-            ctb = f_tables[gi]  # class-id table (dedup'd tails)
-            F = tbl.shape[0]
-            i0 = jnp.searchsorted(tbl, h, side="left").astype(jnp.int32)
-            ok_g = have & (pos >= cl - 1)
-            for k in range(maxmult):
-                idx = jnp.minimum(i0 + k, F - 1)
-                valid = ok_g & (i0 + k < F) & (jnp.take(tbl, idx) == h)
-                cls_planes.append(
-                    jnp.where(valid, jnp.take(ctb, idx) + 1, 0)
-                )
-                pos_planes.append(jnp.where(valid, pos, 0))
-        if cls_planes:
-            cls_flat = jnp.concatenate(cls_planes)
-            pos_flat = jnp.concatenate(pos_planes)
-        else:
-            cls_flat = jnp.zeros(cap1, jnp.int32)
-            pos_flat = jnp.zeros(cap1, jnp.int32)
-        meta2, packed2 = sparse_extract(
-            [cls_flat, pos_flat], cls_flat.shape[0], cap2, cap2_chunks
+        meta2, packed2 = _hash_confirm_stage(
+            groups, rows_all, pos, have, h_tables, f_tables,
+            cap1, cap2, cap2_chunks,
         )
         # one [4] meta buffer = one host fetch round trip (the tunnel
         # costs ~30ms per fetch)
         meta = jnp.concatenate([meta1, meta2])
+        return meta, packed2
+
+    return run
+
+
+def _hash_confirm_stage(groups, rows_all, pos, have, h_tables, f_tables,
+                        cap1: int, cap2: int, cap2_chunks: int):
+    """Shared confirm tail of the fused pipelines: gather each
+    candidate's 8 tail bytes from the corpus, hash-match them against
+    the factor confirm tables, and sparse-extract the confirmed
+    (class, pos) pairs (reference: do_confirm_fdr reads the tail from
+    the scan pointer it already holds, src/fdr/fdr.c:330)."""
+    # flat byte i lives at rows_all.reshape(-1)[128 + i]; pack the tail
+    # into the two little-endian words the hash confirm expects:
+    # lo_w = bytes pos-7..pos-4, hi_w = bytes pos-3..pos (newest on top)
+    flat = rows_all.reshape(-1)
+    tb = []
+    for k in range(8):
+        src = pos - k
+        b = jnp.take(flat, jnp.maximum(src, -128) + 128, axis=0)
+        tb.append(jnp.where(src >= 0, b, 0).astype(jnp.uint32))
+    lo_w = tb[7] | (tb[6] << 8) | (tb[5] << 16) | (tb[4] << 24)
+    hi_w = tb[3] | (tb[2] << 8) | (tb[1] << 16) | (tb[0] << 24)
+
+    cls_planes = []
+    pos_planes = []
+    for gi, (cl, mlo, mhi, h_s, c_s, maxmult) in enumerate(groups):
+        lo = lo_w & jnp.uint32(mlo)
+        hi = hi_w & jnp.uint32(mhi)
+        h = ((lo * jnp.uint32(0x9E3779B1))
+             ^ (hi * jnp.uint32(0x85EBCA6B))).astype(jnp.int32)
+        tbl = h_tables[gi]
+        ctb = f_tables[gi]  # class-id table (dedup'd tails)
+        F = tbl.shape[0]
+        i0 = jnp.searchsorted(tbl, h, side="left").astype(jnp.int32)
+        ok_g = have & (pos >= cl - 1)
+        for k in range(maxmult):
+            idx = jnp.minimum(i0 + k, F - 1)
+            valid = ok_g & (i0 + k < F) & (jnp.take(tbl, idx) == h)
+            cls_planes.append(
+                jnp.where(valid, jnp.take(ctb, idx) + 1, 0)
+            )
+            pos_planes.append(jnp.where(valid, pos, 0))
+    if cls_planes:
+        cls_flat = jnp.concatenate(cls_planes)
+        pos_flat = jnp.concatenate(pos_planes)
+    else:
+        cls_flat = jnp.zeros(cap1, jnp.int32)
+        pos_flat = jnp.zeros(cap1, jnp.int32)
+    return sparse_extract(
+        [cls_flat, pos_flat], cls_flat.shape[0], cap2, cap2_chunks
+    )
+
+
+def filter_confirm_body_gated(groups, M: int, W: int, n_cells: int,
+                              caps: tuple, interpret: bool):
+    """Two-stage gated filter + confirm (the round-4 kernel family).
+
+    Stage 1 runs the single-word gate kernel (2 + M gathers/vreg, ~3x
+    the full kernel's byte rate) over the WHOLE corpus, producing one
+    flag per 128-byte row. Stage 2 gathers each surviving row together
+    with its predecessor (the full kernel's cross-row shifts need up to
+    M-1 bytes of lookback) into a packed buffer and runs the existing
+    byte-exact class kernel on just those rows; candidate positions map
+    back through the survivor row list, and the confirm stage is shared
+    with the ungated body. Measured on the 10k ruleset: the gate's
+    candidate rate is within ~6% of the full filter's on iid printable
+    noise and identical on low-entropy corpora, so stage 2 typically
+    touches a few percent of the corpus.
+
+    Reference analogue: the two-tier economics of Teddy's cheap first
+    pass feeding exact confirm (src/fdr/teddy.c:248-283) and FDR's
+    zone-bounded rescans (src/fdr/fdr.c:45-133) — redesigned so tier 1
+    is a full-depth hot/cold split gate (see
+    compiler.teddy.build_gate_masks) instead of a nibble approximation,
+    which saturates at 10k-pattern density.
+
+    Packed-layout correctness: survivor rows are interleaved
+    (pred, row) pairs, so inside the packed kernel every ODD row's
+    cross-row shift reads its true predecessor; even rows' outputs are
+    computed against an unrelated neighbor and masked off. Cell-halo
+    contamination at packed-cell boundaries only ever feeds even rows,
+    which are masked.
+    """
+    R = ROWS_PER_CELL
+    capK, cap1, cap1_chunks, cap2, cap2_chunks = caps
+    assert (2 * capK) % R == 0, "capK must pack whole cells"
+    n_cells2 = (2 * capK) // R
+
+    def run(rows_all, n_valid, h_tables, f_tables, b2c, cmasks, gcm):
+        body = rows_all[1:]
+        n_rows = n_cells * R
+        flags = pl.pallas_call(
+            _make_kernel_gate(M, R),
+            interpret=interpret,
+            grid=(n_cells,),
+            out_shape=jax.ShapeDtypeStruct((n_rows, 1), jnp.int32),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(rows_all, body, b2c, gcm).reshape(n_rows)
+        # row r covers corpus bytes [r*128, r*128+128); int32 is safe:
+        # n_valid (and thus r*128) is < 2^31 for any rows layout built
+        # by corpus_to_rows
+        row_idx = jnp.arange(n_rows, dtype=jnp.int32)
+        flags = jnp.where(row_idx * 128 < n_valid, flags, 0)
+        cum = jnp.cumsum(flags)
+        K = cum[-1]
+        # survivor body-row indices: rank k -> k-th flagged row (cost
+        # scales with the LEARNED capK, not the corpus — a clean corpus
+        # keeps this stage trivial)
+        rs = jnp.minimum(
+            jnp.searchsorted(
+                cum, jnp.arange(1, capK + 1, dtype=jnp.int32), side="left"
+            ),
+            n_rows - 1,
+        ).astype(jnp.int32)
+        # body row b = rows_all[1+b]; its predecessor is rows_all[b]
+        idx2 = jnp.stack([rs, rs + 1], axis=1).reshape(-1)
+        packed_rows = jnp.take(rows_all, idx2, axis=0)  # [2*capK, 128]
+        rows2 = jnp.concatenate(
+            [jnp.zeros((1, 128), jnp.uint8), packed_rows], axis=0
+        )
+        cand = pl.pallas_call(
+            _make_kernel_fused_classes(M, W, R),
+            interpret=interpret,
+            grid=(n_cells2,),
+            out_shape=jax.ShapeDtypeStruct((2 * capK, 128), jnp.uint8),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, W, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(rows2, rows2[1:], b2c, cmasks)
+        pr = jnp.arange(2 * capK, dtype=jnp.int32)
+        valid_row = ((pr % 2) == 1) & ((pr // 2) < jnp.minimum(K, capK))
+        cand = cand * valid_row[:, None].astype(jnp.uint8)
+        meta1, packed1 = sparse_extract(
+            [], 2 * capK * 128, cap1, cap1_chunks,
+            nz=cand.reshape(-1), chunk=EXTRACT_CHUNK,
+        )
+        q = packed1[0]  # positions in PACKED space (odd rows only)
+        have = (
+            jnp.arange(cap1, dtype=jnp.int32)
+            < jnp.minimum(meta1[0], cap1)
+        )
+        # map packed -> original: packed pair q//256, survivor row
+        # rs[pair], lane q%128
+        orig_row = jnp.take(rs, jnp.minimum(q // 256, capK - 1), axis=0)
+        pos = jnp.where(have, orig_row * 128 + (q % 128), 0)
+        meta2, packed2 = _hash_confirm_stage(
+            groups, rows_all, pos, have, h_tables, f_tables,
+            cap1, cap2, cap2_chunks,
+        )
+        # rewrite the pair positions to original coordinates happened
+        # before confirm, so packed2 already carries original positions
+        meta = jnp.concatenate(
+            [meta1, meta2, jnp.stack([K, jnp.int32(0)])]
+        )
         return meta, packed2
 
     return run
@@ -535,18 +717,46 @@ def dev_filter_tables(lit):
     return lit._dev_tables
 
 
+def dev_gate_table(lit):
+    """[M, 128] int32 gate class table for the two-stage filter, or
+    None. The gate bits are ORs of full-mask bucket bits, so the gate
+    value is constant within every byte class of the FULL masks — the
+    gate kernel reuses the same b2c remap and indexes this table by
+    class id."""
+    if getattr(lit, "gate_masks", None) is None:
+        return None
+    if not hasattr(lit, "_dev_gate"):
+        split = _class_split(lit.masks)
+        if split is None:
+            lit._dev_gate = None  # no shared remap: gate disabled
+        else:
+            b2c, _ = split
+            inv = np.concatenate([b2c[0], b2c[1]])  # byte -> class id
+            rep = np.zeros(128, np.int64)  # class id -> representative byte
+            for b in range(255, -1, -1):
+                rep[inv[b]] = b
+            gcm = lit.gate_masks[:, 0, rep]  # [M, 128] int32
+            lit._dev_gate = jnp.asarray(np.ascontiguousarray(gcm))
+    return lit._dev_gate
+
+
 @functools.lru_cache(maxsize=64)
 def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
                         caps: tuple, interpret: bool,
-                        use_classes: bool):
+                        use_classes: bool, gated: bool = False):
     from ..runtime.lit_runtime import confirm_device_tables
 
     lit = _LITS[lit_key]
     groups = confirm_device_tables(lit)
-    cap1, c1ch, cap2, c2ch = caps
-    body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
-                               interpret, use_classes=use_classes,
-                               cap1_chunks=c1ch, cap2_chunks=c2ch)
+    if gated:
+        body = filter_confirm_body_gated(groups, M, W, n_cells, caps,
+                                         interpret)
+        cap2 = caps[3]
+    else:
+        cap1, c1ch, cap2, c2ch = caps
+        body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
+                                   interpret, use_classes=use_classes,
+                                   cap1_chunks=c1ch, cap2_chunks=c2ch)
     pre = min(PREFETCH, cap2)
 
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
@@ -595,6 +805,32 @@ def _observe_caps(lit, t1, h1, t2, h2) -> None:
     lit._cap_obs = tuple(max(a, b) for a, b in zip(obs, (t1, h1, t2, h2)))
 
 
+# gated-path floors: (capK survivor rows, cap1, cap1_chunks, cap2,
+# cap2_chunks); capK stays a multiple of 256 so survivor pairs pack
+# whole kernel cells (2*capK % ROWS_PER_CELL == 0)
+_CAP_FLOORS_GATED = (512, 1024, 512, 1024, 256)
+
+
+def _caps_for_gated(lit, capacity: int) -> tuple:
+    obs = getattr(lit, "_cap_obs_g", None)
+    if obs is None:
+        return (max(512, _p2(capacity // 32)),
+                max(capacity, _CAP_FLOORS_GATED[1]),
+                max(capacity // 4, _CAP_FLOORS_GATED[2]),
+                max(capacity // 4, _CAP_FLOORS_GATED[3]),
+                max(capacity // 16, _CAP_FLOORS_GATED[4]))
+    return tuple(
+        max(f, _p2(2 * o)) for f, o in zip(_CAP_FLOORS_GATED, obs)
+    )
+
+
+def _observe_caps_gated(lit, k_rows, t1, h1, t2, h2) -> None:
+    obs = getattr(lit, "_cap_obs_g", (0, 0, 0, 0, 0))
+    lit._cap_obs_g = tuple(
+        max(a, b) for a, b in zip(obs, (k_rows, t1, h1, t2, h2))
+    )
+
+
 def teddy_confirm_scan(
     corpus: np.ndarray, lit, capacity: int = 1 << 14
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -619,13 +855,24 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     interpret = jax.default_backend() == "cpu"
     key = _lit_key(lit)
 
-    caps = _caps_for(lit, capacity)
-    run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
-                              len(ftabs) == 2)
-    combined, packed2 = run(
-        rows_all, jnp.int32(n_valid), h_tables, f_tables, *ftabs
-    )
-    return (lit, rows_all, n_valid, caps, combined, packed2)
+    gcm = dev_gate_table(lit)
+    gated = gcm is not None and len(ftabs) == 2
+    if gated:
+        caps = _caps_for_gated(lit, capacity)
+        run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
+                                  True, gated=True)
+        combined, packed2 = run(
+            rows_all, jnp.int32(n_valid), h_tables, f_tables,
+            *ftabs, gcm
+        )
+    else:
+        caps = _caps_for(lit, capacity)
+        run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
+                                  len(ftabs) == 2)
+        combined, packed2 = run(
+            rows_all, jnp.int32(n_valid), h_tables, f_tables, *ftabs
+        )
+    return (lit, rows_all, n_valid, caps, combined, packed2, gated)
 
 
 def teddy_confirm_finish(handle, got: np.ndarray = None,
@@ -644,9 +891,14 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
     re-dispatches at the learned shape."""
     from ..runtime.lit_runtime import expand_confirm_classes
 
-    (lit, rows_all, n_valid, caps, combined, packed2) = handle
+    (lit, rows_all, n_valid, caps, combined, packed2, gated) = handle
     while True:
-        cap1, c1ch, cap2, c2ch = caps
+        if gated:
+            capK, cap1, c1ch, cap2, c2ch = caps
+            hdr = 6
+        else:
+            cap1, c1ch, cap2, c2ch = caps
+            capK, hdr = 0, 4
         pre = min(PREFETCH, cap2)
         if got is None:
             got = np.asarray(combined)  # ONE fetch: meta + pair prefix
@@ -655,8 +907,15 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
         # cap to ~2x the running max (chunk capacities overflow
         # independently of the totals — spread candidates hit the chunk
         # budget at one per chunk, and sparse_extract clamps past it)
-        _observe_caps(lit, t1, h1, t2, h2)
-        if t1 <= cap1 and t2 <= cap2 and h1 <= c1ch and h2 <= c2ch:
+        if gated:
+            k_rows = int(got[4])
+            _observe_caps_gated(lit, k_rows, t1, h1, t2, h2)
+            ok = (t1 <= cap1 and t2 <= cap2 and h1 <= c1ch
+                  and h2 <= c2ch and k_rows <= capK)
+        else:
+            _observe_caps(lit, t1, h1, t2, h2)
+            ok = t1 <= cap1 and t2 <= cap2 and h1 <= c1ch and h2 <= c2ch
+        if ok:
             break
         if host_corpus is not None:
             from ..runtime.lit_runtime import confirm_candidates
@@ -666,13 +925,13 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
             return confirm_candidates(
                 lit, host_corpus, np.zeros(1, np.int64), pos, words)
         handle = teddy_confirm_start(rows_all, lit, n_valid)
-        (lit, rows_all, n_valid, caps, combined, packed2) = handle
+        (lit, rows_all, n_valid, caps, combined, packed2, gated) = handle
         got = None
     k = min(t2, cap2)
     if k == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    pairs = got[4:].reshape(3, pre)[:, :min(k, pre)]
+    pairs = got[hdr:].reshape(3, pre)[:, :min(k, pre)]
     if k > pre:
         rest = np.asarray(packed2[:, pre:k])
         pairs = np.concatenate([pairs, rest], axis=1)

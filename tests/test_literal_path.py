@@ -307,3 +307,132 @@ def test_capacity_overflow_compiles_no_new_shapes():
     # the observed load right-sizes the NEXT dispatch
     caps = T._caps_for(db.lit, 1 << 14)
     assert caps[0] >= NC and caps[1] >= NC
+
+
+def _gated_db(n_patterns=600):
+    """A ruleset large enough for a multi-word plan (W >= 2), where the
+    compiler builds the single-word gate tables."""
+    import hyperscan_tpu as hs
+
+    words = ["attack", "payload", "shell", "admin", "select", "union"]
+    pats, ids = [], []
+    for i in range(n_patterns):
+        pats.append(words[i % len(words)] + str(i) + "zq")
+        ids.append(i)
+    return hs.compile_multi(pats, ids=ids)
+
+
+def test_gate_masks_superset_and_class_constant():
+    """The gate tables must be a per-(offset, byte) superset of the full
+    masks (a gate miss must prove no bucket can hit) and constant within
+    every byte class of the full masks (the gate kernel reuses the full
+    masks' b2c remap)."""
+    import numpy as np
+
+    from hyperscan_tpu.ops.teddy import _class_split
+
+    db = _gated_db()
+    lit = db.lit
+    assert lit.masks.shape[1] >= 2
+    assert lit.gate_masks is not None
+    M, W, _ = lit.masks.shape
+    u = lit.masks.view(np.uint32)
+    g = lit.gate_masks.view(np.uint32)
+    for m in range(M):
+        full_any = np.zeros(256, bool)
+        for w in range(W):
+            full_any |= u[m, w] != 0
+        gate_any = g[m, 0] != 0
+        assert not (full_any & ~gate_any).any(), f"gate not superset @m={m}"
+    b2c, _cm = _class_split(lit.masks)
+    inv = np.concatenate([b2c[0], b2c[1]])
+    for m in range(M):
+        for c in np.unique(inv):
+            vals = np.unique(g[m, 0][inv == c])
+            assert len(vals) == 1, (m, c)
+
+
+def test_gated_equals_ungated_pipeline():
+    """The gated two-stage filter+confirm must produce exactly the
+    ungated fused pipeline's confirmed (fid, pos) set — plants at row
+    boundaries (cross-row shift windows), mid-corpus, and near the end."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperscan_tpu.ops.teddy import (
+        corpus_to_rows,
+        teddy_confirm_finish,
+        teddy_confirm_start,
+    )
+
+    db = _gated_db()
+    lit = db.lit
+    rng = np.random.default_rng(4)
+    corpus = (32 + rng.integers(0, 95, size=300_000)).astype(np.uint8)
+    plants = [b"attack0zq ", b"payload13zq!", b"union5zq"]
+    # row-boundary crossings: factor tails straddle 128-byte rows
+    offs = [0, 122, 250, 384, 6000, 131_070, 299_980]
+    for k, off in enumerate(offs):
+        p = plants[k % len(plants)]
+        corpus[off: off + len(p)] = np.frombuffer(p, np.uint8)
+    rows = jnp.asarray(corpus_to_rows(corpus))
+    h = teddy_confirm_start(rows, lit, len(corpus))
+    assert h[-1] is True, "multi-word plan must route to the gated path"
+    fid_g, pos_g = teddy_confirm_finish(h)
+    gate = lit.gate_masks
+    try:
+        lit.gate_masks = None
+        lit._dev_gate = None
+        h2 = teddy_confirm_start(rows, lit, len(corpus))
+        assert h2[-1] is False
+        fid_u, pos_u = teddy_confirm_finish(h2)
+    finally:
+        lit.gate_masks = gate
+        if hasattr(lit, "_dev_gate"):
+            del lit._dev_gate
+    sg = sorted(zip(fid_g.tolist(), pos_g.tolist()))
+    su = sorted(zip(fid_u.tolist(), pos_u.tolist()))
+    assert sg == su and len(sg) >= len(offs)
+
+
+def test_gated_survivor_capacity_overflow_grows():
+    """Survivor rows past capK must re-dispatch at a learned larger
+    shape (without a host corpus) and lose nothing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperscan_tpu.ops import teddy as T
+    from hyperscan_tpu.runtime.lit_runtime import verify_pairs
+
+    db = _gated_db()
+    lit = db.lit
+    # a plant every 128-byte row for 1024 rows: K == 1024 > capK floor
+    corpus = np.full(1 << 18, ord("."), dtype=np.uint8)
+    p = np.frombuffer(b"attack0zq", np.uint8)
+    n_plant = 1024
+    for r in range(n_plant):
+        corpus[r * 128 + 40: r * 128 + 40 + len(p)] = p
+    h = T.teddy_confirm_start(jnp.asarray(T.corpus_to_rows(corpus)),
+                              lit, len(corpus))
+    assert h[-1] is True
+    fid, pos = T.teddy_confirm_finish(h)
+    fid, pos = verify_pairs(lit, corpus, np.zeros(1, np.int64), fid, pos)
+    hits = [(f, q) for f, q in zip(fid.tolist(), pos.tolist())]
+    assert len(hits) == n_plant
+    assert T._caps_for_gated(lit, 1 << 14)[0] >= n_plant
+
+
+def test_gate_serialization_roundtrip():
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.database import Database
+
+    db = _gated_db(400)
+    data = db.serialize()
+    db2 = Database.deserialize(data)
+    assert db2.lit.gate_masks is not None
+    assert np.array_equal(db2.lit.gate_masks, db.lit.gate_masks)
+    out = hs.scan(db2, b"." * 500 + b"attack0zq" + b"." * 500)
+    assert any(eid == 0 for (eid, _f, _t) in
+               [(m[0], m[1], m[2]) for m in out])
