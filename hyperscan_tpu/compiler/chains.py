@@ -11,9 +11,11 @@ prefix → infix → suffix roles. Two gap shapes:
   engines, src/rose/rose_graph.h:140, src/rose/infix.h); joins validate
   by a forward injection scan — start states injected at each previous
   role end, accept liveness read at each candidate next-role start —
-  exactly the reference's triggered-infix execution, vectorized over the
-  evidence region (block mode; streaming routes these to general
-  engines for now).
+  exactly the reference's triggered-infix execution, vectorized over
+  the evidence region. Streaming carries the infix engine's state
+  across writes (the NFA mask at the next extent start plus recent
+  role ends), packed into the chain-evidence codec, so gaps may span
+  arbitrarily many writes and compress/expand round-trips mid-gap.
 
 Every segment between gaps must be width-bounded with its own literal
 factors. The runtime resolves roles left to right, carrying end-evidence
@@ -34,42 +36,59 @@ from .literals import FactorInfo, extract_factors
 # gaps longer than this bounded hi also use the chain machinery (a window
 # covering them would be too large)
 MIN_CHAIN_GAP = 512
-MAX_CHAIN_ROLES = 8
-MAX_INFIX_POSITIONS = 62  # general-gap NFA positions as bits of a uint64
-# (one bit is reserved for the virtual pre-start injection position)
+MAX_CHAIN_ROLES = 64  # resolve cost is linear in roles; the cap is a
+# sanity bound, not a routing cliff (was 8 in round 3)
+MAX_INFIX_POSITIONS = 510  # general-gap NFA positions as bits of a
+# multi-word uint64 mask (one extra bit is the virtual pre-start
+# injection position; 511 bits -> 8 words). Reference infixes scale to
+# 512-state LimEx (src/nfa/limex_simd512.c), matched here; beyond this,
+# routing degrades to literal-prefilter + general-engine confirm
+# instead of dropping the literal path (see database._route_branch).
+
+
+def _split_words(x: int, wn: int) -> List[int]:
+    m = (1 << 64) - 1
+    return [(x >> (64 * i)) & m for i in range(wn)]
 
 
 @dataclasses.dataclass
 class InfixSpec:
-    """Bit-parallel Glushkov NFA of one general gap, positions as bits of
-    a uint64 (reference: a Rose infix engine, src/rose/infix.h — here a
-    LimEx-style mask NFA sized to one machine word)."""
+    """Bit-parallel Glushkov NFA of one general gap, positions as bits
+    of a multi-word mask (reference: a Rose infix engine,
+    src/rose/infix.h — here a LimEx-style mask NFA of up to
+    MAX_INFIX_POSITIONS+1 bits). Word arrays are little-endian uint64
+    (word w holds bits 64w..64w+63); the runtime assembles them into
+    arbitrary-precision Python ints once per spec
+    (runtime/lit_runtime._infix_tables), so the injection scan itself
+    is width-agnostic. `start`/`accept` are stored as Python ints
+    (JSON-serializable at any width)."""
 
-    reach: np.ndarray  # [256] uint64: positions whose class contains byte
-    follow: np.ndarray  # [P] uint64
+    reach: np.ndarray  # [256, Wn] uint64: positions whose class has byte
+    follow: np.ndarray  # [P+1, Wn] uint64
     start: int  # first-position mask (span-anchored entry)
     accept: int  # accept-position mask
     nullable: bool  # epsilon in L(infix): zero-length gap connects
     # step tables: chunk_or[k][v] = OR of follow[8k+j] over set bits j of
-    # v — the step function is ceil(P/8) lookups + one AND per byte
-    chunk_or: np.ndarray = None  # [ceil(P/8), 256] uint64
+    # v — the step function is ceil((P+1)/8) lookups + one AND per byte
+    chunk_or: np.ndarray = None  # [ceil((P+1)/8), 256, Wn] uint64
 
     def build_tables(self) -> "InfixSpec":
         P = len(self.follow)
+        wn = self.follow.shape[1]
         nck = (P + 7) // 8
-        tab = np.zeros((nck, 256), dtype=np.uint64)
+        tab = np.zeros((nck, 256, wn), dtype=np.uint64)
+        v = np.arange(256)
         for k in range(nck):
             for j in range(min(8, P - 8 * k)):
-                f = self.follow[8 * k + j]
-                v = np.arange(256)
-                tab[k][(v >> j) & 1 == 1] |= f
+                sel = (v >> j) & 1 == 1
+                tab[k, sel, :] |= self.follow[8 * k + j][None, :]
         self.chunk_or = tab
         return self
 
 
 def build_infix(node: Node) -> Optional[InfixSpec]:
-    """Compile a general gap sub-graph to a one-word bit NFA; None when
-    it doesn't fit (too many positions, anchors/EOD semantics, or
+    """Compile a general gap sub-graph to a multi-word bit NFA; None
+    when it doesn't fit (too many positions, anchors/EOD semantics, or
     report adjusts that don't translate to span-local matching)."""
     from ..errors import HyperscanError
     from .glushkov import build_nfa
@@ -92,24 +111,30 @@ def build_infix(node: Node) -> Optional[InfixSpec]:
         if eod or adj != 0:
             return None
         nullable = True
-    shifts = np.arange(P, dtype=np.uint64)
-    reach = np.bitwise_or.reduce(
-        g.reach.T.astype(np.uint64) << shifts[None, :], axis=1
-    )
+    wn = (P + 1 + 63) // 64
+    reach = np.zeros((256, wn), dtype=np.uint64)
+    for w in range(wn):
+        lo, hi = 64 * w, min(64 * (w + 1), P)
+        if lo >= P:
+            break
+        sh = np.arange(hi - lo, dtype=np.uint64)
+        reach[:, w] = np.bitwise_or.reduce(
+            g.reach[lo:hi].T.astype(np.uint64) << sh[None, :], axis=1
+        )
     # position P is a virtual pre-start: injected at a span start, its
     # follow set is the Glushkov first set, and no byte re-enters it
     # (reach bit stays 0) — so one step after injection the live set is
     # exactly (first positions reached by the consumed byte)
-    follow = np.zeros(P + 1, dtype=np.uint64)
+    follow = np.zeros((P + 1, wn), dtype=np.uint64)
     for p, fs in enumerate(g.follow):
         m = 0
         for q in fs:
             m |= 1 << q
-        follow[p] = m
+        follow[p] = _split_words(m, wn)
     first = 0
     for p in g.anchored_first | g.float_first:
         first |= 1 << p
-    follow[P] = first
+    follow[P] = _split_words(first, wn)
     accept = 0
     for p in g.accept:
         accept |= 1 << p

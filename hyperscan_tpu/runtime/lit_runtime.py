@@ -1059,13 +1059,31 @@ def _emit_role_ends(role, conn_pair, starts_w, blks_w, A_i, A_t, A_aid,
     }
 
 
+def _ints_from_words(a: np.ndarray) -> list:
+    """Combine a trailing little-endian uint64 word axis into Python
+    ints (one per leading row). 1-D input is the legacy single-word
+    layout of round-3 databases."""
+    a = np.ascontiguousarray(a.astype(np.uint64))
+    if a.ndim == 1:
+        return [int(x) for x in a]
+    flat = a.reshape(-1, a.shape[-1])
+    return [int.from_bytes(w.tobytes(), "little") for w in flat]
+
+
 def _infix_tables(spec):
     """Python-int step tables cached on the spec (per-byte stepping in
-    the injection scan runs on host ints, not numpy scalars)."""
+    the injection scan runs on host ints, not numpy scalars — and
+    Python ints make the scan width-agnostic: multi-word infix masks
+    assemble into one arbitrary-precision value here)."""
     if not hasattr(spec, "_pyt"):
+        co = spec.chunk_or
+        if co.ndim == 2:  # legacy [nck, 256] single-word tables
+            chunks = [row.tolist() for row in co]
+        else:  # [nck, 256, Wn]
+            chunks = [_ints_from_words(row) for row in co]
         spec._pyt = (
-            [row.tolist() for row in spec.chunk_or],
-            spec.reach.tolist(),
+            chunks,
+            _ints_from_words(spec.reach),
             int(spec.start),
             int(spec.accept),
         )

@@ -33,7 +33,8 @@ from ..flags import (HS_MODE_STREAM, HS_MODE_VECTORED, base_mode,
                      som_horizon_span)
 from .scan import Match, finalize_reports
 
-STREAM_MAGIC = b"HSTPUST4"
+STREAM_MAGIC = b"HSTPUST5"  # v5: chain-state head entry is
+# length-prefixed bytes (general-infix NFA masks may exceed 64 bits)
 
 
 def history_required(db: Database) -> int:
@@ -798,7 +799,15 @@ def compress_stream(stream: Stream) -> bytes:
     parts.append(struct.pack("<I", len(cs)))
     for ((eidx, role), (ends, run_start)) in cs:
         parts.append(struct.pack("<iiqI", eidx, role, run_start, len(ends)))
-        parts.append(struct.pack(f"<{len(ends)}q", *ends))
+        if ends:
+            # head entry length-prefixed: for general-infix boundaries
+            # it is the carried NFA mask, an arbitrary-width Python int
+            # (multi-word infixes exceed int64); the rest are offsets
+            h = int(ends[0])
+            nb = max(1, (h.bit_length() + 7) // 8)
+            parts.append(struct.pack("<H", nb))
+            parts.append(h.to_bytes(nb, "little"))
+            parts.append(struct.pack(f"<{len(ends) - 1}q", *ends[1:]))
     pd = sorted(stream.pending)
     parts.append(struct.pack("<I", len(pd)))
     for (e, t, frm) in pd:
@@ -850,8 +859,14 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     for _ in range(ncs):
         ceidx, role, run_start, n_ends = struct.unpack_from("<iiqI", buf, off)
         off += struct.calcsize("<iiqI")
-        c_ends = list(struct.unpack_from(f"<{n_ends}q", buf, off))
-        off += 8 * n_ends
+        c_ends = []
+        if n_ends:
+            (nb,) = struct.unpack_from("<H", buf, off)
+            off += 2
+            c_ends.append(int.from_bytes(buf[off : off + nb], "little"))
+            off += nb
+            c_ends += list(struct.unpack_from(f"<{n_ends - 1}q", buf, off))
+            off += 8 * (n_ends - 1)
         chain_state[(ceidx, role)] = (c_ends, run_start)
     (npd,) = struct.unpack_from("<I", buf, off)
     off += 4

@@ -475,3 +475,75 @@ def test_nested_chain_alternations_ride_infix_gaps():
             got = {x[2] for x in hs.scan(db, data)}
             want = ast_match_ends(parse(p, 0), data)
             assert got == want, (p, t, sorted(got ^ want))
+
+
+def test_wide_infix_multiword_stays_literal_routed():
+    """A 16-token alternation infix (>62 Glushkov positions, past the
+    round-3 single-word cap) must stay on the literal path with a
+    multi-word infix NFA — block, stream-split, and a compress/expand
+    round trip mid-gap (reference: 512-bit LimEx infixes,
+    src/nfa/limex_simd512.c)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+
+    alts = "|".join(f"tk{i:02d}" for i in range(16))
+    pat = f"foomark({alts})*barmark"
+    db = hs.compile_multi([pat], ids=[5])
+    assert db.lit is not None and not db.engines
+    inf = db.lit.chains[0].infix[0]
+    assert len(inf.follow) - 1 > 62  # genuinely multi-word
+    assert inf.follow.shape[1] >= 2
+
+    data = b"." * 100 + b"foomark" + b"tk03tk15tk00" + b"barmark" + b"." * 50
+    ms = [(m[0], m[1], m[2]) for m in hs.scan(db, data)]
+    assert (5, 0, 126) in ms
+    assert hs.scan(
+        db, b"." * 100 + b"foomarktk03xk15barmark" + b"." * 50) == []
+    assert any(m[0] == 5 for m in hs.scan(db, b"foomarkbarmark"))
+
+    sdb = hs.compile_multi([pat], ids=[5], mode=hs.HS_MODE_STREAM)
+    st = hs.open_stream(sdb)
+    out = hs.scan_stream(st, b"." * 30 + b"foomarktk01tk0")
+    st2 = hs.expand_stream(sdb, hs.compress_stream(st))
+    out += hs.scan_stream(st2, b"2tk11tk04")
+    out += hs.scan_stream(st2, b"tk09barmark!!")
+    out += hs.close_stream(st2)
+    assert any(m[0] == 5 for m in out), out
+
+
+def test_wide_infix_serialize_roundtrip():
+    import numpy as np
+
+    import hyperscan_tpu as hs
+
+    alts = "|".join(f"w{i}x{i}" for i in range(14))
+    pat = f"headmark({alts})+tailmark"
+    db = hs.compile_multi([pat], ids=[3])
+    assert db.lit is not None and not db.engines
+    db2 = hs.deserialize_database(db.serialize())
+    data = b"?" * 64 + b"headmarkw3x3w9x9tailmark" + b"?" * 64
+    a = sorted(hs.scan(db, data))
+    b = sorted(hs.scan(db2, data))
+    assert a == b and len(a) == 1
+
+
+def test_many_roles_chain():
+    """Chains with more than 8 roles (the round-3 cap) stay on the
+    literal path end to end."""
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.utils.oracle import ast_match_ends
+    from hyperscan_tpu.compiler.parser import parse
+
+    segs = [f"seg{i:02d}tok" for i in range(12)]
+    pat = ".*".join(segs)
+    db = hs.compile_multi([pat], ids=[1])
+    assert db.lit is not None and not db.engines
+    assert db.lit.chains[0].num_roles == 12
+    data = b"__" + b"__".join(s.encode() for s in segs) + b"__"
+    ms = hs.scan(db, data)
+    want = ast_match_ends(parse(pat, 0), data)
+    assert sorted(m[2] for m in ms) == sorted(want)
+    # a broken middle role must reject
+    bad = data.replace(b"seg06tok", b"seg06tak")
+    assert hs.scan(db, bad) == []
