@@ -249,6 +249,14 @@ class DfaEngine:
         NfaEngine, whose states are position bitmasks)."""
         return int(self.accept_eod_id[int(state)])
 
+    def eids(self) -> frozenset:
+        """Every expression index this engine can report (accepts + EOD
+        accepts + empty-match start reports); used by the block
+        orchestrator's literal-prefilter gating."""
+        out = set(int(e) for e in self.set_exprs)
+        out |= {int(e) for (_a, _eod, _adj, e) in self.start_reports}
+        return frozenset(out)
+
 
 @dataclasses.dataclass
 class NfaEngine:
@@ -341,6 +349,13 @@ class NfaEngine:
                 out.add((int(self.set_exprs[i]), int(self.set_adjusts[i])))
             bits ^= low
         return sorted(out)
+
+    def eids(self) -> frozenset:
+        """Every expression index this engine can report (see
+        DfaEngine.eids)."""
+        out = set(int(e) for e in self.set_exprs)
+        out |= {int(e) for (_a, _eod, _adj, e) in self.start_reports}
+        return frozenset(out)
 
     def eod_set(self, state: int) -> int:
         """Bitmask of EOD accept sets active in `state`."""
@@ -1491,6 +1506,12 @@ def compile_patterns(
     chains: Dict[int, ChainInfo] = {}
     combination_specs: List[Tuple[int, object, set]] = []
     som_engines: List[SomEngine] = []
+    # literal-prefilter degradation bookkeeping: eidx -> True while every
+    # general-engine-routed branch of the expression registered a
+    # mandatory "pre" factor; one factorless branch poisons the eid
+    # (reference analogue: Rose keeps its literal cut for arbitrary
+    # engines, ng_violet.cpp — here the cut degrades to a block gate)
+    prefilter_ok: Dict[int, bool] = {}
     for i, expr in enumerate(expressions):
         f = flags[i]
         validate_flags(f, i)
@@ -1777,6 +1798,32 @@ def compile_patterns(
                 # (reference: ng_som.cpp routing to Gough/som planning)
                 som_engines.append(_build_som_engine(g_b, i, w_b))
             else:
+                # literal-prefilter degradation: a branch that must run a
+                # general engine (too many infix positions, unbounded
+                # window, blown-up NFA...) still registers its mandatory
+                # literal factors as "pre" refs when it has them — the
+                # block runtime then scans this branch's engine only over
+                # blocks where some factor actually hit, so one hard
+                # pattern no longer costs the whole batch the general-
+                # engine rate (reference: the literal cut survives into
+                # arbitrary prefix/infix engines, ng_violet.cpp:3053)
+                pfs = None
+                if grey.allow_teddy and not fuzzy \
+                        and not g_b.is_vacuous() \
+                        and not g_b.start_accepts:
+                    from .compiler.literals import extract_factors
+
+                    pfs = extract_factors(
+                        node_b, min_len=grey.min_factor_len)
+                if pfs:
+                    prefilter_ok.setdefault(i, True)
+                    for fi in pfs:
+                        _register_factor(
+                            factor_ids, factor_atoms, factor_refs,
+                            factor_objs, fi, (i, 0, 0, "pre"),
+                        )
+                else:
+                    prefilter_ok[i] = False
                 general_nfas.append(g_b)
                 general_idx.append(i)
                 general_widths.append(w_b)
@@ -1825,6 +1872,19 @@ def compile_patterns(
         else []
     )
     engines += som_engines
+    # strip prefilter refs of poisoned expressions (some general branch
+    # had no mandatory factor, so factor hits cannot gate the engine),
+    # then drop factors left with no refs at all
+    bad = {e for e, ok in prefilter_ok.items() if not ok}
+    if bad:
+        for refs in factor_refs:
+            refs[:] = [r for r in refs
+                       if not (r[3] == "pre" and r[0] in bad)]
+    if any(not refs for refs in factor_refs):
+        keep = [fi for fi, refs in enumerate(factor_refs) if refs]
+        factor_atoms = [factor_atoms[fi] for fi in keep]
+        factor_refs = [factor_refs[fi] for fi in keep]
+        factor_objs = [factor_objs[fi] for fi in keep]
     lit = None
     if factor_objs:
         from .compiler.teddy import build_teddy

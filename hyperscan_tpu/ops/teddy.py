@@ -89,7 +89,7 @@ def _class_split(masks: np.ndarray):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_kernel_fused_classes(M: int, W: int, R: int):
+def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1):
     """Class-remap variant of the fused filter kernel (see _class_split):
     the data plane is remapped byte->class once, each suffix offset
     aligns the single class plane with one roll, and each (m, w) mask
@@ -99,16 +99,7 @@ def _make_kernel_fused_classes(M: int, W: int, R: int):
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
         ).astype(jnp.int32)  # [R+1, 128]
-        is_lo = data < 128
-        idx_lo = jnp.where(is_lo, data, 0)
-        idx_hi = jnp.where(is_lo, 0, data - 128)
-        lo_t = jnp.broadcast_to(b2c_ref[0, :][None, :], data.shape)
-        hi_t = jnp.broadcast_to(b2c_ref[1, :][None, :], data.shape)
-        cls = jnp.where(
-            is_lo,
-            jnp.take_along_axis(lo_t, idx_lo, axis=1),
-            jnp.take_along_axis(hi_t, idx_hi, axis=1),
-        )  # [R+1, 128] class ids
+        cls = _remap_classes(data, b2c_ref, hi_cls)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         acc = [None] * W
         for m in range(M):
@@ -130,33 +121,46 @@ def _make_kernel_fused_classes(M: int, W: int, R: int):
     return kernel
 
 
+def _remap_classes(data, b2c_ref, hi_cls: int):
+    """byte plane -> class-id plane. `hi_cls >= 0` is the measured fast
+    path when every byte >= 128 falls in ONE class (true for ASCII-heavy
+    rulesets): one remap gather + a constant select instead of two
+    gathers and three selects — each lane-gather costs ~0.55 ms/256 MB
+    on v5e, and the where-chains are comparable."""
+    is_lo = data < 128
+    lo_t = jnp.broadcast_to(b2c_ref[0, :][None, :], data.shape)
+    if hi_cls >= 0:
+        return jnp.where(
+            is_lo,
+            jnp.take_along_axis(lo_t, jnp.where(is_lo, data, 0), axis=1),
+            hi_cls,
+        )
+    hi_t = jnp.broadcast_to(b2c_ref[1, :][None, :], data.shape)
+    return jnp.where(
+        is_lo,
+        jnp.take_along_axis(lo_t, jnp.where(is_lo, data, 0), axis=1),
+        jnp.take_along_axis(hi_t, jnp.where(is_lo, 0, data - 128), axis=1),
+    )
+
+
 @functools.lru_cache(maxsize=64)
-def _make_kernel_gate(M: int, R: int):
+def _make_kernel_gate(M: int, R: int, hi_cls: int = -1):
     """Single-word gate kernel: class remap + M one-word mask lookups,
-    OR-reduced along lanes to ONE flag per 128-byte corpus row.
+    emitting a uint8 gate-candidacy plane.
 
     The gate tables (compiler.teddy.build_gate_masks) are a per-position
-    superset of the full filter, so a row whose flag is 0 provably holds
-    no candidate end; the full-width kernel then runs only on flagged
-    rows. Cost: 2 remap + M table gathers per vreg versus the full
-    kernel's 2 + M*W — the family's per-gather cost is flat (~6 ns), so
-    the gate runs ~(2+M*W)/(2+M) times faster. Output is [R, 1] int32
-    row flags (one lane), not a byte plane: the survivor machinery needs
-    1/128th of the plane traffic."""
-    def kernel(halo_ref, body_ref, b2c_ref, gmask_ref, out_f):
+    superset of the full filter, so a row whose plane slice is all-zero
+    provably holds no candidate end; the full-width kernel then runs
+    only on flagged rows. Cost: 1-2 remap + M table gathers per vreg
+    versus the full kernel's 2 + M*W. Row flags are reduced OUTSIDE the
+    kernel by an XLA bandwidth-rate reduce — an in-kernel cross-lane
+    max measured ~3 ms/256 MB on v5e versus ~1 ms for the plane
+    store + XLA reduce."""
+    def kernel(halo_ref, body_ref, b2c_ref, gmask_ref, out_c):
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
         ).astype(jnp.int32)  # [R+1, 128]
-        is_lo = data < 128
-        idx_lo = jnp.where(is_lo, data, 0)
-        idx_hi = jnp.where(is_lo, 0, data - 128)
-        lo_t = jnp.broadcast_to(b2c_ref[0, :][None, :], data.shape)
-        hi_t = jnp.broadcast_to(b2c_ref[1, :][None, :], data.shape)
-        cls = jnp.where(
-            is_lo,
-            jnp.take_along_axis(lo_t, idx_lo, axis=1),
-            jnp.take_along_axis(hi_t, idx_hi, axis=1),
-        )  # [R+1, 128] class ids
+        cls = _remap_classes(data, b2c_ref, hi_cls)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         acc = None
         for m in range(M):
@@ -168,9 +172,7 @@ def _make_kernel_gate(M: int, R: int):
             tab = jnp.broadcast_to(gmask_ref[m, :][None, :], cm.shape)
             v = jnp.take_along_axis(tab, cm, axis=1)
             acc = v if acc is None else (acc & v)
-        out_f[...] = jnp.max(
-            (acc != 0).astype(jnp.int32), axis=1, keepdims=True
-        )
+        out_c[...] = (acc != 0).astype(jnp.uint8)
     return kernel
 
 
@@ -446,7 +448,8 @@ EXTRACT_CHUNK = 256  # candidate-extraction chunk (bytes per hit-chunk gather)
 def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                         cap1: int, cap2: int, interpret: bool,
                         use_classes: bool = False,
-                        cap1_chunks: int = None, cap2_chunks: int = None):
+                        cap1_chunks: int = None, cap2_chunks: int = None,
+                        hi_cls: int = -1):
     """Traced body of the fused filter+confirm: shared by the
     single-device jit and the shard_map multi-chip path.
 
@@ -467,7 +470,7 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
         body = rows_all[1:]
         if use_classes:
-            kernel = _make_kernel_fused_classes(M, W, R)
+            kernel = _make_kernel_fused_classes(M, W, R, hi_cls)
             tab_specs = [
                 pl.BlockSpec((8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -566,7 +569,8 @@ def _hash_confirm_stage(groups, rows_all, pos, have, h_tables, f_tables,
 
 
 def filter_confirm_body_gated(groups, M: int, W: int, n_cells: int,
-                              caps: tuple, interpret: bool):
+                              caps: tuple, interpret: bool,
+                              hi_cls: int = -1):
     """Two-stage gated filter + confirm (the round-4 kernel family).
 
     Stage 1 runs the single-word gate kernel (2 + M gathers/vreg, ~3x
@@ -603,11 +607,11 @@ def filter_confirm_body_gated(groups, M: int, W: int, n_cells: int,
     def run(rows_all, n_valid, h_tables, f_tables, b2c, cmasks, gcm):
         body = rows_all[1:]
         n_rows = n_cells * R
-        flags = pl.pallas_call(
-            _make_kernel_gate(M, R),
+        gate_plane = pl.pallas_call(
+            _make_kernel_gate(M, R, hi_cls),
             interpret=interpret,
             grid=(n_cells,),
-            out_shape=jax.ShapeDtypeStruct((n_rows, 1), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.uint8),
             in_specs=[
                 pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
                              memory_space=pltpu.VMEM),
@@ -618,9 +622,12 @@ def filter_confirm_body_gated(groups, M: int, W: int, n_cells: int,
                 pl.BlockSpec((M, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-        )(rows_all, body, b2c, gcm).reshape(n_rows)
+        )(rows_all, body, b2c, gcm)
+        # row flags by XLA bandwidth-rate reduce (an in-kernel cross-lane
+        # max measured ~3x the plane-store + reduce cost on v5e)
+        flags = jnp.max(gate_plane, axis=1).astype(jnp.int32)
         # row r covers corpus bytes [r*128, r*128+128); int32 is safe:
         # n_valid (and thus r*128) is < 2^31 for any rows layout built
         # by corpus_to_rows
@@ -644,7 +651,7 @@ def filter_confirm_body_gated(groups, M: int, W: int, n_cells: int,
             [jnp.zeros((1, 128), jnp.uint8), packed_rows], axis=0
         )
         cand = pl.pallas_call(
-            _make_kernel_fused_classes(M, W, R),
+            _make_kernel_fused_classes(M, W, R, hi_cls),
             interpret=interpret,
             grid=(n_cells2,),
             out_shape=jax.ShapeDtypeStruct((2 * capK, 128), jnp.uint8),
@@ -717,6 +724,17 @@ def dev_filter_tables(lit):
     return lit._dev_tables
 
 
+def _hi_class(lit) -> int:
+    """Class id shared by ALL bytes >= 128 under the full masks' remap,
+    or -1 (selects the one-gather remap fast path; ASCII-heavy rulesets
+    map every high byte to one dead class)."""
+    split = _class_split(lit.masks)
+    if split is None:
+        return -1
+    hi = np.unique(np.asarray(split[0])[1])
+    return int(hi[0]) if len(hi) == 1 else -1
+
+
 def dev_gate_table(lit):
     """[M, 128] int32 gate class table for the two-stage filter, or
     None. The gate bits are ORs of full-mask bucket bits, so the gate
@@ -748,15 +766,17 @@ def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
 
     lit = _LITS[lit_key]
     groups = confirm_device_tables(lit)
+    hi_cls = _hi_class(lit) if use_classes else -1
     if gated:
         body = filter_confirm_body_gated(groups, M, W, n_cells, caps,
-                                         interpret)
+                                         interpret, hi_cls=hi_cls)
         cap2 = caps[3]
     else:
         cap1, c1ch, cap2, c2ch = caps
         body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
                                    interpret, use_classes=use_classes,
-                                   cap1_chunks=c1ch, cap2_chunks=c2ch)
+                                   cap1_chunks=c1ch, cap2_chunks=c2ch,
+                                   hi_cls=hi_cls)
     pre = min(PREFETCH, cap2)
 
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):

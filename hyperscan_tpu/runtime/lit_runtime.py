@@ -428,6 +428,7 @@ def scan_literal_path(
     chain_ctx: Dict = None, chain_out: Dict = None,
     ranges_out: List = None,
     filter_from: np.ndarray = None,
+    prefilter_out: Dict = None,
 ) -> Set[Record]:
     """Full literal pipeline for one flat corpus of concatenated blocks.
 
@@ -481,7 +482,7 @@ def scan_literal_path(
             db, corpus, block_starts, block_ends, pos, words,
             block_anchored=block_anchored, block_final=block_final,
             eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
-            ranges_out=ranges_out,
+            ranges_out=ranges_out, prefilter_out=prefilter_out,
         )
     # device path: fused filter + hash confirm — only (pos, fid) pairs
     # cross the device boundary; exact re-verify on host. The host
@@ -499,7 +500,7 @@ def scan_literal_path(
         db, corpus, block_starts, block_ends, fid_a, p_a,
         block_anchored=block_anchored, block_final=block_final,
         eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
-        ranges_out=ranges_out,
+        ranges_out=ranges_out, prefilter_out=prefilter_out,
     )
 
 
@@ -510,6 +511,7 @@ def finish_literal_scan(
     eod_only: bool = False,
     chain_ctx: Dict = None, chain_out: Dict = None,
     ranges_out: List = None,
+    prefilter_out: Dict = None,
 ) -> Set[Record]:
     """Host stages after the device filter: confirm → windows → validate."""
     fid_a, p_a = confirm_candidates(
@@ -519,7 +521,7 @@ def finish_literal_scan(
         db, corpus, block_starts, block_ends, fid_a, p_a,
         block_anchored=block_anchored, block_final=block_final,
         eod_only=eod_only, chain_ctx=chain_ctx, chain_out=chain_out,
-        ranges_out=ranges_out,
+        ranges_out=ranges_out, prefilter_out=prefilter_out,
     )
 
 
@@ -530,9 +532,18 @@ def finish_confirmed(
     eod_only: bool = False,
     chain_ctx: Dict = None, chain_out: Dict = None,
     ranges_out: List = None,
+    prefilter_out: Dict = None,
 ) -> Set[Record]:
     """Window building + validation over exact-confirmed (fid, pos)
-    pairs (reference: the rose literal program stage after confirm)."""
+    pairs (reference: the rose literal program stage after confirm).
+
+    `prefilter_out` (block mode), when given, collects engine-prefilter
+    hits: {pattern_idx: set of block indices where some mandatory "pre"
+    factor of that pattern occurred} — the block orchestrator then runs
+    the pattern's general engine only over those blocks (the literal-cut
+    degradation for patterns whose gaps don't fit the chain machinery;
+    reference: Rose's literal cut feeding arbitrary engines,
+    ng_violet.cpp:3053)."""
     lit = db.lit
     nb = block_starts.shape[0]
     if block_anchored is None:
@@ -568,6 +579,13 @@ def finish_confirmed(
     be_p = block_ends[b_p]
     ws_p = np.maximum(bs_p, fe_p - r_s2f[ridx] - WINDOW_SLACK)
     we_p = np.minimum(be_p, fe_p + r_f2e[ridx] + WINDOW_SLACK)
+
+    # kind -1: engine-prefilter hits (no records; flags blocks)
+    if prefilter_out is not None and not eod_only:
+        m = kind_p == -1
+        if m.any():
+            for (e, b) in zip(eidx_p[m].tolist(), b_p[m].tolist()):
+                prefilter_out.setdefault(e, set()).add(b)
 
     # kind 0: factor == whole match
     if not eod_only:
@@ -630,6 +648,8 @@ def finish_confirmed(
 
 
 def _kind_code(k: str) -> int:
+    if k == "pre":
+        return -1  # engine prefilter: factor hits gate general engines
     if k == "equiv":
         return 0
     if k == "win":

@@ -271,7 +271,10 @@ def scan_blocks_raw(
                 per_block[g[bi_local]].add(eidx, to, frm)
             for (bi_local, eidx, lo, hi) in rng:
                 per_block[g[bi_local]].add_range(eidx, lo, hi)
-    elif db.lit is not None:
+    prefilter_hits: dict = {}
+    prefilter_collected = False
+    if db.lit is not None and not (mesh is not None
+                                   and total_lit_bytes > 1 << 16):
         from .lit_runtime import scan_literal_path
 
         lens = np.asarray([len(b) for b in blocks], dtype=np.int64)
@@ -287,11 +290,13 @@ def scan_blocks_raw(
         rng = []
         for (bi, eidx, to, frm) in scan_literal_path(
             db, corpus, starts, ends,
-            capacity=max(capacity, 1 << 14), ranges_out=rng
+            capacity=max(capacity, 1 << 14), ranges_out=rng,
+            prefilter_out=prefilter_hits,
         ):
             per_block[bi].add(eidx, to, frm)
         for (bi, eidx, lo, hi) in rng:
             per_block[bi].add_range(eidx, lo, hi)
+        prefilter_collected = True
 
     if not db.engines:
         return [
@@ -316,13 +321,40 @@ def scan_blocks_raw(
 
     lengths = np.asarray([len(b) for b in blocks], dtype=np.int32)
     blocks_b = [bytes(b) for b in blocks]
-    host_engines = []
+    host_engines = []  # (engine, sel)
     from ..database import LbrEngine, SomEngine
+
+    pre_eids = (_lit_prefilter_eids(db.lit)
+                if (prefilter_collected and db.lit is not None)
+                else frozenset())
+
+    def _engine_sel(engine) -> np.ndarray:
+        """Block indices this engine must scan: all, unless EVERY
+        expression it reports is literal-prefilter gated ("pre" refs) —
+        then only blocks where some mandatory factor hit. Block mode
+        only (streaming keeps engines hot across writes); false factor
+        hits over-approximate, never under (reference: the Rose literal
+        cut feeding arbitrary engines, ng_violet.cpp:3053)."""
+        es = engine.eids() if hasattr(engine, "eids") else None
+        if (not pre_eids or not es or engine.start_reports
+                or not es <= pre_eids):
+            return np.arange(B, dtype=np.int64)
+        act = sorted(set().union(
+            *(prefilter_hits.get(e, set()) for e in es)))
+        return np.asarray(act, dtype=np.int64)
 
     for engine in db.engines:
         if isinstance(engine, (SomEngine, LbrEngine)):
-            host_engines.append(engine)
+            host_engines.append((engine, np.arange(B, dtype=np.int64)))
             continue
+        sel = _engine_sel(engine)
+        if not len(sel):
+            continue
+        sub = sel.tolist()
+        nB = len(sub)
+        blocks_sub = [blocks_b[j] for j in sub]
+        pb_sub = [per_block[j] for j in sub]
+        len_sub = lengths[sel]
         if isinstance(engine, NfaEngine):
             from ..ops.nfa_kernel import nfa_device_eligible, nfa_scan_corpus_device
 
@@ -331,7 +363,7 @@ def scan_blocks_raw(
 
                 limit = getattr(db, "host_scan_limit", HOST_SCAN_LIMIT)
                 if engine.spec_dfa is not None \
-                        and int(lengths.sum()) > limit:
+                        and int(len_sub.sum()) > limit:
                     # cyclic bit-NFA: speculative device scan over the
                     # lazy-DFA core, host rescan of sink/mismatch chunks
                     from ..ops.dfa_kernel import (
@@ -340,35 +372,36 @@ def scan_blocks_raw(
 
                     (bi_a, pos_a, aids), host_recs, finals = \
                         nfa_scan_corpus_device_speculative(
-                            engine, blocks_b, np.ones(B, dtype=bool),
+                            engine, blocks_sub, np.ones(nB, dtype=bool),
                             capacity=capacity,
                         )
                     _expand_device_records(
-                        engine.spec_dfa, bi_a, pos_a, aids, per_block)
+                        engine.spec_dfa, bi_a, pos_a, aids, pb_sub)
                     for (bi, pp, hv) in host_recs:
                         _expand_device_records(
                             engine, np.full(len(pp), bi, np.int64),
-                            pp, hv, per_block)
-                    for bi in range(B):
+                            pp, hv, pb_sub)
+                    for bi in range(nB):
                         sid = engine.eod_set(finals[bi])
                         if sid:
                             for (eid, adj) in engine.expand_set(sid):
-                                per_block[bi].add(
-                                    eid, int(lengths[bi]) + adj)
-                    _add_start_reports(engine, per_block, lengths)
+                                pb_sub[bi].add(
+                                    eid, int(len_sub[bi]) + adj)
+                    _add_start_reports(engine, pb_sub, len_sub)
                     continue
-                host_engines.append(engine)
+                host_engines.append((engine, sel))
                 continue
             # acyclic bit-NFA: layered position-parallel device scan
             (bi_a, pos_a, val_a), eod_bits = nfa_scan_corpus_device(
-                engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
+                engine, blocks_sub, np.ones(nB, dtype=bool),
+                capacity=capacity
             )
-            _expand_device_records(engine, bi_a, pos_a, val_a, per_block)
-            for bi in range(B):
+            _expand_device_records(engine, bi_a, pos_a, val_a, pb_sub)
+            for bi in range(nB):
                 if eod_bits[bi]:
                     for (eid, adj) in engine.expand_set(int(eod_bits[bi])):
-                        per_block[bi].add(eid, int(lengths[bi]) + adj)
-            _add_start_reports(engine, per_block, lengths)
+                        pb_sub[bi].add(eid, int(len_sub[bi]) + adj)
+            _add_start_reports(engine, pb_sub, len_sub)
             continue
         if engine.max_depth is None or engine.max_depth > MAX_HALO_DEPTH:
             # unbounded-width engine: speculative chunk-parallel device
@@ -377,28 +410,48 @@ def scan_blocks_raw(
             from ..ops.dfa_kernel import dfa_scan_corpus_device_speculative
 
             (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device_speculative(
-                engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
+                engine, blocks_sub, np.ones(nB, dtype=bool),
+                capacity=capacity
             )
         else:
             # bounded-width engine: exact chunk-halo parallel device scan
             (bi_a, pos_a, sid_a), finals = dfa_scan_corpus_device(
-                engine, blocks_b, np.ones(B, dtype=bool), capacity=capacity
+                engine, blocks_sub, np.ones(nB, dtype=bool),
+                capacity=capacity
             )
-        _expand_device_records(engine, bi_a, pos_a, sid_a, per_block)
-        for bi in range(B):
+        _expand_device_records(engine, bi_a, pos_a, sid_a, pb_sub)
+        for bi in range(nB):
             sid = int(engine.accept_eod_id[finals[bi]])
             if sid:
                 for (eid, adj) in engine.expand_set(sid):
-                    per_block[bi].add(eid, int(lengths[bi]) + adj)
-        _add_start_reports(engine, per_block, lengths)
+                    pb_sub[bi].add(eid, int(len_sub[bi]) + adj)
+        _add_start_reports(engine, pb_sub, len_sub)
 
     if host_engines:
         # unbounded-width engines carry state across the whole buffer and
         # cannot halo-parallelize; the native host runtime scans them
-        _host_engine_scan(host_engines, blocks_b, per_block)
+        full = [e for (e, s) in host_engines if len(s) == B]
+        if full:
+            _host_engine_scan(full, blocks_b, per_block)
+        for (e, s) in host_engines:
+            if len(s) < B and len(s):
+                sub = s.tolist()
+                _host_engine_scan(
+                    [e], [blocks_b[j] for j in sub],
+                    [per_block[j] for j in sub])
 
     return [per_block[bi].materialize(int(lengths[bi]), db.som_eids())
             for bi in range(B)]
+
+
+def _lit_prefilter_eids(lit) -> frozenset:
+    """Expression indices whose every general-engine branch registered
+    mandatory "pre" factors (cached on the lit tables)."""
+    if not hasattr(lit, "_pre_eids"):
+        lit._pre_eids = frozenset(
+            e for refs in lit.factor_refs for (e, _a, _b, k) in refs
+            if k == "pre")
+    return lit._pre_eids
 
 
 def _expand_device_records(engine, bi_a, pos_a, val_a, per_block) -> None:

@@ -27,7 +27,13 @@ def db():
         [r"f[o0]+[a-z]+bar", r"x[0-9]+y", r"er+or"],
         ids=[10, 20, 30],
     )
-    assert db.lit is None and len(db.engines) == 1
+    # all three land in one general DFA engine; the first also registers
+    # its mandatory "bar" factor as an engine prefilter (round-4 literal
+    # degradation), which creates a lit table set with only "pre" refs
+    assert len(db.engines) == 1
+    if db.lit is not None:
+        assert all(k == "pre" for refs in db.lit.factor_refs
+                   for (_e, _a, _b, k) in refs)
     return db
 
 
@@ -204,3 +210,79 @@ def test_sharded_scan_streams():
     sharded = run(mesh)
     assert all(sorted(a) == sorted(b) for a, b in zip(single, sharded))
     assert sum(len(x) for x in single) >= 8
+
+
+def test_prefilter_gating_correctness_and_block_subset(monkeypatch):
+    """A pattern too big for the chain machinery (here: an infix beyond
+    MAX_INFIX_POSITIONS) routes to a general engine but keeps its
+    literal factors as a block prefilter: matches are exact, and the
+    engine scans ONLY blocks where a mandatory factor hit (reference:
+    the Rose literal cut feeding arbitrary engines, ng_violet.cpp)."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.grey import Grey
+    from hyperscan_tpu.database import compile_patterns
+    from hyperscan_tpu.runtime import scan as scan_mod
+
+    alts = "|".join(f"token{i:03d}" for i in range(80))  # >510 positions
+    pat = f"headmagic({alts})*tailmagic"
+    db = compile_patterns(
+        [pat, "plainword1"], ids=[1, 2],
+        grey=Grey(host_scan_limit=1 << 10))
+    assert db.engines, "monster infix must route to a general engine"
+    assert db.lit is not None
+    assert any(k == "pre" for refs in db.lit.factor_refs
+               for (_e, _a, _b, k) in refs)
+
+    seen = []
+    import hyperscan_tpu.ops.dfa_kernel as dk
+    import hyperscan_tpu.ops.nfa_kernel as nk
+
+    def make_spy(orig):
+        def spy(engine, blocks, *a, **kw):
+            seen.append([len(b) for b in blocks])
+            return orig(engine, blocks, *a, **kw)
+        return spy
+
+    orig_host = scan_mod._host_engine_scan
+
+    def spy_host(engines, blocks, per_block):
+        seen.append([len(b) for b in blocks])
+        return orig_host(engines, blocks, per_block)
+
+    monkeypatch.setattr(scan_mod, "_host_engine_scan", spy_host)
+    for mod, name in ((dk, "dfa_scan_corpus_device"),
+                      (dk, "dfa_scan_corpus_device_speculative"),
+                      (dk, "nfa_scan_corpus_device_speculative"),
+                      (nk, "nfa_scan_corpus_device")):
+        monkeypatch.setattr(mod, name, make_spy(getattr(mod, name)))
+
+    filler = b"." * 3000
+    hit = (b"." * 500 + b"headmagictoken007token042tailmagic" + b"." * 466)
+    plain = b"." * 1000 + b"plainword1" + b"." * 990
+    blocks = [filler, hit, filler, plain, filler + b"."]
+    out = hs.scan_batch(db, blocks)
+    assert [(m[0], m[1], m[2]) for m in out[1]] == [(1, 0, 534)]
+    assert [(m[0], m[1], m[2]) for m in out[3]] == [(2, 0, 1010)]
+    assert out[0] == out[2] == out[4] == []
+    # the general engine saw ONLY the factor-hit block
+    assert seen, "expected an engine scan"
+    assert all(lens == [len(hit)] for lens in seen), seen
+
+
+def test_prefilter_gated_engine_eod_and_boundaries():
+    """Gated patterns with EOD-anchored accepts still report: the
+    factor hit flags the block, the engine then sees the block end."""
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.grey import Grey
+    from hyperscan_tpu.database import compile_patterns
+
+    alts = "|".join(f"tok{i:03d}x" for i in range(80))
+    pat = f"needleA({alts})*finZ$"
+    db = compile_patterns([pat], ids=[9],
+                          grey=Grey(host_scan_limit=1 << 10))
+    assert db.engines and db.lit is not None
+    data = b"." * 2000 + b"needleAtok004xtok071xfinZ"
+    assert [(m[0], m[2]) for m in hs.scan(db, data)] == [(9, len(data))]
+    assert hs.scan(db, data + b"!") == []
