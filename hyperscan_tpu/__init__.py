@@ -41,6 +41,7 @@ from .api import (  # noqa: F401
     hs_copy_stream,
     hs_compress_stream,
     hs_expand_stream,
+    hs_reset_and_expand_stream,
     hs_scan_vector,
     open_stream,
     scan_stream,
@@ -50,6 +51,7 @@ from .api import (  # noqa: F401
     copy_stream,
     compress_stream,
     expand_stream,
+    reset_and_expand_stream,
     scan_vector,
     Stream,
     scan,

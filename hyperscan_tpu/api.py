@@ -40,6 +40,7 @@ from .runtime.stream import (
     compress_stream,
     copy_stream,
     expand_stream,
+    reset_and_expand_stream,
     open_stream,
     reset_stream,
     scan_stream,
@@ -284,6 +285,7 @@ hs_reset_stream = reset_stream
 hs_copy_stream = copy_stream
 hs_compress_stream = compress_stream
 hs_expand_stream = expand_stream
+hs_reset_and_expand_stream = reset_and_expand_stream
 hs_scan_vector = scan_vector
 hs_compile = compile
 hs_compile_multi = compile_multi

@@ -817,6 +817,38 @@ def compress_stream(stream: Stream) -> bytes:
 
 def expand_stream(db: Database, buf: bytes) -> Stream:
     """reference: hs_expand_stream (src/runtime.c:1204)."""
+    s = open_stream(db)
+    _expand_into(s, buf)
+    return s
+
+
+def reset_and_expand_stream(
+    stream: Stream, buf: bytes, callback: Optional[Callable] = None
+) -> List[Match]:
+    """Atomically reset `stream` and load compressed state into it —
+    the documented high-rate stream-reuse path (reference:
+    hs_reset_and_expand_stream, src/hs_runtime.h:438, src/runtime.c:1230).
+    If a callback is given, the stream's CURRENT state first reports its
+    end-of-data matches (exactly hs_reset_stream's contract); then the
+    decompressed state from `buf` replaces it in place. Returns the EOD
+    matches (empty without a callback, matching the reference, which
+    skips EOD work when onEvent is NULL)."""
+    ms: List[Match] = []
+    if callback is not None and not stream.terminated:
+        ms, _t = finalize_reports(
+            stream.db, _eod_pass(stream), callback,
+            seen_single=stream.seen_single,
+            combo_matched=stream.combo_matched,
+            at_end=True, end_offset=stream.offset,
+            som_horizon=som_horizon_span(stream.db.mode),
+        )
+    _expand_into(stream, buf)
+    return ms
+
+
+def _expand_into(s: Stream, buf: bytes) -> None:
+    """Decode a compress_stream buffer into an existing Stream object."""
+    db = s.db
     if buf[:8] != STREAM_MAGIC:
         raise InvalidError("bad stream state magic")
     off = 8
@@ -877,7 +909,6 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
         pending.add((e, t, frm))
     if ne != len(db.engines):
         raise InvalidError("stream state does not match database")
-    s = open_stream(db)
     s.offset = offset
     s.history = history
     s.terminated = bool(term)
@@ -888,7 +919,6 @@ def expand_stream(db: Database, buf: bytes) -> Stream:
     s.recent = recent
     s.chain_state = chain_state
     s.pending = pending
-    return s
 
 
 # --- vectored mode (reference: hs_scan_vector, src/runtime.c:1106) ----------

@@ -104,6 +104,39 @@ def test_compress_expand_roundtrip(dbs):
     assert ms2a == ms2b
 
 
+def test_reset_and_expand_stream(dbs):
+    """hs_reset_and_expand_stream (reference: src/hs_runtime.h:438):
+    the existing stream reports its EOD matches through the callback,
+    then continues from the decompressed state — equal to a fresh
+    expand_stream, with no new stream object."""
+    _bdb, sdb, _vdb = dbs
+    data = b"attack at dawn; warning: error in passwd"
+    st = hs.open_stream(sdb)
+    hs.scan_stream(st, data[:15])
+    buf = hs.compress_stream(st)
+    ref = hs.expand_stream(sdb, buf)
+    want = hs.scan_stream(ref, data[15:])
+    want_eod = hs.close_stream(ref)
+
+    # a different stream, mid-way through a passwd$ match: resetting it
+    # with a callback must deliver ITS eod matches, then adopt buf
+    victim = hs.open_stream(sdb)
+    hs.scan_stream(victim, b"root passwd")
+    eod = []
+    got_eod = hs.reset_and_expand_stream(
+        victim, buf, lambda e, f, t, fl: eod.append((e, f, t)))
+    assert got_eod == eod and (4, 0, 11) in eod  # passwd$ at old EOD
+    got = hs.scan_stream(victim, data[15:])
+    assert got == want
+    assert hs.close_stream(victim) == want_eod
+
+    # without a callback no EOD work happens (reference contract)
+    victim2 = hs.open_stream(sdb)
+    hs.scan_stream(victim2, b"root passwd")
+    assert hs.reset_and_expand_stream(victim2, buf) == []
+    assert hs.scan_stream(victim2, data[15:]) == want
+
+
 def test_copy_stream_independent(dbs):
     _bdb, sdb, _vdb = dbs
     st = hs.open_stream(sdb)
