@@ -202,7 +202,11 @@ def _layout_corpus(blocks: List[bytes], H: int, CS: int):
     flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     nchunks = len(chunk_block)
     nrows = -(-nchunks // 128)
-    ngroups = max(1, -(-nrows // GROUP_ROWS))
+    from .teddy import bucket_up
+
+    # jit-shape bucketing: padded chunk rows land on the canonical
+    # series so mixed corpus sizes reuse a bounded set of kernel shapes
+    ngroups = bucket_up(max(1, -(-nrows // GROUP_ROWS)))
     nrows_pad = ngroups * GROUP_ROWS
     ncap = nrows_pad * 128
 

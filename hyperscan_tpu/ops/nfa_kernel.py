@@ -265,11 +265,16 @@ def nfa_scan_corpus_device(
     v_t = tile_of(vext)
     a_t = tile_of(aext)
 
-    # group tiles per dispatch under the plane-memory budget
+    # group tiles per dispatch under the plane-memory budget; group size
+    # and block count land on the bucket series (bounded jit shapes
+    # across mixed corpus/batch sizes)
     P = engine.num_positions
     per_tile = NE * max(P // 4, 8)  # rough live-plane bytes per tile
-    gt = max(1, min(ntiles, GROUP_PLANE_BUDGET // max(per_tile, 1)))
-    from .teddy import get_capacity_hint, set_capacity_hint
+    from .teddy import bucket_up, get_capacity_hint, set_capacity_hint
+
+    gt_cap = max(1, GROUP_PLANE_BUDGET // max(per_tile, 1))
+    gt = min(bucket_up(ntiles), gt_cap)
+    Bp = bucket_up(B)
 
     key = _engine_key(engine)
     cap_chunks = max(64, capacity // 16)
@@ -303,12 +308,12 @@ def nfa_scan_corpus_device(
         # blocks ending inside this group, in ext coordinates
         lo = g0 * TILE_BODY
         hi = g1 * TILE_BODY
-        eod_idx = np.full(B, -1, np.int64)
+        eod_idx = np.full(Bp, -1, np.int64)
         in_g = (ends >= lo) & (ends < hi)
         # ext index of global body byte t within its tile:
         # tile k = t // TILE_BODY (relative to group), pos = D + t % TILE
         rel = ends[in_g] - lo
-        eod_idx[in_g] = (rel // TILE_BODY) * NE + D + rel % TILE_BODY
+        eod_idx[:B][in_g] = (rel // TILE_BODY) * NE + D + rel % TILE_BODY
 
         use_pallas = (
             engine.num_positions <= PALLAS_MAX_POSITIONS
@@ -321,11 +326,11 @@ def nfa_scan_corpus_device(
         while True:
             if use_pallas:
                 run = _jit_group_pallas(
-                    key, gt, NE, B, cap, cc,
+                    key, gt, NE, Bp, cap, cc,
                     jax.default_backend() == "cpu",
                 )
             else:
-                run = _jit_group(key, gt, NE, B, cap, cc)
+                run = _jit_group(key, gt, NE, Bp, cap, cc)
             meta, packed, eodb = run(
                 jnp.asarray(xg), jnp.asarray(vg), jnp.asarray(ag),
                 jnp.asarray(eod_idx, dtype=jnp.int32),
@@ -341,7 +346,7 @@ def nfa_scan_corpus_device(
         capacity, cap_chunks = cap, cc
         set_capacity_hint(engine, "nfa", cap, cc)
 
-        eod_bits |= np.asarray(eodb, np.int32)
+        eod_bits |= np.asarray(eodb, np.int32)[:B]
         k = min(total, cap)
         if k:
             got = np.asarray(packed[:, :k])

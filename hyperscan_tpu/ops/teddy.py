@@ -357,6 +357,40 @@ def set_capacity_hint(obj, key: str, capacity: int, cap_chunks: int) -> None:
     obj._cap_hints[key] = (capacity, cap_chunks)
 
 
+def bucket_up(n: int) -> int:
+    """Round up to the canonical jit-shape series {2^k, 3*2^(k-1)}:
+    1, 2, 3, 4, 6, 8, 12, 16, 24, ... Two shapes per octave with < 50%
+    worst-case (~21% mean) padding. Every device scan path pads its
+    shape parameter
+    (teddy cells, DFA chunk groups, NFA tile groups) to this series so a
+    fresh database scanning mixed-size corpora pays a bounded,
+    logarithmic number of cold compiles (3-5 min each through the dev
+    tunnel) instead of one per distinct length."""
+    if n <= 1:
+        return 1
+    p = 1 << (n - 1).bit_length()  # next power of two >= n
+    q = 3 * (p >> 2)
+    return q if q >= n else p
+
+
+def _rows_to_bucket(rows_all):
+    """Pad a [1 + n_cells*R, 128] rows array so n_cells lands on the
+    bucket series (zero rows past n_valid are rejected by the
+    extraction's chunk masking, exactly like the existing end-of-corpus
+    cell padding)."""
+    R = ROWS_PER_CELL
+    n_cells = (int(rows_all.shape[0]) - 1) // R
+    b = bucket_up(n_cells)
+    if b == n_cells:
+        return rows_all
+    pad = (b - n_cells) * R
+    if isinstance(rows_all, np.ndarray):
+        return np.concatenate(
+            [rows_all, np.zeros((pad, 128), rows_all.dtype)])
+    return jnp.concatenate(
+        [rows_all, jnp.zeros((pad, 128), rows_all.dtype)])
+
+
 def teddy_scan_rows(
     rows_all, masks, n_valid: int, capacity: int = 1 << 14, hint_obj=None
 ) -> Tuple[int, np.ndarray, np.ndarray]:
@@ -369,6 +403,7 @@ def teddy_scan_rows(
     candidate last-factor bytes.
     """
     M, W = int(masks.shape[0]), int(masks.shape[1])
+    rows_all = _rows_to_bucket(rows_all)
     n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
     interpret = jax.default_backend() == "cpu"
     cap_chunks = max(64, capacity // 16)
@@ -397,7 +432,7 @@ def corpus_to_rows(corpus: np.ndarray) -> np.ndarray:
     R = ROWS_PER_CELL
     n = corpus.shape[0]
     cell_bytes = R * 128
-    n_cells = max(1, -(-n // cell_bytes))
+    n_cells = bucket_up(max(1, -(-n // cell_bytes)))
     padded = np.zeros(128 + n_cells * cell_bytes, dtype=np.uint8)
     padded[128 : 128 + n] = corpus
     return padded.reshape(-1, 128)
@@ -871,6 +906,7 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     """
     ftabs, h_tables, f_tables = dev_filter_tables(lit)
     M, W = int(lit.masks.shape[0]), int(lit.masks.shape[1])
+    rows_all = _rows_to_bucket(rows_all)
     n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
     interpret = jax.default_backend() == "cpu"
     key = _lit_key(lit)

@@ -30,7 +30,6 @@ from ..flags import (
 
 Match = Tuple[int, int, int]  # (external id, from, to)
 
-_LANE = 128  # pad lengths to lane multiples to bound recompiles
 
 
 @dataclasses.dataclass
@@ -197,15 +196,6 @@ class RecordSink:
             first[1:] = (tos[1:] != tos[:-1]) | (eids[1:] != eids[:-1])
             eids, tos, frms = eids[first], tos[first], frms[first]
         return RecordBatch(eids, tos, frms, ranges)
-
-
-def _bucket_len(n: int) -> int:
-    """Round up to a padding bucket (next power of two of lane multiples)."""
-    m = max(_LANE, n)
-    b = _LANE
-    while b < m:
-        b *= 2
-    return b
 
 
 @dataclasses.dataclass
