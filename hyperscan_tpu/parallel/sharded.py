@@ -39,6 +39,17 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs), (SHARD_AXIS,))
 
 
+def _as_shard_mesh(mesh: Mesh) -> Mesh:
+    """Accept any user mesh: the scan is pure data-parallel, so an
+    arbitrary mesh flattens to a 1-D mesh named SHARD_AXIS over the same
+    devices (the internal psum/all_gather axis name). A mesh that
+    already carries SHARD_AXIS passes through unchanged so cached jits
+    keyed on it stay hot."""
+    if SHARD_AXIS in mesh.axis_names:
+        return mesh
+    return Mesh(mesh.devices.reshape(-1), (SHARD_AXIS,))
+
+
 def make_multihost_mesh(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -167,6 +178,7 @@ def pad_batch_for_mesh(
 def sharded_scan_counts(engine, data: np.ndarray, lengths: np.ndarray,
                         mesh: Mesh) -> int:
     """Global match count of one engine over a sharded block batch."""
+    mesh = _as_shard_mesh(mesh)
     fn = _jit_sharded(mesh, 0, True)
     gd, gl = global_shard_arrays(mesh, data, lengths)
     out = fn(
@@ -191,6 +203,7 @@ def sharded_teddy_count(corpus: np.ndarray, masks: np.ndarray,
 
     from ..ops.teddy import ROWS_PER_CELL, _make_kernel
 
+    mesh = _as_shard_mesh(mesh)
     D = mesh.devices.size
     M, W = int(masks.shape[0]), int(masks.shape[1])
     R = ROWS_PER_CELL
@@ -276,6 +289,7 @@ def sharded_scan_matches(engine, data: np.ndarray, lengths: np.ndarray,
     index, tos [n, cap], eod_sets [n, rows/chip]). Callers translate local
     rows to global rows with chip*rows_per_chip + row.
     """
+    mesh = _as_shard_mesh(mesh)
     fn = _jit_sharded(mesh, capacity, False)
     gd, gl = global_shard_arrays(mesh, data, lengths)
     return fn(
@@ -354,9 +368,12 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
     """
     import numpy as np
 
+    mesh = _as_shard_mesh(mesh)
+
     from ..ops.teddy import (
         ROWS_PER_CELL,
         _lit_key,
+        bucket_up,
         corpus_to_rows,
         get_capacity_hint,
         set_capacity_hint,
@@ -383,7 +400,9 @@ def sharded_literal_confirm(lit, blocks, mesh: Mesh, capacity: int):
         shard_meta.append((g, starts, ends))
 
     cell = ROWS_PER_CELL * 128
-    n_cells = max(1, max(-(-c.shape[0] // cell) for c in corpora))
+    # match corpus_to_rows' jit-shape bucketing so every shard's padded
+    # row count fits the shared buffer
+    n_cells = bucket_up(max(1, max(-(-c.shape[0] // cell) for c in corpora)))
     rows = np.zeros((D, 1 + n_cells * ROWS_PER_CELL, 128), np.uint8)
     n_valid = np.zeros((D, 1, 1), np.int32)
     for d, corpus in enumerate(corpora):

@@ -166,6 +166,34 @@ def test_sharded_scan_batch_product_path():
     assert sum(len(x) for x in single) >= 19
 
 
+def test_sharded_arbitrary_mesh_and_bucket_boundaries():
+    """Two regressions in one: (1) user meshes with any axis names/rank
+    flatten to the internal shard axis rather than failing shard_map
+    spec checks; (2) per-shard row packing follows corpus_to_rows'
+    jit-shape bucketing, so blocks whose padded row count exceeds the
+    raw cell count (e.g. 131072 B straddling a bucket edge) still fit
+    the shared buffer."""
+    import jax
+    from jax.sharding import Mesh
+
+    db = hs.compile_multi([r"foo\d+", r"\bbar", r"mark(ab|cd)*end"],
+                          ids=[1, 2, 3])
+    rng = np.random.default_rng(7)
+    sizes = [100, 5000, 120000, 999, 1, 70000, 131072, 42]
+    blocks = [
+        (32 + rng.integers(0, 95, size=s)).astype(np.uint8).tobytes()
+        + b" foo77 bar markcdabend"
+        for s in sizes
+    ]
+    ref = [sorted(hs.scan(db, b)) for b in blocks]
+    devs = np.array(jax.devices())
+    for shape, names in [((8,), ("d",)), ((2, 4), ("x", "y"))]:
+        mesh = Mesh(devs.reshape(shape), names)
+        got = hs.scan_batch(db, blocks, mesh=mesh)
+        assert [sorted(r) for r in got] == ref
+    assert sum(len(r) for r in ref) >= 3 * len(blocks)
+
+
 def test_sharded_scan_streams():
     """scan_streams(mesh=...) shards streams data-parallel and must
     reproduce single-device results exactly, including chain role state
