@@ -116,7 +116,8 @@ def _splits(data: bytes, rng) -> List[List[bytes]]:
     return res
 
 
-def run(entries, corpora, rng, verbose=False) -> int:
+def run(entries, corpora, rng, verbose=False,
+        max_ast_bytes: int = 2048) -> int:
     exprs = [p for (_i, p, _f) in entries]
     flags = [f for (_i, _p, f) in entries]
     ids = [i for (i, _p, _f) in entries]
@@ -142,7 +143,20 @@ def run(entries, corpora, rng, verbose=False) -> int:
             continue
         singles[i] = hs.compile_multi([p], flags=[f], ids=[i])
 
+    def _valid_utf8(data: bytes) -> bool:
+        try:
+            data.decode("utf-8")
+            return True
+        except UnicodeDecodeError:
+            return False
+
     for data in corpora:
+        data_utf8 = _valid_utf8(data)
+        # Python AST/NFA oracles are O(n * positions) interpreted — on
+        # file corpora past this size only the C-level `re` truths diff
+        # match sets (reference: hscollider file corpora run against
+        # PCRE GroundTruth; GraphTruth is reserved for what PCRE can't)
+        ast_ok = len(data) <= max_ast_bytes
         block = hs.scan(bdb, data)
         got: Dict[int, Set[int]] = {}
         got_t: Dict[int, Set[tuple]] = {}
@@ -157,10 +171,17 @@ def run(entries, corpora, rng, verbose=False) -> int:
             ext_irrelevant = f & (hs.HS_FLAG_QUIET | hs.HS_FLAG_SINGLEMATCH)
             if ext_irrelevant:
                 continue
-            want = ast_match_ends(parse(p, f), data)
-            if got.get(i, set()) != want:
-                report("oracle", f"id {i} pattern {p!r} corpus {data[:40]!r}: "
-                       f"{sorted(got.get(i, set()))} != {sorted(want)}")
+            if (f & hs.HS_FLAG_UTF8) and not data_utf8:
+                # scanning invalid UTF-8 with a UTF8 pattern is UNDEFINED
+                # in the reference (src/hs_compile.h HS_FLAG_UTF8 docs);
+                # self-consistency checks below still apply
+                continue
+            if ast_ok:
+                want = ast_match_ends(parse(p, f), data)
+                if got.get(i, set()) != want:
+                    report("oracle",
+                           f"id {i} pattern {p!r} corpus {data[:40]!r}: "
+                           f"{sorted(got.get(i, set()))} != {sorted(want)}")
             # independent PCRE-style truth (reference: GroundTruth.cpp);
             # Python `re` shares no code with the engine or AST oracle
             want_re = re_match_ends(p, f, data)
@@ -170,12 +191,14 @@ def run(entries, corpora, rng, verbose=False) -> int:
             # SOM: full (from, to) diffing (reference: hscollider diffs
             # exact ResultSets incl. from, tools/hscollider/ResultSet.h)
             if f & hs.HS_FLAG_SOM_LEFTMOST:
-                som = ast_leftmost_som(parse(p, f), data)
-                want_t = {(s, e) for (e, s) in som.items()}
-                if got_t.get(i, set()) != want_t:
-                    report("som", f"id {i} pattern {p!r} corpus "
-                           f"{data[:40]!r}: {sorted(got_t.get(i, set()))} "
-                           f"!= {sorted(want_t)}")
+                if ast_ok:
+                    som = ast_leftmost_som(parse(p, f), data)
+                    want_t = {(s, e) for (e, s) in som.items()}
+                    if got_t.get(i, set()) != want_t:
+                        report("som", f"id {i} pattern {p!r} corpus "
+                               f"{data[:40]!r}: "
+                               f"{sorted(got_t.get(i, set()))} "
+                               f"!= {sorted(want_t)}")
                 som_re = re_leftmost_som(p, f, data)
                 if som_re is not None:
                     want_rt = {(s, e) for (e, s) in som_re.items()}
@@ -226,7 +249,12 @@ def run(entries, corpora, rng, verbose=False) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("patterns")
-    ap.add_argument("--corpus", help="file scanned as one extra corpus")
+    ap.add_argument("--corpus", action="append", default=[],
+                    help="file scanned as an extra corpus (repeatable)")
+    ap.add_argument("--corpus-dir",
+                    help="directory of file corpora (every regular file)")
+    ap.add_argument("--max-ast-bytes", type=int, default=2048,
+                    help="corpora beyond this diff only vs the `re` truth")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -242,11 +270,20 @@ def main(argv=None) -> int:
         return 2
     rng = np.random.default_rng(args.seed)
     corpora = _gen_corpora(entries, rng)
-    if args.corpus:
-        with open(args.corpus, "rb") as f:
+    corpus_files = list(args.corpus)
+    if args.corpus_dir:
+        import os
+
+        corpus_files += sorted(
+            os.path.join(args.corpus_dir, n)
+            for n in os.listdir(args.corpus_dir)
+            if os.path.isfile(os.path.join(args.corpus_dir, n)))
+    for path in corpus_files:
+        with open(path, "rb") as f:
             corpora.append(f.read())
 
-    fails = run(entries, corpora, rng, verbose=args.verbose)
+    fails = run(entries, corpora, rng, verbose=args.verbose,
+                max_ast_bytes=args.max_ast_bytes)
     total_checks = len(corpora) * (3 + 2 * len(entries))
     if fails:
         print(f"COLLIDER: {fails} failures")

@@ -273,17 +273,11 @@ def nfa_match_ends(g: NFAGraph, data: bytes) -> Set[int]:
 _RE_UNSAFE = ("$", r"\b", r"\B", r"\Z", r"\z", r"\Q", "(?", "[:")
 
 
-def re_match_ends(pattern: str, flags: int, data: bytes):
-    """All match-end offsets per Python `re`, or None when the pattern's
-    semantics don't translate (end anchors and word boundaries interact
-    with `re`'s pos/endpos region semantics; UTF8/UCP/PREFILTER change
-    the alphabet or the match set).
-
-    Hyperscan reports every offset at which *some* match ends; `re`
-    backtracking yields one end per start, so ends are enumerated as
-    region full-matches over all (start, end) pairs — O(n^2) fullmatch
-    calls, fine at conformance-corpus sizes.
-    """
+def _re_compile_end(pattern: str, flags: int):
+    """Compile `(?:pattern)\\Z` for end-anchored region searches, or None
+    when the pattern's semantics don't translate to Python `re` (end
+    anchors and word boundaries interact with `re`'s pos/endpos region
+    semantics; UTF8/UCP/PREFILTER change the alphabet or the match set)."""
     import re as _re
 
     from ..flags import (
@@ -307,54 +301,45 @@ def re_match_ends(pattern: str, flags: int, data: bytes):
     if flags & HS_FLAG_MULTILINE:
         refl |= _re.MULTILINE
     try:
-        pat = _re.compile(pattern.encode("latin-1"), refl)
+        return _re.compile(b"(?:" + pattern.encode("latin-1") + b")\\Z",
+                           refl)
     except (_re.error, UnicodeEncodeError):
         return None
-    n = len(data)
-    ends: Set[int] = set()
-    for s in range(n + 1):
-        for e in range(s, n + 1):
-            if e not in ends and pat.fullmatch(data, s, e):
-                ends.add(e)
-    return ends
 
 
 def re_leftmost_som(pattern: str, flags: int, data: bytes):
-    """end offset -> leftmost start per Python `re` (independent SOM
+    """end offset -> leftmost start per Python `re` (independent PCRE-style
     ground truth; reference: hscollider diffs full (id, from, to)
     ResultSets, tools/hscollider/ResultSet.h). None when untranslatable
-    (same rules as re_match_ends). Ascending-start enumeration makes the
-    first recorded start per end the leftmost."""
-    import re as _re
+    (see _re_compile_end).
 
-    from ..flags import (
-        HS_FLAG_CASELESS,
-        HS_FLAG_DOTALL,
-        HS_FLAG_MULTILINE,
-        HS_FLAG_PREFILTER,
-        HS_FLAG_UCP,
-        HS_FLAG_UTF8,
-    )
-
-    if flags & (HS_FLAG_UTF8 | HS_FLAG_UCP | HS_FLAG_PREFILTER):
+    Hyperscan reports every offset at which *some* match ends; `re`
+    backtracking yields one match per search, so ends are enumerated by
+    ONE `search(data, 0, e)` per candidate end with the pattern wrapped
+    in `(?:...)\\Z` — `\\Z` matches at endpos, pinning the match end at
+    `e` while `search` scans starts left to right, so the hit's .start()
+    IS the leftmost SOM. O(n) C-level search calls (the prior fullmatch
+    enumeration was O(n^2) Python-level calls, capping corpora at ~1 KB).
+    """
+    pat = _re_compile_end(pattern, flags)
+    if pat is None:
         return None
-    if any(tok in pattern for tok in _RE_UNSAFE):
-        return None
-    refl = 0
-    if flags & HS_FLAG_CASELESS:
-        refl |= _re.IGNORECASE
-    if flags & HS_FLAG_DOTALL:
-        refl |= _re.DOTALL
-    if flags & HS_FLAG_MULTILINE:
-        refl |= _re.MULTILINE
-    try:
-        pat = _re.compile(pattern.encode("latin-1"), refl)
-    except (_re.error, UnicodeEncodeError):
-        return None
-    n = len(data)
     out: Dict[int, int] = {}
-    for s in range(n + 1):
-        for e in range(s, n + 1):
-            if e not in out and pat.fullmatch(data, s, e):
-                out[e] = s
+    for e in range(len(data) + 1):
+        m = pat.search(data, 0, e)
+        if m is not None:
+            out[e] = m.start()
     return out
+
+
+def re_match_ends(pattern: str, flags: int, data: bytes):
+    """All match-end offsets per Python `re`, or None when untranslatable
+    (see _re_compile_end / re_leftmost_som for method and complexity)."""
+    pat = _re_compile_end(pattern, flags)
+    if pat is None:
+        return None
+    ends: Set[int] = set()
+    for e in range(len(data) + 1):
+        if pat.search(data, 0, e) is not None:
+            ends.add(e)
+    return ends
