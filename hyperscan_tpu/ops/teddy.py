@@ -865,6 +865,29 @@ def _observe_caps(lit, t1, h1, t2, h2) -> None:
 # whole kernel cells (2*capK % ROWS_PER_CELL == 0)
 _CAP_FLOORS_GATED = (512, 1024, 512, 1024, 256)
 
+# Family selection: the gated path's survivor machinery (rank
+# searchsorted + row pair gathers + packed rescan) costs work
+# proportional to the learned capK, so it only pays off while few rows
+# survive the gate. Measured on v5e (512 MB, 10k ruleset): structured
+# corpus ~0.02% row survival -> 15.5 GB/s; iid printable noise ~4.2%
+# row survival -> capK 524288 and ~3.5 s/scan (0.15 GB/s), while the
+# ungated full filter holds its corpus-independent ~9.6 GB/s kernel
+# rate. Databases therefore remember the worst gate survival they have
+# seen and switch to the ungated family past this fraction (reference
+# analogue: FDR's flood detection demoting the fast path on adversarial
+# inputs, src/fdr/flood_runtime.h).
+GATE_ROW_FRAC = 1.0 / 64
+
+
+def _gate_viable(lit) -> bool:
+    return getattr(lit, "_gate_rate", 0.0) <= GATE_ROW_FRAC
+
+
+def _observe_gate_rate(lit, k_rows: int, n_body_rows: int) -> None:
+    rate = k_rows / max(1, n_body_rows)
+    if rate > getattr(lit, "_gate_rate", 0.0):
+        lit._gate_rate = rate
+
 
 def _caps_for_gated(lit, capacity: int) -> tuple:
     obs = getattr(lit, "_cap_obs_g", None)
@@ -912,7 +935,7 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     key = _lit_key(lit)
 
     gcm = dev_gate_table(lit)
-    gated = gcm is not None and len(ftabs) == 2
+    gated = gcm is not None and len(ftabs) == 2 and _gate_viable(lit)
     if gated:
         caps = _caps_for_gated(lit, capacity)
         run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
@@ -965,7 +988,11 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
         # budget at one per chunk, and sparse_extract clamps past it)
         if gated:
             k_rows = int(got[4])
-            _observe_caps_gated(lit, k_rows, t1, h1, t2, h2)
+            _observe_gate_rate(lit, k_rows, rows_all.shape[0] - 1)
+            if _gate_viable(lit):
+                _observe_caps_gated(lit, k_rows, t1, h1, t2, h2)
+            # a valid result is used even when the rate just crossed the
+            # family threshold — the switch applies from the next start
             ok = (t1 <= cap1 and t2 <= cap2 and h1 <= c1ch
                   and h2 <= c2ch and k_rows <= capK)
         else:

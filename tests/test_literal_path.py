@@ -395,15 +395,17 @@ def test_gated_equals_ungated_pipeline():
     assert sg == su and len(sg) >= len(offs)
 
 
-def test_gated_survivor_capacity_overflow_grows():
+def test_gated_survivor_capacity_overflow_grows(monkeypatch):
     """Survivor rows past capK must re-dispatch at a learned larger
-    shape (without a host corpus) and lose nothing."""
+    shape (without a host corpus) and lose nothing. (Survival-rate
+    family selection is disabled here — see the test below for it.)"""
     import jax.numpy as jnp
     import numpy as np
 
     from hyperscan_tpu.ops import teddy as T
     from hyperscan_tpu.runtime.lit_runtime import verify_pairs
 
+    monkeypatch.setattr(T, "GATE_ROW_FRAC", 1.0)
     db = _gated_db()
     lit = db.lit
     # a plant every 128-byte row for 1024 rows: K == 1024 > capK floor
@@ -420,6 +422,44 @@ def test_gated_survivor_capacity_overflow_grows():
     hits = [(f, q) for f, q in zip(fid.tolist(), pos.tolist())]
     assert len(hits) == n_plant
     assert T._caps_for_gated(lit, 1 << 14)[0] >= n_plant
+
+
+def test_gate_family_switch_on_high_survival():
+    """A corpus where most rows survive the gate (here: a plant every
+    other 128-byte row, ~50% survival vs the 1/64 threshold) must teach
+    the database to dispatch the UNGATED family from the next start —
+    the gated path's survivor machinery costs work proportional to capK
+    and loses to the corpus-independent full filter at such rates — and
+    the adversarial scan itself must still return the exact confirmed
+    set (reference analogue: FDR flood detection,
+    src/fdr/flood_runtime.h)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperscan_tpu.ops import teddy as T
+    from hyperscan_tpu.runtime.lit_runtime import verify_pairs
+
+    db = _gated_db()
+    lit = db.lit
+    corpus = np.full(1 << 18, ord("."), dtype=np.uint8)
+    p = np.frombuffer(b"attack0zq", np.uint8)
+    n_plant = 1024
+    for r in range(n_plant):
+        corpus[r * 128 + 40: r * 128 + 40 + len(p)] = p
+    rows = jnp.asarray(T.corpus_to_rows(corpus))
+    h = T.teddy_confirm_start(rows, lit, len(corpus))
+    assert h[-1] is True  # first dispatch: nothing observed yet
+    fid, pos = T.teddy_confirm_finish(h)
+    fid, pos = verify_pairs(lit, corpus, np.zeros(1, np.int64), fid, pos)
+    assert len(pos) == n_plant
+    assert getattr(lit, "_gate_rate", 0.0) > T.GATE_ROW_FRAC
+    h2 = T.teddy_confirm_start(rows, lit, len(corpus))
+    assert h2[-1] is False, "high survival must switch to ungated"
+    fid2, pos2 = T.teddy_confirm_finish(h2)
+    fid2, pos2 = verify_pairs(lit, corpus, np.zeros(1, np.int64),
+                              fid2, pos2)
+    assert sorted(zip(fid2.tolist(), pos2.tolist())) == \
+        sorted(zip(fid.tolist(), pos.tolist()))
 
 
 def test_gate_serialization_roundtrip():
