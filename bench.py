@@ -344,6 +344,17 @@ def main() -> None:
     gs, ms_n = run_stream_config(hs, sdb)
     gss, _nms = run_stream_som(hs)
     gdev = run_stream_device(hs, sdb)
+    # SOM through the bulk StreamSet path: leftmost starts (reverse
+    # back-scan validators) with full cross-write semantics at device
+    # batch scale (reference: som/som_stream.c + rose/stream.c SOM)
+    _phase("stream SOM db (StreamSet): compile start")
+    pats96, ids96 = _patterns(96)
+    keep = [j for j, i in enumerate(ids96) if i % 6 != 5]
+    sdb_som = compile_patterns(
+        [pats96[j] for j in keep], ids=[ids96[j] for j in keep],
+        flags=[hs.HS_FLAG_SOM_LEFTMOST] * len(keep),
+        mode=hs.HS_MODE_STREAM, grey=Grey(host_scan_limit=1 << 21))
+    gdev_som = run_stream_device(hs, sdb_som, svals=(4096,))[4096]
     g100, m100, c100 = run_config(100, hs, jax, jnp)
     # SOM config: leftmost-start reporting end to end (reverse back-scan
     # validators on the literal route; reference: som/som_runtime.c)
@@ -375,9 +386,10 @@ def main() -> None:
                           f"{gsom:.2f} GB/s, {msom} matches; "
                           "streaming 10k x 8KB writes, "
                           f"device-batched StreamSet: {gdev_txt} GB/s "
-                          f"aggregate; 16 streams host path: {gs:.3f} "
-                          f"GB/s, {ms_n} matches; SOM streaming 96p: "
-                          f"{gss:.3f} GB/s)",
+                          f"aggregate; SOM StreamSet 96p 4096str: "
+                          f"{gdev_som:.2f} GB/s; 16 streams host path: "
+                          f"{gs:.3f} GB/s, {ms_n} matches; SOM "
+                          f"streaming 16str host: {gss:.3f} GB/s)",
                 "value": round(g10k, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(g10k / BASELINE_GBPS, 4),

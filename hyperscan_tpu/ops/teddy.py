@@ -88,13 +88,93 @@ def _class_split(masks: np.ndarray):
     return b2c, cmasks
 
 
+def _compact_epilogue(cand, R: int, capc: int):
+    """In-kernel candidate compaction: cand [R, 128] (nonzero = candidate)
+    -> int32 [1 + capc//128, 128] block: row 0 lane 0 = cell count, rows
+    1.. = the first `capc` candidate positions (cell-local, row*128+lane,
+    rank order).
+
+    Replaces the XLA-side two-level sparse extraction for the fused
+    ungated pipeline: at adversarial candidate rates the hit-chunk
+    gather + rank searchsorted there cost ~2.8 s per 512 MB (measured
+    v5e, iid noise, 524288-chunk capacity — XLA take runs ~20 ns/elem),
+    while this epilogue is a handful of small MXU contractions per cell
+    (~1-2 ms per 512 MB at capc=128) and leaves only O(n_cells) arrays
+    for the XLA side. All matmuls take 0/1 or <=256-valued bf16 inputs
+    (exact) with f32 accumulation (exact below 2^24).
+
+    Rank selection is expressed MXU/VPU-wide, no scalar loops:
+      lanepre  = nz @ lower_tri128          (within-row candidate ranks)
+      rowcum   = lower_tri_R @ rowcnt       (per-row exclusive bases)
+      oh[r, j] = base[r] <= j < rowcum[r]   (slot j's owner row, one-hot)
+      rowpre_j = oh^T @ lanepre             (owner row's rank prefix)
+      lane_j   = #\\{lanes: rowpre_j <= within_j\\}
+    """
+    nz = (cand != 0)
+    nzb = nz.astype(jnp.bfloat16)
+    l0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    l1 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri_l = (l0 <= l1).astype(jnp.bfloat16)  # [128, 128] lane prefix
+    lanepre = jax.lax.dot_general(
+        nzb, tri_l, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [R, 128], values <= 128
+    rowcnt = lanepre[:, 127:128]  # [R, 1] f32
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    tri_r = (r1 <= r0).astype(jnp.bfloat16)  # [R, R] row prefix (incl.)
+    rowcum = jax.lax.dot_general(
+        tri_r, rowcnt.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [R, 1], <= R*128
+    base = rowcum - rowcnt  # exclusive
+    count = rowcum[R - 1 :, 0:1]  # [1, 1]
+    jj = jax.lax.broadcasted_iota(
+        jnp.int32, (R, capc), 1).astype(jnp.float32)
+    oh = (base <= jj) & (jj < rowcum)  # [R, capc] one-hot over rows
+    ohf = oh.astype(jnp.float32)
+    rowidx = jax.lax.broadcasted_iota(
+        jnp.int32, (R, capc), 0).astype(jnp.float32)
+    row_j = jnp.sum(ohf * rowidx, axis=0, keepdims=True)  # [1, capc]
+    base_j = jnp.sum(ohf * base, axis=0, keepdims=True)
+    within_j = jax.lax.broadcasted_iota(
+        jnp.int32, (1, capc), 1).astype(jnp.float32) - base_j
+    rowpre_j = jax.lax.dot_general(
+        oh.astype(jnp.bfloat16), lanepre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [capc, 128]
+    lane_j = jnp.sum(
+        (rowpre_j <= within_j.reshape(capc, 1)).astype(jnp.float32),
+        axis=1).reshape(1, capc)
+    pos_j = (row_j * 128.0 + lane_j).astype(jnp.int32)  # [1, capc]
+    # assemble the output block without scatter (Mosaic has no scatter):
+    # row 0 = count at lane 0, rows 1.. = positions, zero padding to the
+    # sublane-aligned block height
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0
+    count_row = jnp.where(lane0, count.astype(jnp.int32), 0)
+    pad = _capc_rows(capc) - 1 - capc // 128
+    parts = [count_row, pos_j.reshape(capc // 128, 128)]
+    if pad:
+        parts.append(jnp.zeros((pad, 128), jnp.int32))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _capc_rows(capc: int) -> int:
+    """Output block rows per cell: 1 count row + capc//128 position rows,
+    padded to a multiple of 8 (Mosaic requires sublane-divisible
+    blocks)."""
+    need = 1 + capc // 128
+    return -(-need // 8) * 8
+
+
 @functools.lru_cache(maxsize=64)
-def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1):
+def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1,
+                               capc: int = 0):
     """Class-remap variant of the fused filter kernel (see _class_split):
     the data plane is remapped byte->class once, each suffix offset
     aligns the single class plane with one roll, and each (m, w) mask
     lookup is one gather over a <=128-entry class table. Candidate
-    output is byte-identical to the byte-table kernel."""
+    output is byte-identical to the byte-table kernel.
+
+    With `capc` > 0 the kernel emits per-cell compacted candidate
+    positions (see _compact_epilogue) instead of the candidacy plane."""
     def kernel(halo_ref, body_ref, b2c_ref, cmasks_ref, out_c):
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
@@ -117,7 +197,10 @@ def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1):
         cand_or = acc[0]
         for w in range(1, W):
             cand_or = cand_or | acc[w]
-        out_c[...] = (cand_or != 0).astype(jnp.uint8)
+        if capc:
+            out_c[...] = _compact_epilogue(cand_or, R, capc)
+        else:
+            out_c[...] = (cand_or != 0).astype(jnp.uint8)
     return kernel
 
 
@@ -177,7 +260,7 @@ def _make_kernel_gate(M: int, R: int, hi_cls: int = -1):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_kernel_fused(M: int, W: int, R: int):
+def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0):
     """Fused-path variant: emits only the cand_or plane.
 
     cand_or is the OR across bucket words (the fused confirm never needs
@@ -228,10 +311,14 @@ def _make_kernel_fused(M: int, W: int, R: int):
         cand_or = acc[0]
         for w in range(1, W):
             cand_or = cand_or | acc[w]
-        # uint8 candidacy plane: the confirm stage re-derives everything
-        # from the corpus, so only the nonzero positions matter — a 1-byte
-        # plane quarters the HBM write+read traffic of the extraction
-        out_c[...] = (cand_or != 0).astype(jnp.uint8)
+        if capc:
+            out_c[...] = _compact_epilogue(cand_or, R, capc)
+        else:
+            # uint8 candidacy plane: the confirm stage re-derives
+            # everything from the corpus, so only the nonzero positions
+            # matter — a 1-byte plane quarters the HBM write+read
+            # traffic of the extraction
+            out_c[...] = (cand_or != 0).astype(jnp.uint8)
     return kernel
 
 
@@ -480,22 +567,35 @@ def _lit_key(lit) -> int:
 EXTRACT_CHUNK = 256  # candidate-extraction chunk (bytes per hit-chunk gather)
 
 
+# per-cell compaction slots: floor / ceiling of the learned capc. Past
+# the ceiling (a cell where >1/16 of bytes are candidates) the dense
+# sparse_extract family takes over — the epilogue's one-hot contraction
+# cost grows linearly with capc while the dense path's is flat.
+CAPC_FLOOR = 128
+CAPC_MAX = 4096
+
+
 def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                         cap1: int, cap2: int, interpret: bool,
                         use_classes: bool = False,
                         cap1_chunks: int = None, cap2_chunks: int = None,
-                        hi_cls: int = -1):
+                        hi_cls: int = -1, capc: int = 0):
     """Traced body of the fused filter+confirm: shared by the
     single-device jit and the shard_map multi-chip path.
 
     With `use_classes`, the trailing filter-table args are the
     (b2c, cmasks) pair from _class_split instead of the byte masks.
 
-    The chunk capacities (hit-chunk budgets of the two sparse
-    extractions) are decoupled from the value capacities: spread
-    candidates hit the chunk budget at one per chunk, and every stage
-    after the filter costs work proportional to these four caps, so the
-    caller right-sizes them from learned observations."""
+    With `capc` > 0 the filter kernel compacts candidate positions
+    per cell in VMEM (_compact_epilogue) and the XLA side only combines
+    O(n_cells) counts — the default; `capc` = 0 is the dense-regime
+    fallback via the two-level sparse extraction (hit-chunk gathers cost
+    work ∝ candidate spread, which loses badly at adversarial rates:
+    measured 2.8 s/512 MB at iid noise vs ~40 ms for the compact path).
+
+    The capacities are decoupled: every stage after the filter costs
+    work proportional to its cap, so the caller right-sizes them from
+    learned observations."""
     R = ROWS_PER_CELL
     if cap1_chunks is None:
         cap1_chunks = max(64, cap1 // 16)
@@ -505,7 +605,7 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
         body = rows_all[1:]
         if use_classes:
-            kernel = _make_kernel_fused_classes(M, W, R, hi_cls)
+            kernel = _make_kernel_fused_classes(M, W, R, hi_cls, capc)
             tab_specs = [
                 pl.BlockSpec((8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -513,35 +613,52 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                              memory_space=pltpu.VMEM),
             ]
         else:
-            kernel = _make_kernel_fused(M, W, R)
+            kernel = _make_kernel_fused(M, W, R, capc)
             tab_specs = [
                 pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ]
-        cand_or = pl.pallas_call(
-            kernel,
-            interpret=interpret,
-            grid=(n_cells,),
-            out_shape=jax.ShapeDtypeStruct((n_cells * R, 128), jnp.uint8),
-            in_specs=[
-                pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ] + tab_specs,
-            out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        )(rows_all, body, *ftabs)
-        N = n_cells * R * 128
-        meta1, packed1 = sparse_extract(
-            [], n_valid, cap1, cap1_chunks, nz=cand_or.reshape(N),
-            chunk=EXTRACT_CHUNK,
-        )
-        pos = packed1[0]  # [cap1] candidate flat positions (0 = dead)
-        have = (
-            jnp.arange(cap1, dtype=jnp.int32)
-            < jnp.minimum(meta1[0], cap1)
-        )
+        in_specs = [
+            pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + tab_specs
+        if capc:
+            cp_rows = _capc_rows(capc)
+            out = pl.pallas_call(
+                kernel,
+                interpret=interpret,
+                grid=(n_cells,),
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_cells * cp_rows, 128), jnp.int32),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((cp_rows, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )(rows_all, body, *ftabs)
+            meta1, pos, have = compact_combine(
+                out, n_cells, R, capc, cap1, n_valid)
+        else:
+            cand_or = pl.pallas_call(
+                kernel,
+                interpret=interpret,
+                grid=(n_cells,),
+                out_shape=jax.ShapeDtypeStruct((n_cells * R, 128),
+                                               jnp.uint8),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )(rows_all, body, *ftabs)
+            N = n_cells * R * 128
+            meta1, packed1 = sparse_extract(
+                [], n_valid, cap1, cap1_chunks, nz=cand_or.reshape(N),
+                chunk=EXTRACT_CHUNK,
+            )
+            pos = packed1[0]  # [cap1] candidate flat positions (0=dead)
+            have = (
+                jnp.arange(cap1, dtype=jnp.int32)
+                < jnp.minimum(meta1[0], cap1)
+            )
         meta2, packed2 = _hash_confirm_stage(
             groups, rows_all, pos, have, h_tables, f_tables,
             cap1, cap2, cap2_chunks,
@@ -554,13 +671,59 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
     return run
 
 
+def compact_combine(out, n_cells: int, R: int, capc: int, cap1: int,
+                    n_valid):
+    """XLA-side combine of the per-cell compacted candidate blocks:
+    slot rank -> owning cell via a searchsorted over the [n_cells]
+    count cumsum (a 32 KB array at bench scale — every heavy per-element
+    structure stayed in VMEM inside the kernel).
+
+    Returns (meta1 [total, max_cell_count], pos [cap1] flat candidate
+    positions, have [cap1] validity). Cells past n_valid are dropped
+    whole; stragglers inside the boundary cell are masked here (the
+    kernel never sees n_valid)."""
+    cp_rows = _capc_rows(capc)
+    out3 = out.reshape(n_cells, cp_rows, 128)
+    counts = out3[:, 0, 0]  # [n_cells] int32
+    cell_idx = jnp.arange(n_cells, dtype=jnp.int32)
+    counts = jnp.where(cell_idx * (R * 128) < n_valid, counts, 0)
+    total = jnp.sum(counts)
+    maxc = jnp.max(counts) if n_cells else jnp.int32(0)
+    # count overflowed slots once so `total` sizes the next cap1 but the
+    # packed reads stay in range
+    eff = jnp.minimum(counts, capc)
+    cum = jnp.cumsum(eff)
+    slot = jnp.arange(cap1, dtype=jnp.int32)
+    cell_j = jnp.minimum(
+        jnp.searchsorted(cum, slot, side="right"), n_cells - 1
+    ).astype(jnp.int32)
+    within = jnp.minimum(slot - (jnp.take(cum, cell_j) -
+                                 jnp.take(eff, cell_j)), capc - 1)
+    flat = out3.reshape(-1)
+    pos_local = jnp.take(
+        flat, cell_j * (cp_rows * 128) + 128 + within, axis=0)
+    pos = cell_j * (R * 128) + pos_local
+    have = (slot < jnp.minimum(total, cap1)) & (pos < n_valid)
+    pos = jnp.where(have, pos, 0)
+    meta1 = jnp.stack([total, maxc])
+    return meta1, pos, have
+
+
 def _hash_confirm_stage(groups, rows_all, pos, have, h_tables, f_tables,
                         cap1: int, cap2: int, cap2_chunks: int):
     """Shared confirm tail of the fused pipelines: gather each
     candidate's 8 tail bytes from the corpus, hash-match them against
     the factor confirm tables, and sparse-extract the confirmed
     (class, pos) pairs (reference: do_confirm_fdr reads the tail from
-    the scan pointer it already holds, src/fdr/fdr.c:330)."""
+    the scan pointer it already holds, src/fdr/fdr.c:330).
+
+    Cost discipline: every take here runs ~20 ns/element on v5e, and
+    the stage's work is cap1 x (takes per candidate): 8 tail-byte
+    gathers plus a direct-mapped open-addressed hash probe
+    (confirm_device_tables): max-displacement probes (~2-4) instead of
+    a log2(F) binary search (~13 dependent gathers at 10k scale). (A
+    3-word unaligned-load variant was tried and rejected: a [N, 4]
+    operand pads its minor dim to 128 lanes on TPU — 32x the memory.)"""
     # flat byte i lives at rows_all.reshape(-1)[128 + i]; pack the tail
     # into the two little-endian words the hash confirm expects:
     # lo_w = bytes pos-7..pos-4, hi_w = bytes pos-3..pos (newest on top)
@@ -575,22 +738,21 @@ def _hash_confirm_stage(groups, rows_all, pos, have, h_tables, f_tables,
 
     cls_planes = []
     pos_planes = []
-    for gi, (cl, mlo, mhi, h_s, c_s, maxmult) in enumerate(groups):
+    for gi, (cl, mlo, mhi, _slot_h, _slot_c, probes) in enumerate(groups):
         lo = lo_w & jnp.uint32(mlo)
         hi = hi_w & jnp.uint32(mhi)
         h = ((lo * jnp.uint32(0x9E3779B1))
              ^ (hi * jnp.uint32(0x85EBCA6B))).astype(jnp.int32)
-        tbl = h_tables[gi]
-        ctb = f_tables[gi]  # class-id table (dedup'd tails)
-        F = tbl.shape[0]
-        i0 = jnp.searchsorted(tbl, h, side="left").astype(jnp.int32)
+        slot_h = h_tables[gi]
+        slot_c = f_tables[gi]  # class id + 1 (0 = empty slot)
+        T = slot_h.shape[0]
+        i0 = h & jnp.int32(T - 1)
         ok_g = have & (pos >= cl - 1)
-        for k in range(maxmult):
-            idx = jnp.minimum(i0 + k, F - 1)
-            valid = ok_g & (i0 + k < F) & (jnp.take(tbl, idx) == h)
-            cls_planes.append(
-                jnp.where(valid, jnp.take(ctb, idx) + 1, 0)
-            )
+        for k in range(probes):
+            idx = (i0 + k) & jnp.int32(T - 1)
+            sc = jnp.take(slot_c, idx)
+            valid = ok_g & (sc > 0) & (jnp.take(slot_h, idx) == h)
+            cls_planes.append(jnp.where(valid, sc, 0))
             pos_planes.append(jnp.where(valid, pos, 0))
     if cls_planes:
         cls_flat = jnp.concatenate(cls_planes)
@@ -796,7 +958,8 @@ def dev_gate_table(lit):
 @functools.lru_cache(maxsize=64)
 def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
                         caps: tuple, interpret: bool,
-                        use_classes: bool, gated: bool = False):
+                        use_classes: bool, gated: bool = False,
+                        dense: bool = False):
     from ..runtime.lit_runtime import confirm_device_tables
 
     lit = _LITS[lit_key]
@@ -811,7 +974,8 @@ def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
         body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
                                    interpret, use_classes=use_classes,
                                    cap1_chunks=c1ch, cap2_chunks=c2ch,
-                                   hi_cls=hi_cls)
+                                   hi_cls=hi_cls,
+                                   capc=0 if dense else c1ch)
     pre = min(PREFETCH, cap2)
 
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
@@ -837,27 +1001,49 @@ _CAP_FLOORS = (1024, 512, 1024, 256)
 
 
 def _caps_for(lit, capacity: int) -> tuple:
-    """(cap1, cap1_chunks, cap2, cap2_chunks) for the next dispatch.
+    """(cap1, cap1_chunks_or_capc, cap2, cap2_chunks) for the next
+    ungated dispatch.
 
-    Learned from the running max of observed (total, n_hit) pairs: every
-    stage after the filter costs work proportional to these caps (tail
-    gathers, hash probes, hit-chunk gathers), so right-sizing them to
-    ~2x the observed load is worth a one-time recompile (reference
-    analogue: scratch sized at compile from engine counts)."""
-    obs = getattr(lit, "_cap_obs", None)
+    Learned from the running max of observed loads: every stage after
+    the filter costs work proportional to these caps (tail gathers,
+    hash probes), so right-sizing them to ~2x the observed load is
+    worth a one-time recompile (reference analogue: scratch sized at
+    compile from engine counts).
+
+    Slot 1 is the per-cell compaction capacity `capc` (observed as the
+    max per-cell candidate count) in the default compact family, or the
+    hit-chunk budget in the dense fallback (`lit._dense_extract`, set
+    once a cell ever exceeded CAPC_MAX)."""
+    if getattr(lit, "_dense_extract", False):
+        obs = getattr(lit, "_cap_obs", None)
+        if obs is None:
+            return (max(capacity, _CAP_FLOORS[0]),
+                    max(capacity // 4, _CAP_FLOORS[1]),
+                    max(capacity // 4, _CAP_FLOORS[2]),
+                    max(capacity // 16, _CAP_FLOORS[3]))
+        return tuple(
+            max(f, _p2(2 * o)) for f, o in zip(_CAP_FLOORS, obs)
+        )
+    obs = getattr(lit, "_cap_obs_c", None)
     if obs is None:
-        return (max(capacity, _CAP_FLOORS[0]),
-                max(capacity // 4, _CAP_FLOORS[1]),
+        return (max(capacity, _CAP_FLOORS[0]), CAPC_FLOOR,
                 max(capacity // 4, _CAP_FLOORS[2]),
                 max(capacity // 16, _CAP_FLOORS[3]))
-    return tuple(
-        max(f, _p2(2 * o)) for f, o in zip(_CAP_FLOORS, obs)
-    )
+    # cap1 margin is 1.25x (not 2x): the confirm stage's takes are
+    # proportional to cap1, and candidate totals vary little between
+    # same-shape corpora, so the tighter margin halves confirm work
+    # whenever the observation lands in the lower half of a p2 bucket
+    return (max(_CAP_FLOORS[0], _p2(5 * obs[0] // 4)),
+            min(CAPC_MAX, max(CAPC_FLOOR, _p2(2 * obs[1]))),
+            max(_CAP_FLOORS[2], _p2(2 * obs[2])),
+            max(_CAP_FLOORS[3], _p2(2 * obs[3])))
 
 
-def _observe_caps(lit, t1, h1, t2, h2) -> None:
-    obs = getattr(lit, "_cap_obs", (0, 0, 0, 0))
-    lit._cap_obs = tuple(max(a, b) for a, b in zip(obs, (t1, h1, t2, h2)))
+def _observe_caps(lit, t1, h1, t2, h2, dense: bool) -> None:
+    key = "_cap_obs" if dense else "_cap_obs_c"
+    obs = getattr(lit, key, (0, 0, 0, 0))
+    setattr(lit, key,
+            tuple(max(a, b) for a, b in zip(obs, (t1, h1, t2, h2))))
 
 
 # gated-path floors: (capK survivor rows, cap1, cap1_chunks, cap2,
@@ -936,6 +1122,7 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
 
     gcm = dev_gate_table(lit)
     gated = gcm is not None and len(ftabs) == 2 and _gate_viable(lit)
+    dense = False
     if gated:
         caps = _caps_for_gated(lit, capacity)
         run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
@@ -945,13 +1132,14 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
             *ftabs, gcm
         )
     else:
+        dense = bool(getattr(lit, "_dense_extract", False))
         caps = _caps_for(lit, capacity)
         run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
-                                  len(ftabs) == 2)
+                                  len(ftabs) == 2, dense=dense)
         combined, packed2 = run(
             rows_all, jnp.int32(n_valid), h_tables, f_tables, *ftabs
         )
-    return (lit, rows_all, n_valid, caps, combined, packed2, gated)
+    return (lit, rows_all, n_valid, caps, combined, packed2, dense, gated)
 
 
 def teddy_confirm_finish(handle, got: np.ndarray = None,
@@ -970,7 +1158,8 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
     re-dispatches at the learned shape."""
     from ..runtime.lit_runtime import expand_confirm_classes
 
-    (lit, rows_all, n_valid, caps, combined, packed2, gated) = handle
+    (lit, rows_all, n_valid, caps, combined, packed2, dense, gated) = \
+        handle
     while True:
         if gated:
             capK, cap1, c1ch, cap2, c2ch = caps
@@ -996,8 +1185,13 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
             ok = (t1 <= cap1 and t2 <= cap2 and h1 <= c1ch
                   and h2 <= c2ch and k_rows <= capK)
         else:
-            _observe_caps(lit, t1, h1, t2, h2)
-            ok = t1 <= cap1 and t2 <= cap2 and h1 <= c1ch and h2 <= c2ch
+            # compact family: h1 = max per-cell candidate count; a cell
+            # past CAPC_MAX demotes the database to the dense fallback
+            if not dense and h1 > CAPC_MAX:
+                lit._dense_extract = True
+            _observe_caps(lit, t1, h1, t2, h2, dense)
+            ok = (t1 <= cap1 and t2 <= cap2 and h1 <= c1ch
+                  and h2 <= c2ch)
         if ok:
             break
         if host_corpus is not None:
@@ -1008,7 +1202,8 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
             return confirm_candidates(
                 lit, host_corpus, np.zeros(1, np.int64), pos, words)
         handle = teddy_confirm_start(rows_all, lit, n_valid)
-        (lit, rows_all, n_valid, caps, combined, packed2, gated) = handle
+        (lit, rows_all, n_valid, caps, combined, packed2, dense,
+         gated) = handle
         got = None
     k = min(t2, cap2)
     if k == 0:

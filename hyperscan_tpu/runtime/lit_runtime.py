@@ -110,17 +110,32 @@ def confirm_device_tables(lit):
         h = h.view(np.int32)
         cids = np.arange(next_cls, next_cls + len(uvals), dtype=np.int32)
         next_cls += len(uvals)
-        order = np.argsort(h, kind="stable")
-        h_s = np.ascontiguousarray(h[order])
-        c_s = np.ascontiguousarray(cids[order])
-        # max run of equal hashes bounds the device multiplicity loop
-        if len(h_s) == 0:
-            maxmult = 0
-        else:
-            runs = np.flatnonzero(np.diff(h_s) != 0)
-            seg = np.diff(np.concatenate([[-1], runs, [len(h_s) - 1]]))
-            maxmult = int(seg.max())
-        out.append((int(cl), mlo, mhi, h_s, c_s, maxmult))
+        # open-addressed direct-mapped table (load factor <= 1/2): the
+        # device probes slot (h & (T-1)) + k for k <= max displacement.
+        # A sorted-array binary search costs log2(F) dependent gathers
+        # per candidate (~13 at 10k scale); direct mapping costs the
+        # max displacement (~2-4 at this load factor), and displacement
+        # grows the table instead of the probe loop when clustering is
+        # unlucky. Empty slots carry class 0 (device classes are 1-based
+        # in slot_c; 0 = empty), so no hash sentinel is needed.
+        F = len(uvals)
+        T = 1 << max(4, (2 * F - 1).bit_length()) if F else 16
+        while True:
+            slot_h = np.zeros(T, np.int32)
+            slot_c = np.zeros(T, np.int32)  # class id + 1; 0 = empty
+            disp = 0
+            for hv, cid in zip(h.tolist(), cids.tolist()):
+                idx = hv & (T - 1)
+                d = 0
+                while slot_c[(idx + d) & (T - 1)] != 0:
+                    d += 1
+                slot_h[(idx + d) & (T - 1)] = hv
+                slot_c[(idx + d) & (T - 1)] = cid + 1
+                disp = max(disp, d)
+            if disp < 16 or T >= (1 << 22):
+                break
+            T <<= 1
+        out.append((int(cl), mlo, mhi, slot_h, slot_c, disp + 1))
     lit._confirm_cls = (
         np.asarray(cls_offs, dtype=np.int64),
         np.concatenate(cls_fids).astype(np.int64)

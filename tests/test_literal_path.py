@@ -304,9 +304,11 @@ def test_capacity_overflow_compiles_no_new_shapes():
     assert sorted(pos.tolist()) == [c * 256 + 15 for c in range(NC)]
     assert T._jit_filter_confirm.cache_info().misses == misses_before, \
         "overflow handling must not compile new kernel shapes"
-    # the observed load right-sizes the NEXT dispatch
+    # the observed load right-sizes the NEXT dispatch: cap1 covers the
+    # total, and the per-cell compaction capacity covers the densest
+    # cell (one needle per 256 B chunk -> 256 per 64 KiB cell)
     caps = T._caps_for(db.lit, 1 << 14)
-    assert caps[0] >= NC and caps[1] >= NC
+    assert caps[0] >= NC and caps[1] >= 256
 
 
 def _gated_db(n_patterns=600):
@@ -476,3 +478,61 @@ def test_gate_serialization_roundtrip():
     out = hs.scan(db2, b"." * 500 + b"attack0zq" + b"." * 500)
     assert any(eid == 0 for (eid, _f, _t) in
                [(m[0], m[1], m[2]) for m in out])
+
+
+def test_compact_extraction_equals_dense():
+    """The in-kernel per-cell compaction must produce exactly the dense
+    sparse-extraction pipeline's confirmed (fid, pos) set, including
+    row-boundary and cell-boundary crossings."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.ops import teddy as T
+
+    db = hs.compile_multi(["needleZ", "probeQ"], ids=[1, 2])
+    rng = np.random.default_rng(11)
+    corpus = (32 + rng.integers(0, 95, size=200_000)).astype(np.uint8)
+    offs = [0, 120, 127, 65_520, 65_533, 131_000, 199_990]
+    for k, off in enumerate(offs):
+        p = b"needleZ" if k % 2 else b"probeQ"
+        corpus[off: off + len(p)] = np.frombuffer(p, np.uint8)
+    rows = jnp.asarray(T.corpus_to_rows(corpus))
+    h = T.teddy_confirm_start(rows, db.lit, len(corpus))
+    assert h[-2] is False, "fresh database must use the compact family"
+    fid_c, pos_c = T.teddy_confirm_finish(h)
+    try:
+        db.lit._dense_extract = True
+        h2 = T.teddy_confirm_start(rows, db.lit, len(corpus))
+        assert h2[-2] is True
+        fid_d, pos_d = T.teddy_confirm_finish(h2)
+    finally:
+        db.lit._dense_extract = False
+    assert sorted(zip(fid_c.tolist(), pos_c.tolist())) == \
+        sorted(zip(fid_d.tolist(), pos_d.tolist()))
+    assert len(pos_c) >= len(offs)
+
+
+def test_compact_flood_demotes_to_dense():
+    """A flood corpus (every position a candidate: a cell's count
+    exceeds CAPC_MAX) must demote the database to the dense extraction
+    family and still return the exact confirmed set (reference
+    analogue: FDR flood handling, src/fdr/flood_runtime.h)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.ops import teddy as T
+    from hyperscan_tpu.runtime.lit_runtime import verify_pairs
+
+    db = hs.compile_multi(["aaaa"], ids=[3])
+    corpus = np.full(1 << 17, ord("a"), dtype=np.uint8)
+    rows = jnp.asarray(T.corpus_to_rows(corpus))
+    h = T.teddy_confirm_start(rows, db.lit, len(corpus))
+    fid, pos = T.teddy_confirm_finish(h)
+    fid, pos = verify_pairs(db.lit, corpus, np.zeros(1, np.int64),
+                            fid, pos)
+    assert getattr(db.lit, "_dense_extract", False) is True
+    # every offset >= 3 ends a match of aaaa
+    assert len(pos) == len(corpus) - 3
+    assert pos.min() == 3 and pos.max() == len(corpus) - 1
