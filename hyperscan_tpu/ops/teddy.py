@@ -738,21 +738,26 @@ def _hash_confirm_stage(groups, rows_all, pos, have, h_tables, f_tables,
 
     cls_planes = []
     pos_planes = []
-    for gi, (cl, mlo, mhi, _slot_h, _slot_c, probes) in enumerate(groups):
+    for gi, (cl, mlo, mhi, _slots, _dummy, probes) in enumerate(groups):
         lo = lo_w & jnp.uint32(mlo)
         hi = hi_w & jnp.uint32(mhi)
-        h = ((lo * jnp.uint32(0x9E3779B1))
-             ^ (hi * jnp.uint32(0x85EBCA6B))).astype(jnp.int32)
-        slot_h = h_tables[gi]
-        slot_c = f_tables[gi]  # class id + 1 (0 = empty slot)
-        T = slot_h.shape[0]
-        i0 = h & jnp.int32(T - 1)
+        hu = (lo * jnp.uint32(0x9E3779B1)) ^ (hi * jnp.uint32(0x85EBCA6B))
+        # avalanche finalizer — must mirror lit_runtime._avalanche32
+        hu = hu ^ (hu >> 15)
+        hu = hu * jnp.uint32(0x2C1B3C6D)
+        hu = hu ^ (hu >> 13)
+        slots = h_tables[gi]  # int32: sig12 << 20 | class id + 1; 0=empty
+        T = slots.shape[0]
+        i0 = (hu & jnp.uint32(T - 1)).astype(jnp.int32)
+        sig = hu >> 20
         ok_g = have & (pos >= cl - 1)
         for k in range(probes):
             idx = (i0 + k) & jnp.int32(T - 1)
-            sc = jnp.take(slot_c, idx)
-            valid = ok_g & (sc > 0) & (jnp.take(slot_h, idx) == h)
-            cls_planes.append(jnp.where(valid, sc, 0))
+            sl = jnp.take(slots, idx).astype(jnp.uint32)
+            valid = ok_g & (sl != 0) & ((sl >> 20) == sig)
+            cls_planes.append(
+                jnp.where(valid, (sl & jnp.uint32(0xFFFFF)).astype(
+                    jnp.int32), 0))
             pos_planes.append(jnp.where(valid, pos, 0))
     if cls_planes:
         cls_flat = jnp.concatenate(cls_planes)
@@ -895,7 +900,10 @@ def filter_confirm_body_gated(groups, M: int, W: int, n_cells: int,
     return run
 
 
-PREFETCH = 1024  # packed-pair prefix fetched together with the meta
+PREFETCH = 2048  # packed-pair prefix fetched together with the meta
+# (24 KB at the tunnel's fetch rate ~ 4 ms — far cheaper than the ~30 ms
+# extra round trip a second fetch costs when confirmed pairs + the
+# direct-mapped confirm's ~1/4096 signature false positives overflow it)
 
 
 def dev_filter_tables(lit):

@@ -65,6 +65,17 @@ def _confirm_index(lit):
     return lit._confirm_idx
 
 
+def _avalanche32(h: np.ndarray) -> np.ndarray:
+    """Full-avalanche finalizer (xorshift-multiply): every input bit
+    affects the low bits used as the hash-bucket index. Mirrored exactly
+    by the device in ops.teddy._hash_confirm_stage."""
+    h = h.astype(np.uint32).copy()
+    h ^= h >> np.uint32(15)
+    h *= np.uint32(0x2C1B3C6D)
+    h ^= h >> np.uint32(13)
+    return h
+
+
 def confirm_device_tables(lit):
     """Confirm tables in device form (reference: FDRConfirm hash tables).
 
@@ -110,32 +121,46 @@ def confirm_device_tables(lit):
         h = h.view(np.int32)
         cids = np.arange(next_cls, next_cls + len(uvals), dtype=np.int32)
         next_cls += len(uvals)
-        # open-addressed direct-mapped table (load factor <= 1/2): the
-        # device probes slot (h & (T-1)) + k for k <= max displacement.
-        # A sorted-array binary search costs log2(F) dependent gathers
-        # per candidate (~13 at 10k scale); direct mapping costs the
-        # max displacement (~2-4 at this load factor), and displacement
-        # grows the table instead of the probe loop when clustering is
-        # unlucky. Empty slots carry class 0 (device classes are 1-based
-        # in slot_c; 0 = empty), so no hash sentinel is needed.
+        # open-addressed direct-mapped table, ONE int32 per slot
+        # (12-bit hash signature << 20 | class id + 1; 0 = empty): the
+        # device probes slot (h & (T-1)) + k for k <= max displacement —
+        # ONE take per probe. A sorted-array binary search costs log2(F)
+        # dependent gathers per candidate (~13 at 10k scale); every take
+        # costs ~20 ns/candidate on v5e, so probe count is the confirm
+        # stage's unit of money. The raw multiplicative hash clusters
+        # badly here: its low bits (the bucket index) ignore the
+        # operands' high bytes, and vocabulary tails differ exactly in
+        # the newest byte (the TOP byte of hi_w) — an xorshift-multiply
+        # avalanche (applied identically on device) spreads them. A
+        # 12-bit signature passes ~1/4096 false positives per probe;
+        # verify_pairs exact-compares bytes afterwards, so collisions
+        # cost fetch bytes, never correctness (the same division of
+        # labor as the reference's confirm, src/fdr/fdr_confirm.h:78).
         F = len(uvals)
+        hm = _avalanche32(h.view(np.uint32))
+        sig = (hm >> np.uint32(20)).astype(np.int64)
+        if next_cls >= (1 << 20):
+            from ..errors import InvalidError
+
+            raise InvalidError("confirm class space exceeded 2^20")
         T = 1 << max(4, (2 * F - 1).bit_length()) if F else 16
         while True:
-            slot_h = np.zeros(T, np.int32)
-            slot_c = np.zeros(T, np.int32)  # class id + 1; 0 = empty
+            slots = np.zeros(T, np.int64)
             disp = 0
-            for hv, cid in zip(h.tolist(), cids.tolist()):
+            for hv, sg, cid in zip(hm.tolist(), sig.tolist(),
+                                   cids.tolist()):
                 idx = hv & (T - 1)
                 d = 0
-                while slot_c[(idx + d) & (T - 1)] != 0:
+                while slots[(idx + d) & (T - 1)] != 0:
                     d += 1
-                slot_h[(idx + d) & (T - 1)] = hv
-                slot_c[(idx + d) & (T - 1)] = cid + 1
+                slots[(idx + d) & (T - 1)] = (sg << 20) | (cid + 1)
                 disp = max(disp, d)
-            if disp < 16 or T >= (1 << 22):
+            if disp <= 4 or T >= (1 << 22):
                 break
             T <<= 1
-        out.append((int(cl), mlo, mhi, slot_h, slot_c, disp + 1))
+        out.append((int(cl), mlo, mhi,
+                    slots.astype(np.uint32).view(np.int32),
+                    np.zeros(1, np.int32), disp + 1))
     lit._confirm_cls = (
         np.asarray(cls_offs, dtype=np.int64),
         np.concatenate(cls_fids).astype(np.int64)
