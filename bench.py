@@ -222,6 +222,13 @@ def run_config(n_patterns: int, hs, jax, jnp, flags: int = 0,
     # latency paid once instead of per scan); host stages run on the
     # prefetched buffers (hsbench analogue: repeated corpus scans whose
     # results are aggregated)
+    # keep gen-2 GC pauses out of the timed loop (see
+    # tools_bench_stream.run_config: the compile graph is large enough
+    # that a full collection costs ~145 ms)
+    import gc
+
+    gc.collect()
+    gc.freeze()
     _phase("timed loop")
     t0 = time.perf_counter()
     total_matches = 0
@@ -235,7 +242,7 @@ def run_config(n_patterns: int, hs, jax, jnp, flags: int = 0,
     return n * ITERS / dt / 1e9, total_matches, t_compile
 
 
-def run_stream_device(hs, db, svals=(1024, 4096)):
+def run_stream_device(hs, db, svals=(1024, 4096, 16384)):
     """Device-batched streaming (StreamSet bulk path): S streams x 8 KB
     writes per round, extents filtered in one fused device dispatch per
     round with full per-write semantics (history stitching, boundary
