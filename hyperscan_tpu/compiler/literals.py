@@ -298,6 +298,57 @@ def _analyze(node: Node) -> _Res:
     return _Res(wmin, wmax, best[1], best[0])
 
 
+def split_fixed_head(node: Node) -> Tuple[List[LitAtom], Node]:
+    """Split a pattern into its maximal FIXED HEAD — the leading run of
+    single-byte atoms (exact or caseless, see _pos_atom) — and the
+    remainder node (Empty when the whole pattern is fixed).
+
+    The head is the anchoring structure for factor-anchored validation
+    (reference analogue: Rose literal roles with zero-lag left context,
+    src/rose/rose_graph.h LeftEngInfo): a confirmed factor inside the
+    head fixes the match start exactly, so only the remainder needs a
+    DFA — and remainders are shared across whole vocabulary families
+    (`attack7[0-9]{2,4}z` and `payload123[0-9]{2,4}z` share one suffix
+    automaton) where whole-pattern validators differ per literal
+    spelling."""
+    atoms: List[LitAtom] = []
+
+    def walk(n: Node) -> Optional[Node]:
+        if isinstance(n, Pos):
+            a = _pos_atom(n)
+            if a is None:
+                return n
+            atoms.append(a)
+            return None
+        if isinstance(n, Seq):
+            for k, ch in enumerate(n.children):
+                rest = walk(ch)
+                if rest is not None:
+                    rem = [rest] + list(n.children[k + 1:])
+                    return rem[0] if len(rem) == 1 else Seq(rem)
+            return None
+        if isinstance(n, Empty):
+            return None
+        return n
+
+    rest = walk(node)
+    return atoms, (rest if rest is not None else Empty())
+
+
+def contains_anchor(node: Node) -> bool:
+    """True when any zero-width assertion appears in the subtree —
+    assertions in a suffix remainder can reference bytes BEFORE the
+    remainder (a leading \\b reads the head's last byte), so such
+    remainders stay on the whole-pattern validator route."""
+    if isinstance(node, Anchor):
+        return True
+    if isinstance(node, (Seq, Alt)):
+        return any(contains_anchor(c) for c in node.children)
+    if isinstance(node, Rep):
+        return contains_anchor(node.child)
+    return False
+
+
 def extract_factors(node: Node, min_len: int = MIN_FACTOR_LEN
                     ) -> Optional[List[FactorInfo]]:
     """Best mandatory factor set for a pattern, or None if the pattern has

@@ -556,6 +556,18 @@ class LiteralEngine:
     # filter (compiler.teddy.build_gate_masks), or None when gating does
     # not pay (W < 2, or the hot/cold split is too leaky)
     gate_masks: Optional[np.ndarray] = None
+    # factor-anchored validation (kind "a<idx>" refs): a confirmed factor
+    # inside the pattern's FIXED HEAD pins the match start exactly, so
+    # validation is (head byte checks) + (a suffix DFA anchored at the
+    # head end) — suffix automata are SHARED across vocabulary families
+    # where whole-pattern validators differ per literal spelling
+    # (reference analogue: Rose zero-lag left context + suffix engines,
+    # src/rose/rose_graph.h). Entries:
+    # (eidx, d, head_len, ((off_from_start, value, mask), ...), svid,
+    #  sfx_maxw) with svid = -1 for an empty suffix (pure fixed pattern)
+    anchored_refs: List[Tuple] = dataclasses.field(default_factory=list)
+    sfx_validators: List[DfaEngine] = dataclasses.field(
+        default_factory=list)
 
     @property
     def num_factors(self) -> int:
@@ -814,6 +826,17 @@ class Database:
                 },
                 "rev_validators": rv_meta,
                 "chains": ch_meta,
+                "anchored_refs": [
+                    [int(e), int(d), int(h),
+                     [[int(j), int(v), int(m)] for (j, v, m) in prefix],
+                     int(svid), int(sw)]
+                    for (e, d, h, prefix, svid, sw)
+                    in self.lit.anchored_refs
+                ],
+                "sfx_validators": [
+                    self._pack_engine(v, store)
+                    for v in self.lit.sfx_validators
+                ],
             }
         buf = io.BytesIO()
         np.savez_compressed(
@@ -880,6 +903,18 @@ class Database:
                         )
                         for k, (ra, re) in lm.get("rev_validators", {}).items()
                     },
+                    anchored_refs=[
+                        (int(e), int(d), int(h),
+                         tuple((int(j), int(v), int(m))
+                               for (j, v, m) in prefix),
+                         int(svid), int(sw))
+                        for (e, d, h, prefix, svid, sw)
+                        in lm.get("anchored_refs", [])
+                    ],
+                    sfx_validators=[
+                        cls._unpack_engine(vm, f"sx{k}", z)
+                        for k, vm in enumerate(lm.get("sfx_validators", []))
+                    ],
                     chains={
                         int(k): ChainInfo(
                             gap_bits=_ref_get(z, cm.get("gap_ref"),
@@ -1307,6 +1342,85 @@ def _try_literal_route(node, g, i, grey):
     return fs, lit_equiv
 
 
+def _try_anchored_route(node_b, g_b, fs, i, grey, dfa_cache,
+                        sfx_validators, sfx_index):
+    """Factor-anchored validation eligibility: every factor of `fs` lies
+    inside the branch's FIXED HEAD at a fixed distance from the match
+    start, and the remainder is assertion-free, non-vacuous and bounded.
+
+    Returns a list of (fi, aref) pairs to register — aref =
+    (eidx, d, head_len, ((off, value, mask)...), svid, sfx_maxw) — or
+    None when the branch must stay on the whole-pattern validator.
+
+    A confirmed factor then pins the match start exactly: validation is
+    a vectorized head-byte check plus ONE anchored suffix-DFA scan from
+    the head end, and the suffix automaton is structurally shared across
+    the whole vocabulary family (reference analogue: Rose roles with
+    zero-lag left context + suffix engines, src/rose/rose_graph.h;
+    determinize_cached shares the class-indexed tables)."""
+    from .compiler.ast import Empty as _Empty
+    from .compiler.literals import contains_anchor, split_fixed_head
+
+    atoms, rest = split_fixed_head(node_b)
+    H = len(atoms)
+    if H == 0:
+        return None
+    for fi in fs:
+        d = fi.min_start_to_fend
+        if fi.max_start_to_fend != d:
+            return None
+        flen = len(fi.factor)
+        if d > H or d < flen:
+            return None
+        if tuple((a.value, a.mask) for a in atoms[d - flen: d]) \
+                != fi.factor.key():
+            return None
+    if isinstance(rest, _Empty):
+        svid, sfx_maxw = -1, 0
+    else:
+        if contains_anchor(rest):
+            return None
+        try:
+            g_s = build_nfa(rest)
+        except CompileError:
+            return None
+        if g_s.accept_eod or g_s.start_accepts or g_s.is_vacuous():
+            return None
+        sfx_maxw = _nfa_widths(g_s)[1]
+        if sfx_maxw is None:
+            return None
+        try:
+            eng = DfaEngine.from_scan_dfa(determinize_cached(
+                g_s, i, dfa_cache,
+                max_states=grey.validator_max_states))
+        except DfaLimitExceeded:
+            return None
+        # content-dedupe the engine list ACROSS patterns: accept
+        # expansion takes the expression index from the REF (the suffix
+        # graph's accepts all belong to its own pattern), so the key
+        # deliberately omits set_exprs — `attack7[0-9]{2,4}z` and
+        # `payload123[0-9]{2,4}z` share one engine object outright
+        skey = (eng.trans.tobytes(), eng.byte_to_class.tobytes(),
+                eng.accept_id.tobytes(), eng.set_offsets.tobytes(),
+                eng.set_adjusts.tobytes())
+        svid = sfx_index.get(skey)
+        if svid is None:
+            svid = len(sfx_validators)
+            sfx_index[skey] = svid
+            sfx_validators.append(eng)
+    out = []
+    for fi in fs:
+        d = fi.min_start_to_fend
+        flen = len(fi.factor)
+        prefix = tuple(
+            (j, atoms[j].value, atoms[j].mask)
+            for j in list(range(0, d - flen)) + list(range(d, H))
+        )
+        out.append((fi, (i, int(d), int(H), prefix, int(svid),
+                         int(sfx_maxw))))
+    return out
+
+
 # engines deeper than this cannot use chunk-halo device scanning.
 # The halo invariant needs d-1 <= H (floating entry re-derives the state)
 # AND d <= CS (anchored matches must end inside the first chunk body);
@@ -1499,6 +1613,9 @@ def compile_patterns(
     factor_refs: List[List[Tuple[int, int, int, bool]]] = []
     factor_objs = []
     validators: Dict[int, DfaEngine] = {}
+    anchored_refs: List[Tuple] = []
+    sfx_validators: List[DfaEngine] = []
+    sfx_index: Dict = {}
     # structure-keyed determinization cache: isomorphic graphs (same
     # shape, different literal bytes) share one subset construction
     dfa_cache: Dict = {}
@@ -1714,6 +1831,22 @@ def compile_patterns(
                 lr = _try_literal_route(node_b, g_b, i, grey)
                 if lr is not None:
                     fs, lit_equiv = lr
+                    if not lit_equiv and not want_som:
+                        ar = _try_anchored_route(
+                            node_b, g_b, fs, i, grey, dfa_cache,
+                            sfx_validators, sfx_index)
+                        if ar is not None:
+                            for (fi, aref) in ar:
+                                aidx = len(anchored_refs)
+                                anchored_refs.append(aref)
+                                _register_factor(
+                                    factor_ids, factor_atoms, factor_refs,
+                                    factor_objs, fi,
+                                    (i, int(aref[1]),
+                                     int(aref[2] - aref[1] + aref[5]),
+                                     f"a{aidx}"),
+                                )
+                            return
                     ok = True
                     if not lit_equiv or want_som:
                         ok = _ensure_validator()
@@ -1899,6 +2032,8 @@ def compile_patterns(
             validators=validators,
             rev_validators=rev_validators,
             chains=chains,
+            anchored_refs=anchored_refs,
+            sfx_validators=sfx_validators,
         )
         # build the packed validator tables now: everything the run side
         # needs exists at the end of compilation (reference: the whole

@@ -670,8 +670,15 @@ def finish_confirmed(
                 som_rev=lit.rev_validators.get(eidx),
             )
 
-    # kinds >= 2: chain roles (SEG <gap> SEG <gap> ...)
-    mm = kind_p >= 2
+    # factor-anchored refs: head byte checks + anchored suffix scan
+    ma = kind_p >= ANCHOR_KIND_BASE
+    if ma.any() and not eod_only:
+        recs |= _validate_anchored(
+            lit, corpus, kind_p[ma] - ANCHOR_KIND_BASE, fe_p[ma],
+            b_p[ma], bs_p[ma], be_p[ma], block_final)
+
+    # kinds 2..65: chain roles (SEG <gap> SEG <gap> ...)
+    mm = (kind_p >= 2) & (kind_p < ANCHOR_KIND_BASE)
     chain_windows: Dict[Tuple[int, int], List[Tuple[int, int, int]]] = {}
     for i in np.flatnonzero(mm).tolist():
         chain_windows.setdefault(
@@ -687,6 +694,9 @@ def finish_confirmed(
     return recs
 
 
+ANCHOR_KIND_BASE = 1000  # kind "a<idx>" -> 1000 + idx (anchored refs)
+
+
 def _kind_code(k: str) -> int:
     if k == "pre":
         return -1  # engine prefilter: factor hits gate general engines
@@ -694,6 +704,8 @@ def _kind_code(k: str) -> int:
         return 0
     if k == "win":
         return 1
+    if k.startswith("a"):
+        return ANCHOR_KIND_BASE + int(k[1:])
     assert k.startswith("c"), k
     return 2 + int(k[1:])  # chain role r -> 2 + r
 
@@ -896,6 +908,203 @@ def validate_windows_batched(
                 to_local = blen + adj
                 if 0 <= to_local <= blen:
                     recs.add((int(m_b[gi]), eidx, to_local, 0))
+        wcap *= 2
+    return recs
+
+
+# --------------------------------------------------------------------------
+# Factor-anchored validation (kind "a<idx>" refs): a confirmed factor
+# inside the pattern's fixed head pins the match start exactly; validation
+# is a vectorized head-byte check plus ONE anchored suffix-DFA scan from
+# the head end. Suffix automata are shared across vocabulary families
+# (reference analogue: Rose zero-lag left context + suffix engines,
+# src/rose/rose_graph.h LeftEngInfo; the whole-pattern validator route
+# above re-scans the literal spelling per family member instead).
+# --------------------------------------------------------------------------
+
+
+def _aref_tables(lit):
+    """Flattened anchored-ref parameters as parallel arrays (cached)."""
+    if hasattr(lit, "_arefs"):
+        return lit._arefs
+    ars = lit.anchored_refs
+    n = len(ars)
+    a_eidx = np.zeros(n, np.int64)
+    a_d = np.zeros(n, np.int64)
+    a_H = np.zeros(n, np.int64)
+    a_svid = np.zeros(n, np.int64)
+    a_sfxw = np.zeros(n, np.int64)
+    p_off = np.zeros(n + 1, np.int64)
+    pj: List[int] = []
+    pv: List[int] = []
+    pm: List[int] = []
+    for k, (eidx, d, H, prefix, svid, sfxw) in enumerate(ars):
+        a_eidx[k], a_d[k], a_H[k] = eidx, d, H
+        a_svid[k], a_sfxw[k] = svid, sfxw
+        for (j, v, m) in prefix:
+            pj.append(j)
+            pv.append(v)
+            pm.append(m)
+        p_off[k + 1] = len(pj)
+    lit._arefs = (
+        a_eidx, a_d, a_H, a_svid, a_sfxw, p_off,
+        np.asarray(pj, np.int64), np.asarray(pv, np.int64),
+        np.asarray(pm, np.int64),
+    )
+    return lit._arefs
+
+
+def _packed_sfx(lit):
+    """Suffix validators packed into one global table set (cached):
+    content-identical engines share a region, exactly like
+    _packed_validators — but here the accept expansion takes the
+    expression index from the REF, so one region serves every family
+    member."""
+    if hasattr(lit, "_spack"):
+        return lit._spack
+    engs = lit.sfx_validators
+    V = len(engs)
+    if V == 0:
+        lit._spack = None
+        return None
+    cmax = max(e.trans.shape[1] for e in engs)
+    tid_base: Dict[bytes, int] = {}
+    tparts: List = []
+    b2c_all = np.zeros((V, 256), dtype=np.int64)
+    start_g = np.zeros(V, dtype=np.int64)
+    total = 0
+    for i, v in enumerate(engs):
+        key = (v.trans.shape, v.trans.tobytes(), v.accept_id.tobytes())
+        base = tid_base.get(key)
+        if base is None:
+            base = total
+            tid_base[key] = base
+            tparts.append(v)
+            total += v.trans.shape[0]
+        b2c_all[i] = v.byte_to_class
+        start_g[i] = base + v.start_state
+    trans_all = np.zeros((total, cmax), dtype=np.int64)
+    acc_all = np.zeros(total, dtype=np.int64)
+    base = 0
+    for v in tparts:
+        S, C = v.trans.shape
+        trans_all[base : base + S, :C] = v.trans.astype(np.int64) + base
+        acc_all[base : base + S] = v.accept_id
+        base += S
+    import types
+
+    shim = types.SimpleNamespace(
+        trans=trans_all.astype(np.int32),
+        byte_to_class=np.arange(256, dtype=np.int32),
+        accept_id=acc_all.astype(np.int32),
+    )
+    lit._spack = (b2c_all, start_g, shim)
+    return lit._spack
+
+
+def _validate_anchored(
+    lit, corpus: np.ndarray, aidx: np.ndarray, fe: np.ndarray,
+    b_w: np.ndarray, bs_w: np.ndarray, be_w: np.ndarray,
+    block_final: np.ndarray,
+) -> Set[Record]:
+    """Validate anchored refs: head byte checks, then one anchored
+    suffix scan per surviving candidate. `fe` is the exclusive factor
+    end; the match start is fe - d and the suffix scan starts at the
+    head end (fe + (H - d))."""
+    recs: Set[Record] = set()
+    if aidx.size == 0:
+        return recs
+    (a_eidx, a_d, a_H, a_svid, a_sfxw, p_off, pj, pv, pm) = \
+        _aref_tables(lit)
+    ncorp = corpus.shape[0]
+    d = a_d[aidx]
+    H = a_H[aidx]
+    s = fe - d  # match start (absolute)
+    # the whole head must lie inside the block
+    valid = (s >= bs_w) & (s + H <= be_w)
+    # vectorized head-byte checks (factor bytes were exactly verified)
+    cnt = p_off[aidx + 1] - p_off[aidx]
+    total = int(cnt.sum())
+    if total:
+        rep = np.repeat(np.arange(len(aidx)), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        fl = p_off[aidx][rep] + within
+        pos = s[rep] + pj[fl]
+        byte = corpus[np.minimum(np.maximum(pos, 0), ncorp - 1)]
+        okb = ((byte & pm[fl]) == pv[fl]) & (pos >= 0) & (pos < ncorp)
+        fails = np.bincount(rep, weights=(~okb).astype(np.int64),
+                            minlength=len(aidx)) > 0
+        valid &= ~fails
+    sel = np.flatnonzero(valid)
+    if sel.size == 0:
+        return recs
+    # empty suffix: the match IS the head
+    svid = a_svid[aidx[sel]]
+    emp = svid < 0
+    for i in np.flatnonzero(emp).tolist():
+        g = sel[i]
+        recs.add((int(b_w[g]), int(a_eidx[aidx[g]]),
+                  int(s[g] + H[g] - bs_w[g]), 0))
+    # suffix scans, deduped per (svid, start, block, eidx)
+    sub = sel[~emp]
+    if sub.size == 0:
+        return recs
+    pack = _packed_sfx(lit)
+    b2c_all, start_g, shim = pack
+    starts = s[sub] + H[sub]
+    lens = np.minimum(be_w[sub] - starts, a_sfxw[aidx[sub]])
+    key = np.stack([a_svid[aidx[sub]], starts, b_w[sub],
+                    a_eidx[aidx[sub]]], axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    sub = sub[first]
+    starts = starts[first]
+    lens = lens[first]
+    svid = a_svid[aidx[sub]]
+    eidx_w = a_eidx[aidx[sub]]
+    keep = lens >= 0
+    sub, starts, lens = sub[keep], starts[keep], lens[keep]
+    svid, eidx_w = svid[keep], eidx_w[keep]
+    if starts.size == 0:
+        return recs
+    from .smallwrite import dfa_scan_host
+
+    # length buckets bound lockstep padding waste to 2x
+    lmax_all = int(lens.max())
+    wcap = 16
+    done = 0
+    while done < len(lens):
+        pick = np.flatnonzero((lens > (wcap // 2 if wcap > 16 else 0))
+                              & (lens <= wcap))
+        done += len(pick)
+        if len(pick) == 0:
+            wcap *= 2
+            continue
+        wmax = min(wcap, lmax_all)
+        sws = starts[pick]
+        win = corpus[np.minimum(sws[:, None] + np.arange(wmax)[None, :],
+                                ncorp - 1)]
+        sv = svid[pick]
+        cls = b2c_all[sv[:, None], win.astype(np.int64)]
+        states = start_g[sv]
+        hits, _st = dfa_scan_host(
+            shim, cls.astype(np.uint8), lens[pick].astype(np.int32),
+            init_states=states.astype(np.int32),
+        )
+        for i in range(len(pick)):
+            hp, hv = hits[i]
+            if not len(hp):
+                continue
+            gi = pick[i]
+            g = sub[gi]
+            v = lit.sfx_validators[int(svid[gi])]
+            e_r = int(eidx_w[gi])
+            base_to = int(starts[gi]) + 1 - int(bs_w[g])
+            blen = int(be_w[g]) - int(bs_w[g])
+            for k in range(len(hp)):
+                for (_e, adj) in v.expand_set(int(hv[k])):
+                    to_local = int(hp[k]) + base_to + adj
+                    if 0 <= to_local <= blen:
+                        recs.add((int(b_w[g]), e_r, to_local, 0))
         wcap *= 2
     return recs
 
