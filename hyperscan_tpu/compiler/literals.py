@@ -335,6 +335,85 @@ def split_fixed_head(node: Node) -> Tuple[List[LitAtom], Node]:
     return atoms, (rest if rest is not None else Empty())
 
 
+def _is_fixed_subtree(n: Node) -> bool:
+    """Whole subtree is a sequence of fixed single-byte atoms."""
+    if isinstance(n, Pos):
+        return _pos_atom(n) is not None
+    if isinstance(n, Seq):
+        return all(_is_fixed_subtree(c) for c in n.children)
+    if isinstance(n, Empty):
+        return True
+    return False
+
+
+def expand_head_alts(node: Node, limit: int = 8) -> Optional[List[Node]]:
+    """Language-preserving expansion of FIXED alternations that terminate
+    the fixed head: `v4\\.(exe|dll|bat)` -> [`v4\\.exe`, `v4\\.dll`,
+    `v4\\.bat`], recursively, while the total branch count stays within
+    `limit`. Returns the expanded branch list (>= 2 entries) or None when
+    nothing head-blocking expands.
+
+    Purpose: each expanded branch has a longer fixed head, making the
+    factor-anchored validation route (split_fixed_head) applicable where
+    the alternation would otherwise force a whole-pattern validator per
+    literal spelling (reference analogue: ng_literal_decorated /
+    component splitting, src/nfagraph/ng_calc_components.cpp — the
+    reference explodes small literal alternations into separate Rose
+    literals the same way)."""
+
+    def head_rest(n: Node) -> Tuple[List[Node], Optional[Node]]:
+        """split_fixed_head's walk, keeping the consumed Pos nodes."""
+        heads: List[Node] = []
+
+        def walk(x: Node) -> Optional[Node]:
+            if isinstance(x, Pos):
+                if _pos_atom(x) is None:
+                    return x
+                heads.append(x)
+                return None
+            if isinstance(x, Seq):
+                for k, ch in enumerate(x.children):
+                    rest = walk(ch)
+                    if rest is not None:
+                        rem = [rest] + list(x.children[k + 1:])
+                        return rem[0] if len(rem) == 1 else Seq(
+                            tuple(rem))
+                return None
+            if isinstance(x, Empty):
+                return None
+            return x
+
+        return heads, walk(n)
+
+    from .ast import seq as _seq
+
+    out = [node]
+    progress = True
+    any_expanded = False
+    while progress:
+        progress = False
+        for idx, n in enumerate(out):
+            heads, rest = head_rest(n)
+            if rest is None:
+                continue
+            if isinstance(rest, Seq) and rest.children:
+                blocking, tail = rest.children[0], list(rest.children[1:])
+            else:
+                blocking, tail = rest, []
+            if not isinstance(blocking, Alt):
+                continue
+            if not all(_is_fixed_subtree(c) for c in blocking.children):
+                continue
+            if len(out) - 1 + len(blocking.children) > limit:
+                continue
+            new = [_seq(*heads, alt, *tail) for alt in blocking.children]
+            out = out[:idx] + new + out[idx + 1:]
+            progress = True
+            any_expanded = True
+            break
+    return out if any_expanded else None
+
+
 def contains_anchor(node: Node) -> bool:
     """True when any zero-width assertion appears in the subtree —
     assertions in a suffix remainder can reference bytes BEFORE the

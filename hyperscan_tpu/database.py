@@ -1389,6 +1389,18 @@ def _try_anchored_route(node_b, g_b, fs, i, grey, dfa_cache,
         sfx_maxw = _nfa_widths(g_s)[1]
         if sfx_maxw is None:
             return None
+        # the suffix DFA must be ANCHORED at the head end: scan DFAs
+        # normally re-launch floating firsts at every byte (a floating
+        # hit of a WHOLE pattern is always a true match — not so for a
+        # pattern fragment). Move the firsts into the anchored set so
+        # determinize emits no floating restarts.
+        import dataclasses as _dc
+
+        g_s = _dc.replace(
+            g_s,
+            anchored_first=set(g_s.anchored_first) | set(g_s.float_first),
+            float_first=set(),
+        )
         try:
             eng = DfaEngine.from_scan_dfa(determinize_cached(
                 g_s, i, dfa_cache,
@@ -1831,21 +1843,80 @@ def compile_patterns(
                 lr = _try_literal_route(node_b, g_b, i, grey)
                 if lr is not None:
                     fs, lit_equiv = lr
+
+                    def _commit_anchored(ar) -> None:
+                        for (fi, aref) in ar:
+                            aidx = len(anchored_refs)
+                            anchored_refs.append(aref)
+                            _register_factor(
+                                factor_ids, factor_atoms, factor_refs,
+                                factor_objs, fi,
+                                (i, int(aref[1]),
+                                 int(aref[2] - aref[1] + aref[5]),
+                                 f"a{aidx}"),
+                            )
+
                     if not lit_equiv and not want_som:
                         ar = _try_anchored_route(
                             node_b, g_b, fs, i, grey, dfa_cache,
                             sfx_validators, sfx_index)
                         if ar is not None:
-                            for (fi, aref) in ar:
-                                aidx = len(anchored_refs)
-                                anchored_refs.append(aref)
-                                _register_factor(
-                                    factor_ids, factor_atoms, factor_refs,
-                                    factor_objs, fi,
-                                    (i, int(aref[1]),
-                                     int(aref[2] - aref[1] + aref[5]),
-                                     f"a{aidx}"),
-                                )
+                            _commit_anchored(ar)
+                            return
+                        # expansion rescue: explode FIXED alternations
+                        # that block the head (`v4\.(exe|dll|bat)`) and
+                        # route each expanded branch as a pure literal
+                        # or an anchored ref — committed only when EVERY
+                        # branch succeeds (reference analogue: small
+                        # literal-alternation explosion in component
+                        # splitting, src/nfagraph/ng_calc_components.cpp)
+                        from .compiler.literals import expand_head_alts
+
+                        exp = expand_head_alts(node_b, limit=8)
+                        plans = None
+                        if exp is not None:
+                            from .compiler.glushkov import (
+                                reduce_graph as _rg2,
+                            )
+
+                            plans = []
+                            for sub in exp:
+                                g_s = build_nfa(sub)
+                                if grey.reduce_graphs:
+                                    g_s = _rg2(g_s)
+                                if g_s.is_vacuous():
+                                    plans = None
+                                    break
+                                lr_s = _try_literal_route(
+                                    sub, g_s, i, grey)
+                                if lr_s is None:
+                                    plans = None
+                                    break
+                                fs_s, le_s = lr_s
+                                if le_s:
+                                    plans.append(("equiv", fs_s))
+                                    continue
+                                ar_s = _try_anchored_route(
+                                    sub, g_s, fs_s, i, grey, dfa_cache,
+                                    sfx_validators, sfx_index)
+                                if ar_s is None:
+                                    plans = None
+                                    break
+                                plans.append(("anch", ar_s))
+                        if plans is not None:
+                            for (pk, pl) in plans:
+                                if pk == "equiv":
+                                    for fi in pl:
+                                        _register_factor(
+                                            factor_ids, factor_atoms,
+                                            factor_refs, factor_objs, fi,
+                                            (i,
+                                             int(fi.max_start_to_fend),
+                                             int(fi.max_fend_to_end),
+                                             "equiv"),
+                                        )
+                                else:
+                                    _commit_anchored(pl)
                             return
                     ok = True
                     if not lit_equiv or want_som:
@@ -2018,6 +2089,17 @@ def compile_patterns(
         factor_atoms = [factor_atoms[fi] for fi in keep]
         factor_refs = [factor_refs[fi] for fi in keep]
         factor_objs = [factor_objs[fi] for fi in keep]
+    # drop suffix validators left dangling by abandoned expansion
+    # attempts (a later branch of the same expansion failed to route)
+    used_svids = sorted({svid for (*_rest, svid, _sw) in anchored_refs
+                         if svid >= 0})
+    if len(used_svids) != len(sfx_validators):
+        remap = {old: new for new, old in enumerate(used_svids)}
+        sfx_validators = [sfx_validators[old] for old in used_svids]
+        anchored_refs = [
+            (e, d, h, pfx, remap.get(svid, -1), sw)
+            for (e, d, h, pfx, svid, sw) in anchored_refs
+        ]
     lit = None
     if factor_objs:
         from .compiler.teddy import build_teddy

@@ -1061,7 +1061,9 @@ def _validate_anchored(
     lens = lens[first]
     svid = a_svid[aidx[sub]]
     eidx_w = a_eidx[aidx[sub]]
-    keep = lens >= 0
+    # the suffix is non-vacuous by construction, so a zero-length window
+    # (the head ends exactly at the block boundary) cannot match
+    keep = lens >= 1
     sub, starts, lens = sub[keep], starts[keep], lens[keep]
     svid, eidx_w = svid[keep], eidx_w[keep]
     if starts.size == 0:
@@ -1070,13 +1072,11 @@ def _validate_anchored(
 
     # length buckets bound lockstep padding waste to 2x
     lmax_all = int(lens.max())
-    wcap = 16
-    done = 0
-    while done < len(lens):
-        pick = np.flatnonzero((lens > (wcap // 2 if wcap > 16 else 0))
-                              & (lens <= wcap))
-        done += len(pick)
+    wcap, lo = 16, 0
+    while lo < lmax_all:
+        pick = np.flatnonzero((lens > lo) & (lens <= wcap))
         if len(pick) == 0:
+            lo = wcap
             wcap *= 2
             continue
         wmax = min(wcap, lmax_all)
@@ -1105,6 +1105,7 @@ def _validate_anchored(
                     to_local = int(hp[k]) + base_to + adj
                     if 0 <= to_local <= blen:
                         recs.add((int(b_w[g]), e_r, to_local, 0))
+        lo = wcap
         wcap *= 2
     return recs
 

@@ -82,6 +82,18 @@ def gen_pattern(rng) -> str:
             skip = [".*", "[a-d]*", ""][rng.integers(0, 3)]
             parts = [skip, _CHARS[rng.integers(0, len(_CHARS))],
                      f".{{{w}}}"] + parts
+        if rng.integers(0, 5) == 0:
+            # factor-anchored shape: fixed word head + bounded class
+            # suffix (routes to the shared-suffix-automaton validator)
+            head = "".join(_CHARS[rng.integers(0, len(_CHARS))]
+                           for _ in range(rng.integers(4, 9)))
+            cls = _CLASSES[rng.integers(0, len(_CLASSES))]
+            lo = int(rng.integers(1, 3))
+            hi = lo + int(rng.integers(0, 4))
+            tail = [f"{cls}{{{lo},{hi}}}",
+                    f"{cls}{{{lo},{hi}}}" + _CHARS[
+                        rng.integers(0, len(_CHARS))]][rng.integers(0, 2)]
+            parts = [head, tail] + parts
         return "".join(parts)
 
     body = "|".join(branch() for _ in range(rng.integers(1, 3)))
