@@ -88,20 +88,11 @@ def _class_split(masks: np.ndarray):
     return b2c, cmasks
 
 
-def _compact_epilogue(cand, R: int, capc: int):
-    """In-kernel candidate compaction: cand [R, 128] (nonzero = candidate)
-    -> int32 [1 + capc//128, 128] block: row 0 lane 0 = cell count, rows
-    1.. = the first `capc` candidate positions (cell-local, row*128+lane,
-    rank order).
-
-    Replaces the XLA-side two-level sparse extraction for the fused
-    ungated pipeline: at adversarial candidate rates the hit-chunk
-    gather + rank searchsorted there cost ~2.8 s per 512 MB (measured
-    v5e, iid noise, 524288-chunk capacity — XLA take runs ~20 ns/elem),
-    while this epilogue is a handful of small MXU contractions per cell
-    (~1-2 ms per 512 MB at capc=128) and leaves only O(n_cells) arrays
-    for the XLA side. All matmuls take 0/1 or <=256-valued bf16 inputs
-    (exact) with f32 accumulation (exact below 2^24).
+def _rank_select(cand, R: int, capc: int):
+    """MXU rank selection over a candidate grid: cand [R, 128] (nonzero =
+    candidate) -> (count [1, 1] f32, pos [1, capc] f32) where pos[j] is
+    the j-th candidate's grid position (row*128 + lane, rank order;
+    garbage past count — callers mask with j < count).
 
     Rank selection is expressed MXU/VPU-wide, no scalar loops:
       lanepre  = nz @ lower_tri128          (within-row candidate ranks)
@@ -109,7 +100,8 @@ def _compact_epilogue(cand, R: int, capc: int):
       oh[r, j] = base[r] <= j < rowcum[r]   (slot j's owner row, one-hot)
       rowpre_j = oh^T @ lanepre             (owner row's rank prefix)
       lane_j   = #\\{lanes: rowpre_j <= within_j\\}
-    """
+    All matmuls take 0/1 or <=256-valued bf16 inputs (exact) with f32
+    accumulation (exact below 2^24)."""
     nz = (cand != 0)
     nzb = nz.astype(jnp.bfloat16)
     l0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -143,7 +135,29 @@ def _compact_epilogue(cand, R: int, capc: int):
     lane_j = jnp.sum(
         (rowpre_j <= within_j.reshape(capc, 1)).astype(jnp.float32),
         axis=1).reshape(1, capc)
-    pos_j = (row_j * 128.0 + lane_j).astype(jnp.int32)  # [1, capc]
+    pos_j = row_j * 128.0 + lane_j  # [1, capc] f32
+    return count, pos_j
+
+
+def _compact_epilogue(cand, R: int, capc: int):
+    """In-kernel candidate compaction: cand [R, 128] (nonzero = candidate)
+    -> int32 [1 + capc//128, 128] block: row 0 lane 0 = cell count, rows
+    1.. = the first `capc` candidate positions (cell-local, row*128+lane,
+    rank order).
+
+    Replaces the XLA-side two-level sparse extraction for the fused
+    ungated pipeline: at adversarial candidate rates the hit-chunk
+    gather + rank searchsorted there cost ~2.8 s per 512 MB (measured
+    v5e, iid noise, 524288-chunk capacity — XLA take runs ~20 ns/elem),
+    while this epilogue is a handful of small MXU contractions per cell
+    (~1-2 ms per 512 MB at capc=128) and leaves only O(n_cells) arrays
+    for the XLA side. All matmuls take 0/1 or <=256-valued bf16 inputs
+    (exact) with f32 accumulation (exact below 2^24).
+
+    Delegates the rank selection to _rank_select and assembles the
+    output block."""
+    count, pos_f = _rank_select(cand, R, capc)
+    pos_j = pos_f.astype(jnp.int32)  # [1, capc]
     # assemble the output block without scatter (Mosaic has no scatter):
     # row 0 = count at lane 0, rows 1.. = positions, zero padding to the
     # sublane-aligned block height
@@ -164,9 +178,224 @@ def _capc_rows(capc: int) -> int:
     return -(-need // 8) * 8
 
 
+CAPC2 = 128  # per-cell confirmed-hit capacity of the in-kernel confirm
+KCONF_MAX_CAPC = 512  # beyond this the epilogue's [capc, T/128] one-hots
+# and [capc, capc] transposes stop fitting VMEM comfortably
+KCONF_TABLE_BUDGET = 6 << 20  # bytes of f32 hash-table planes in VMEM
+
+
+def _t_col(v, n: int):
+    """[1, n] f32 row vector -> [n, 1] column, MXU-transposed (Mosaic has
+    no cheap sublane<->lane relayout; one identity matmul is). Exact for
+    integer values below 2^24."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (i0 == i1).astype(jnp.float32)
+    return jax.lax.dot_general(
+        eye, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [n, 1]
+
+
+def _t_row(v, n: int):
+    """[n, 1] f32 column -> [1, n] row (same identity-matmul trick)."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (i0 == i1).astype(jnp.float32)
+    return jax.lax.dot_general(
+        v, eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [1, n]
+
+
+import os as _os
+
+# dev-only bisect knob: 0 = rank-select only, 1 = +tail extraction,
+# 2 = +sig probes, 3 = full (second compaction). Not a product surface.
+_KCONF_STAGE = int(_os.environ.get("HS_KCONF_STAGE", "3"))
+
+
+def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
+                      tab_refs, cell_base):
+    """In-kernel hash confirm over the cell's compacted candidates.
+
+    Everything the XLA-side _hash_confirm_stage does — 8 tail-byte
+    extraction, the avalanche hash, direct-mapped open-addressed slot
+    probes — runs here against VMEM-resident tables, replacing ~30 XLA
+    takes per candidate slot (~20 ns each on v5e — the measured iid
+    bottleneck, BASELINE.md round-4 cost model) with MXU one-hot
+    contractions and VPU mul-reduces at full plane width. Byte/table
+    values ride exact integer arithmetic: bf16 matmuls for 0/1 x
+    (<=256)-valued operands, f32 matmuls for 16-bit table halves
+    (reference analogue: do_confirm_fdr + FDRConfirm hash tables,
+    src/fdr/fdr.c:330, src/fdr/fdr_confirm.h:78 — redesigned from a
+    scalar loop into plane-wide tensor contractions).
+
+    data       : [R+1, 128] int32 corpus bytes (row 0 = halo)
+    cand_or    : [R, 128] candidate plane (nonzero = candidate end)
+    groups_meta: ((cl, mlo, mhi, T, probes), ...) compile-time constants
+    tab_refs   : per group two f32 VMEM refs [T_rows, 128] (lo16 / hi16
+                 halves of the slot words; see dev_confirm_planes)
+    cell_base  : scalar int32, absolute byte offset of this cell
+
+    Returns an [8, 128] int32 block per cell:
+      row 0 lane 0 = raw candidate count (capc learning)
+      row 0 lane 1 = raw confirmed count (CAPC2 overflow detection)
+      row 1 = confirmed cell-local positions (CAPC2 slots, rank order)
+      row 2 = confirmed class words (slot & 0xFFFFF, as emitted by the
+              XLA confirm — host expand/verify is unchanged)
+    """
+    lane_sel0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def _early(count_v, conf_v):
+        cr = jnp.where(
+            lane_sel0 == 0, count_v.astype(jnp.int32),
+            jnp.where(lane_sel0 == 1, conf_v.astype(jnp.int32), 0))
+        return jnp.concatenate(
+            [cr, jnp.zeros((7, 128), jnp.int32)], axis=0)
+
+    count, pos_f = _rank_select(cand_or, R, capc)  # [1,1], [1,capc] f32
+    if _KCONF_STAGE == 0:
+        return _early(count, count * 0)
+    pos_c = _t_col(pos_f, capc)  # [capc, 1] f32
+    pos_i = pos_c.astype(jnp.int32)  # values < R*128 (exact)
+    row = pos_i >> 7
+    lane = pos_i & 127
+    # tail window rows via one-hot row-select matmuls (bytes <= 255 are
+    # bf16-exact; body row r's predecessor is data[r], itself data[r+1])
+    rio = jax.lax.broadcasted_iota(jnp.int32, (capc, R), 1)
+    ohr = (rio == row).astype(jnp.bfloat16)  # [capc, R]
+    prev = jax.lax.dot_general(
+        ohr, data[:-1].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [capc, 128]
+    cur = jax.lax.dot_general(
+        ohr, data[1:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # tail bytes pos-k: lane >= k reads cur[lane-k], else prev wraps
+    # (cell 0's halo is the corpus's leading zero row, reproducing the
+    # XLA path's zero bytes before offset 0)
+    # tail bytes: two 8-lane dynamic gathers (cur and prev rows) replace
+    # sixteen one-hot mul-reduce passes — the epilogue is VPU-pass-bound
+    # and each [capc, 128] pass costs ~capc/8 vreg-rows
+    # (Mosaic lowers take_along_axis only with a full-shape index plane)
+    kf = jax.lax.broadcasted_iota(jnp.int32, (capc, 128), 1)
+    rel = lane - jnp.minimum(kf, 7)  # lanes 0..7 = the 8 tail offsets
+    cur8 = jnp.take_along_axis(cur, jnp.maximum(rel, 0), axis=1)
+    prev8 = jnp.take_along_axis(prev, rel & 127, axis=1)
+    tbm = jnp.where(rel >= 0, cur8, prev8)[:, :8]  # [capc, 8] f32
+    i0c = jax.lax.broadcasted_iota(jnp.int32, (capc, capc), 0)
+    i1c = jax.lax.broadcasted_iota(jnp.int32, (capc, capc), 1)
+    eye_c = (i0c == i1c).astype(jnp.float32)
+    tbT = jax.lax.dot_general(
+        tbm, eye_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [8, capc]
+    tb = [tbT[k:k + 1, :].astype(jnp.int32).astype(jnp.uint32)
+          for k in range(8)]  # each [1, capc]
+    lo_w = tb[7] | (tb[6] << 8) | (tb[5] << 16) | (tb[4] << 24)
+    hi_w = tb[3] | (tb[2] << 8) | (tb[1] << 16) | (tb[0] << 24)
+    abs_pos_r = pos_f.astype(jnp.int32) + cell_base  # [1, capc]
+    alive_r = (jax.lax.broadcasted_iota(jnp.int32, (1, capc), 1)
+               < count.astype(jnp.int32))  # [1, capc]
+    if _KCONF_STAGE == 1:
+        # keep the tail stage live: fold the words into the dummy count
+        dummy = jnp.sum((lo_w ^ hi_w).astype(jnp.float32) % 7.0,
+                        keepdims=True).reshape(1, 1)
+        return _early(count, dummy % 2.0)
+
+    overflow = jnp.zeros((1, 1), jnp.int32)
+    lio = jax.lax.broadcasted_iota(jnp.int32, (capc, 128), 1)
+    cls_cols = []  # each [capc, 1] f32: matched global slot index + 1
+    for gi, (cl, mlo, mhi, t_rows, base) in enumerate(groups_meta):
+        lo = lo_w & jnp.uint32(mlo)
+        hi = hi_w & jnp.uint32(mhi)
+        hu = (lo * jnp.uint32(0x9E3779B1)) ^ (hi * jnp.uint32(0x85EBCA6B))
+        # avalanche finalizer — must mirror lit_runtime._avalanche32
+        hu = hu ^ (hu >> 15)
+        hu = hu * jnp.uint32(0x2C1B3C6D)
+        hu = hu ^ (hu >> 13)
+        row_r = (hu & jnp.uint32(t_rows - 1)).astype(jnp.int32)
+        sig_r = (hu >> 20).astype(jnp.int32)  # [1, capc] 12-bit
+        okf = (alive_r & (abs_pos_r >= cl - 1)).astype(jnp.int32)
+        # one transpose back to column form for the row-select compares
+        pack = jnp.concatenate(
+            [row_r.astype(jnp.float32), sig_r.astype(jnp.float32),
+             okf.astype(jnp.float32)], axis=0)  # [3, capc]
+        packT = jax.lax.dot_general(
+            eye_c, pack, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [capc, 3]
+        row_g = packT[:, 0:1].astype(jnp.int32)
+        sig = packT[:, 1:2].astype(jnp.int32)
+        ok_g = packT[:, 2:3] > 0.5
+        pad_rows = tab_refs[2 * gi].shape[0]
+        trio = jax.lax.broadcasted_iota(jnp.int32, (capc, pad_rows), 1)
+        ohT = (trio == row_g).astype(jnp.bfloat16)
+        sel_hi = jax.lax.dot_general(
+            ohT, tab_refs[2 * gi][...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [capc, 128]
+        sel_lo = jax.lax.dot_general(
+            ohT, tab_refs[2 * gi + 1][...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = ok_g & (sel_hi.astype(jnp.int32) == ((sig >> 6) + 1)) \
+            & (sel_lo.astype(jnp.int32) == (sig & 63))  # [capc, 128]
+        mi = m.astype(jnp.int32)
+        cnt = jnp.sum(mi, axis=1, keepdims=True)  # sig matches in row
+        overflow = jnp.maximum(overflow, jnp.max(cnt) - 2)
+        # first and last matching lanes (two same-sig classes in one
+        # row is ~1e-5; three or more raises the overflow flag and the
+        # scan re-runs on the XLA confirm family)
+        lane1 = jnp.min(jnp.where(m, lio, 128), axis=1, keepdims=True)
+        lane2 = jnp.max(jnp.where(m, lio, -1), axis=1, keepdims=True)
+        gidx1 = base + row_g * 128 + lane1 + 1  # global slot index + 1
+        gidx2 = base + row_g * 128 + lane2 + 1
+        cls_cols.append(jnp.where(
+            cnt >= 1, gidx1, 0).astype(jnp.float32))
+        cls_cols.append(jnp.where(
+            cnt >= 2, gidx2, 0).astype(jnp.float32))
+    if _KCONF_STAGE == 2:
+        dummy = jnp.sum(sum(cls_cols), keepdims=True).reshape(1, 1)
+        return _early(count, dummy % 2.0)
+    n_planes = len(cls_cols)
+    assert n_planes <= 128
+    # second compaction over the [capc, n_planes] hit grid (slots as
+    # sublanes, probe planes as lanes — no relayout): rank-select the
+    # confirmed grid positions, then one-hot value-select cls and pos
+    grid = jnp.concatenate(
+        cls_cols + [jnp.zeros((capc, 128 - n_planes), jnp.float32)],
+        axis=1)  # [capc, 128]
+    conf_cnt, gpos_f = _rank_select(grid, capc, CAPC2)  # [1,1],[1,CAPC2]
+    gpos = _t_col(gpos_f, CAPC2).astype(jnp.int32)  # [CAPC2, 1]
+    grow = gpos >> 7  # owning candidate slot
+    glane = gpos & 127  # probe plane
+    q_i = jax.lax.broadcasted_iota(jnp.int32, (CAPC2, 1), 0)
+    qok = q_i < conf_cnt.astype(jnp.int32)
+    gio = jax.lax.broadcasted_iota(jnp.int32, (CAPC2, capc), 1)
+    ohg = (gio == grow).astype(jnp.float32)
+    selg = jax.lax.dot_general(
+        ohg, grid, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [CAPC2, 128]
+    lio2 = jax.lax.broadcasted_iota(jnp.int32, (CAPC2, 128), 1)
+    ohl2 = (lio2 == glane).astype(jnp.float32)
+    cls_q = jnp.sum(selg * ohl2, axis=1, keepdims=True)  # [CAPC2, 1]
+    pos_q = jax.lax.dot_general(
+        ohg, pos_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [CAPC2, 1]
+    cls_row = _t_row(jnp.where(qok, cls_q, 0.0), CAPC2).astype(jnp.int32)
+    pos_row = _t_row(jnp.where(qok, pos_q, 0.0), CAPC2).astype(jnp.int32)
+    lane_sel = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # >2 same-sig matches in one bucket row would exceed the two slot
+    # planes: report it as a confirmed-capacity overflow so the scan
+    # re-runs on the XLA confirm family (finish sets _kconfirm_off)
+    conf_rep = conf_cnt.astype(jnp.int32) + jnp.where(
+        overflow > 0, CAPC2 + 1, 0)
+    counts_row = jnp.where(
+        lane_sel == 0, count.astype(jnp.int32),
+        jnp.where(lane_sel == 1, conf_rep, 0))
+    return jnp.concatenate(
+        [counts_row, pos_row, cls_row, jnp.zeros((5, 128), jnp.int32)],
+        axis=0)  # [8, 128]
+
+
 @functools.lru_cache(maxsize=64)
 def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1,
-                               capc: int = 0):
+                               capc: int = 0, kconf: tuple = ()):
     """Class-remap variant of the fused filter kernel (see _class_split):
     the data plane is remapped byte->class once, each suffix offset
     aligns the single class plane with one roll, and each (m, w) mask
@@ -174,8 +403,12 @@ def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1,
     output is byte-identical to the byte-table kernel.
 
     With `capc` > 0 the kernel emits per-cell compacted candidate
-    positions (see _compact_epilogue) instead of the candidacy plane."""
-    def kernel(halo_ref, body_ref, b2c_ref, cmasks_ref, out_c):
+    positions (see _compact_epilogue) instead of the candidacy plane;
+    with `kconf` (the groups_meta tuple) it additionally hash-confirms
+    the candidates in-kernel (see _confirm_epilogue) — the kernel then
+    takes two extra f32 table refs per group."""
+    def kernel(halo_ref, body_ref, b2c_ref, cmasks_ref, *rest):
+        tab_refs, out_c = rest[:-1], rest[-1]
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
         ).astype(jnp.int32)  # [R+1, 128]
@@ -197,7 +430,11 @@ def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1,
         cand_or = acc[0]
         for w in range(1, W):
             cand_or = cand_or | acc[w]
-        if capc:
+        if kconf:
+            cell_base = pl.program_id(0) * (R * 128)
+            out_c[...] = _confirm_epilogue(
+                data, cand_or, R, capc, kconf, tab_refs, cell_base)
+        elif capc:
             out_c[...] = _compact_epilogue(cand_or, R, capc)
         else:
             out_c[...] = (cand_or != 0).astype(jnp.uint8)
@@ -260,7 +497,8 @@ def _make_kernel_gate(M: int, R: int, hi_cls: int = -1):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0):
+def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0,
+                       kconf: tuple = ()):
     """Fused-path variant: emits only the cand_or plane.
 
     cand_or is the OR across bucket words (the fused confirm never needs
@@ -277,7 +515,8 @@ def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0):
     planes once per offset m (2 rolls) rather than to every bucket word's
     gather result (W rolls), so the kernel's vector-op count is dominated
     by the irreducible M*W*2 table gathers."""
-    def kernel(halo_ref, body_ref, masks_ref, out_c):
+    def kernel(halo_ref, body_ref, masks_ref, *rest):
+        tab_refs, out_c = rest[:-1], rest[-1]
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
         ).astype(jnp.int32)  # [R+1, 128]
@@ -311,7 +550,11 @@ def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0):
         cand_or = acc[0]
         for w in range(1, W):
             cand_or = cand_or | acc[w]
-        if capc:
+        if kconf:
+            cell_base = pl.program_id(0) * (R * 128)
+            out_c[...] = _confirm_epilogue(
+                data, cand_or, R, capc, kconf, tab_refs, cell_base)
+        elif capc:
             out_c[...] = _compact_epilogue(cand_or, R, capc)
         else:
             # uint8 candidacy plane: the confirm stage re-derives
@@ -579,7 +822,8 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                         cap1: int, cap2: int, interpret: bool,
                         use_classes: bool = False,
                         cap1_chunks: int = None, cap2_chunks: int = None,
-                        hi_cls: int = -1, capc: int = 0):
+                        hi_cls: int = -1, capc: int = 0,
+                        kconf_meta: tuple = ()):
     """Traced body of the fused filter+confirm: shared by the
     single-device jit and the shard_map multi-chip path.
 
@@ -604,8 +848,13 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
 
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
         body = rows_all[1:]
+        n_ft = 2 if use_classes else 1
+        slots_cls = ftabs[-1] if kconf_meta else None
+        kplanes = ftabs[n_ft:-1] if kconf_meta else ftabs[n_ft:]
+        ftabs = ftabs[:n_ft]
         if use_classes:
-            kernel = _make_kernel_fused_classes(M, W, R, hi_cls, capc)
+            kernel = _make_kernel_fused_classes(M, W, R, hi_cls, capc,
+                                                kconf_meta)
             tab_specs = [
                 pl.BlockSpec((8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -613,17 +862,36 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                              memory_space=pltpu.VMEM),
             ]
         else:
-            kernel = _make_kernel_fused(M, W, R, capc)
+            kernel = _make_kernel_fused(M, W, R, capc, kconf_meta)
             tab_specs = [
                 pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ]
+        for p in kplanes:
+            tab_specs.append(
+                pl.BlockSpec(tuple(p.shape),
+                             (lambda i: (0, 0)),
+                             memory_space=pltpu.VMEM))
         in_specs = [
             pl.BlockSpec((8, 128), lambda i: (i * (R // 8), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + tab_specs
+        if kconf_meta:
+            out = pl.pallas_call(
+                kernel,
+                interpret=interpret,
+                grid=(n_cells,),
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_cells * 8, 128), jnp.int32),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )(rows_all, body, *ftabs, *kplanes)
+            meta, packed2 = kconf_combine(
+                out, n_cells, R, cap2, n_valid, slots_cls)
+            return meta, packed2
         if capc:
             cp_rows = _capc_rows(capc)
             out = pl.pallas_call(
@@ -669,6 +937,52 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
         return meta, packed2
 
     return run
+
+
+def kconf_combine(out, n_cells: int, R: int, cap2: int, n_valid,
+                  slots_cls):
+    """XLA-side combine for the in-kernel-confirm family: gather the
+    per-cell confirmed (pos, slot-index) pairs into one cap2-sized
+    packed buffer and resolve slot indexes to class ids (one int32 take
+    per CONFIRMED pair against the concatenated bucket-row class
+    array). Work here is proportional to cap2 (the learned CONFIRMED
+    load, ~matches + ~1/4096 signature false positives) — at iid noise
+    that is ~100x below the candidate load the XLA confirm used to pay
+    per-take for.
+
+    Returns (meta [4] = (cand_total, cand_max_cell, conf_total,
+    conf_max_cell), packed [3, cap2] = (slot, cls, abs_pos)) matching
+    the _hash_confirm_stage contract consumed by teddy_confirm_finish."""
+    out3 = out.reshape(n_cells, 8, 128)
+    cell_idx = jnp.arange(n_cells, dtype=jnp.int32)
+    cellok = cell_idx * (R * 128) < n_valid
+    cand_c = jnp.where(cellok, out3[:, 0, 0], 0)
+    conf_raw = jnp.where(cellok, out3[:, 0, 1], 0)
+    meta1 = jnp.stack([jnp.sum(cand_c), jnp.max(cand_c)])
+    eff = jnp.minimum(conf_raw, CAPC2)
+    cum = jnp.cumsum(eff)
+    total2 = cum[n_cells - 1]
+    slot = jnp.arange(cap2, dtype=jnp.int32)
+    cell_j = jnp.minimum(
+        jnp.searchsorted(cum, slot, side="right"), n_cells - 1
+    ).astype(jnp.int32)
+    within = jnp.minimum(
+        slot - (jnp.take(cum, cell_j) - jnp.take(eff, cell_j)),
+        CAPC2 - 1)
+    flat = out.reshape(-1)
+    pos_l = jnp.take(flat, cell_j * (8 * 128) + 128 + within, axis=0)
+    gv = jnp.take(flat, cell_j * (8 * 128) + 256 + within, axis=0)
+    pos_abs = cell_j * (R * 128) + pos_l
+    have = (slot < jnp.minimum(total2, cap2)) & (pos_abs < n_valid) \
+        & (gv > 0)
+    cls_v = jnp.take(slots_cls,
+                     jnp.maximum(gv - 1, 0), axis=0)  # class id + 1
+    cls_v = jnp.where(have, cls_v, 0)
+    pos_abs = jnp.where(have, pos_abs, 0)
+    meta2 = jnp.stack([total2, jnp.max(conf_raw)])
+    meta = jnp.concatenate([meta1, meta2])
+    packed2 = jnp.stack([slot, cls_v, pos_abs])
+    return meta, packed2
 
 
 def compact_combine(out, n_cells: int, R: int, capc: int, cap1: int,
@@ -929,6 +1243,102 @@ def dev_filter_tables(lit):
     return lit._dev_tables
 
 
+def dev_confirm_planes(lit):
+    """Bucket-row confirm hash tables for the in-kernel confirm, or None
+    when they don't fit the VMEM budget (cached on the lit object).
+
+    The XLA confirm probes an open-addressed table one slot (one take)
+    at a time, so it fights displacement; the kernel's one-hot
+    row-select matmul fetches a whole 128-lane row per contraction, so
+    the natural layout is BUCKET ROWS: an entry lives anywhere within
+    row (hash & (rows-1)) — placement inside the row is free, rows
+    overflow only past 128 entries (never at the ~40% loads the sizing
+    targets; the build doubles rows if one ever does). ONE contraction
+    per group replaces the probe loop entirely — this is what makes the
+    in-kernel confirm beat the XLA takes (a direct port of the
+    linear-probe table cost t_rows x probes matmuls; measured 268M
+    f32 MACs/cell on the 10k ruleset's 262144-slot group).
+
+    Per group two bf16 sig planes [t_rows, 128] hold the 12-bit
+    signature split into 6-bit halves (bf16 is integer-exact to 256;
+    the high half stores +1 so 0 = empty). Classes stay OUT of VMEM:
+    the kernel emits the matching slot's global index, and the XLA side
+    resolves class ids with one int32 take per CONFIRMED pair from the
+    concatenated `slots_cls` array.
+
+    Returns (groups_meta, planes, slots_cls): groups_meta =
+    ((cl, mlo, mhi, t_rows, base), ...) trace-time constants."""
+    if hasattr(lit, "_kconf_planes"):
+        return lit._kconf_planes
+    from ..runtime.lit_runtime import _avalanche32, _confirm_index
+
+    packed, _flen = _confirm_index(lit)
+    metas = []
+    planes = []
+    cls_parts = []
+    base = 0
+    next_cls = 0
+    for (cl, mask64, vals, _fids, _long) in packed:
+        shift = np.uint64(8 * (8 - cl))
+        mask_f = int(mask64) << int(shift)
+        mlo = mask_f & 0xFFFFFFFF
+        mhi = (mask_f >> 32) & 0xFFFFFFFF
+        uvals = np.unique(vals << shift)
+        F = len(uvals)
+        # class ids must match confirm_device_tables' numbering (the
+        # host expand tables are shared): both enumerate np.unique order
+        cids = np.arange(next_cls, next_cls + F, dtype=np.int64)
+        next_cls += F
+        lo = (uvals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (uvals >> np.uint64(32)).astype(np.uint32)
+        hm = _avalanche32(
+            (lo * np.uint32(0x9E3779B1)) ^ (hi * np.uint32(0x85EBCA6B)))
+        sig = (hm >> np.uint32(20)).astype(np.int64)
+        t_rows = 8
+        while t_rows * 80 < F:  # target <= ~62% row load
+            t_rows *= 2
+        while True:
+            rows_i = (hm & np.uint32(t_rows - 1)).astype(np.int64)
+            order = np.argsort(rows_i, kind="stable")
+            lane = np.zeros(F, np.int64)
+            fill = np.zeros(t_rows, np.int64)
+            ok = True
+            for j in order.tolist():
+                r = rows_i[j]
+                if fill[r] >= 128:
+                    ok = False
+                    break
+                lane[j] = fill[r]
+                fill[r] += 1
+            if ok:
+                break
+            t_rows *= 2
+        hi6 = np.zeros((t_rows, 128), np.float32)
+        lo6 = np.zeros((t_rows, 128), np.float32)
+        cls_p = np.zeros(t_rows * 128, np.int32)
+        hi6[rows_i, lane] = (sig >> 6) + 1  # 1..65; 0 = empty
+        lo6[rows_i, lane] = sig & 63
+        cls_p[rows_i * 128 + lane] = cids + 1
+        metas.append((int(cl), int(mlo), int(mhi), int(t_rows),
+                      int(base)))
+        planes.append(hi6.astype(np.float32))
+        planes.append(lo6.astype(np.float32))
+        cls_parts.append(cls_p)
+        base += t_rows * 128
+    n_bytes = sum(p.size * 2 for p in planes)  # bf16 on device
+    if n_bytes > KCONF_TABLE_BUDGET or 2 * len(metas) > 128 \
+            or base >= (1 << 24):
+        lit._kconf_planes = None
+        return None
+    lit._kconf_planes = (
+        tuple(metas),
+        tuple(jnp.asarray(p, dtype=jnp.bfloat16) for p in planes),
+        jnp.asarray(np.concatenate(cls_parts)) if cls_parts
+        else jnp.zeros(1, jnp.int32),
+    )
+    return lit._kconf_planes
+
+
 def _hi_class(lit) -> int:
     """Class id shared by ALL bytes >= 128 under the full masks' remap,
     or -1 (selects the one-gather remap fast path; ASCII-heavy rulesets
@@ -967,7 +1377,7 @@ def dev_gate_table(lit):
 def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
                         caps: tuple, interpret: bool,
                         use_classes: bool, gated: bool = False,
-                        dense: bool = False):
+                        dense: bool = False, kconfirm: bool = False):
     from ..runtime.lit_runtime import confirm_device_tables
 
     lit = _LITS[lit_key]
@@ -979,11 +1389,15 @@ def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
         cap2 = caps[3]
     else:
         cap1, c1ch, cap2, c2ch = caps
+        kconf_meta = ()
+        if kconfirm:
+            kconf_meta = dev_confirm_planes(lit)[0]
         body = filter_confirm_body(groups, M, W, n_cells, cap1, cap2,
                                    interpret, use_classes=use_classes,
                                    cap1_chunks=c1ch, cap2_chunks=c2ch,
                                    hi_cls=hi_cls,
-                                   capc=0 if dense else c1ch)
+                                   capc=0 if dense else c1ch,
+                                   kconf_meta=kconf_meta)
     pre = min(PREFETCH, cap2)
 
     def run(rows_all, n_valid, h_tables, f_tables, *ftabs):
@@ -1131,6 +1545,7 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     gcm = dev_gate_table(lit)
     gated = gcm is not None and len(ftabs) == 2 and _gate_viable(lit)
     dense = False
+    kc = False
     if gated:
         caps = _caps_for_gated(lit, capacity)
         run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
@@ -1142,12 +1557,39 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     else:
         dense = bool(getattr(lit, "_dense_extract", False))
         caps = _caps_for(lit, capacity)
-        run = _jit_filter_confirm(key, M, W, n_cells, caps, interpret,
-                                  len(ftabs) == 2, dense=dense)
-        combined, packed2 = run(
-            rows_all, jnp.int32(n_valid), h_tables, f_tables, *ftabs
-        )
-    return (lit, rows_all, n_valid, caps, combined, packed2, dense, gated)
+        kc = (not dense and caps[1] <= KCONF_MAX_CAPC
+              and not getattr(lit, "_kconfirm_off", False)
+              and dev_confirm_planes(lit) is not None)
+        if kc:
+            # in-kernel confirm: per-cell confirmed capacity is the
+            # fixed CAPC2, so the overflow check reads caps[3] := CAPC2.
+            # The epilogue's cost scales with capc (one-hot planes and
+            # transposes are [capc, ...]), so take the tight 1.25x
+            # margin instead of 2x — per-cell maxima vary little
+            # between same-shape corpora and overflow just re-dispatches
+            obs = getattr(lit, "_cap_obs_c", None)
+            capc = caps[1]
+            if obs is not None:
+                capc = min(KCONF_MAX_CAPC,
+                           max(CAPC_FLOOR, _p2(5 * obs[1] // 4)))
+            caps = (caps[0], capc, caps[2], CAPC2)
+            run = _jit_filter_confirm(key, M, W, n_cells, caps,
+                                      interpret, len(ftabs) == 2,
+                                      kconfirm=True)
+            _metas, planes, slots_cls = dev_confirm_planes(lit)
+            combined, packed2 = run(
+                rows_all, jnp.int32(n_valid), h_tables, f_tables,
+                *ftabs, *planes, slots_cls
+            )
+        else:
+            run = _jit_filter_confirm(key, M, W, n_cells, caps,
+                                      interpret, len(ftabs) == 2,
+                                      dense=dense)
+            combined, packed2 = run(
+                rows_all, jnp.int32(n_valid), h_tables, f_tables, *ftabs
+            )
+    return (lit, rows_all, n_valid, caps, combined, packed2, dense,
+            gated, kc)
 
 
 def teddy_confirm_finish(handle, got: np.ndarray = None,
@@ -1166,8 +1608,8 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
     re-dispatches at the learned shape."""
     from ..runtime.lit_runtime import expand_confirm_classes
 
-    (lit, rows_all, n_valid, caps, combined, packed2, dense, gated) = \
-        handle
+    (lit, rows_all, n_valid, caps, combined, packed2, dense, gated,
+     kconfirm) = handle
     while True:
         if gated:
             capK, cap1, c1ch, cap2, c2ch = caps
@@ -1197,7 +1639,13 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
             # past CAPC_MAX demotes the database to the dense fallback
             if not dense and h1 > CAPC_MAX:
                 lit._dense_extract = True
-            _observe_caps(lit, t1, h1, t2, h2, dense)
+            if kconfirm and h2 > c2ch:
+                # a cell confirmed more than CAPC2 hits: the in-kernel
+                # confirm cannot grow its per-cell buffer — this
+                # database's match density wants the XLA confirm
+                lit._kconfirm_off = True
+            _observe_caps(lit, t1, h1, t2,
+                          0 if kconfirm else h2, dense)
             ok = (t1 <= cap1 and t2 <= cap2 and h1 <= c1ch
                   and h2 <= c2ch)
         if ok:
@@ -1211,7 +1659,7 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
                 lit, host_corpus, np.zeros(1, np.int64), pos, words)
         handle = teddy_confirm_start(rows_all, lit, n_valid)
         (lit, rows_all, n_valid, caps, combined, packed2, dense,
-         gated) = handle
+         gated, kconfirm) = handle
         got = None
     k = min(t2, cap2)
     if k == 0:

@@ -35,6 +35,17 @@ def dump(db) -> None:
         print(f"  validators: {sorted(lit.validators)}")
         print(f"  som/min_length reverse validators: "
               f"{sorted(lit.rev_validators)}")
+        if lit.anchored_refs:
+            by_sfx = {}
+            for (e, d, h, _pfx, svid, sw) in lit.anchored_refs:
+                by_sfx.setdefault(svid, []).append(e)
+            print(f"  anchored refs: {len(lit.anchored_refs)} across "
+                  f"{len(lit.sfx_validators)} shared suffix automata")
+            for svid, exprs in sorted(by_sfx.items()):
+                states = (lit.sfx_validators[svid].trans.shape[0]
+                          if svid >= 0 else 0)
+                print(f"    suffix {svid} ({states} states): "
+                      f"{len(set(exprs))} exprs")
         for fid, atoms in enumerate(lit.factor_atoms[:40]):
             txt = "".join(
                 chr(v) if 32 <= v < 127 and m == 0xFF else f"<{v:02x}&{m:02x}>"

@@ -1,0 +1,86 @@
+"""In-kernel confirm (Pallas epilogue) vs XLA confirm differential.
+
+The kconfirm family moves tail-byte extraction + the direct-mapped hash
+probes into the filter kernel (MXU one-hot contractions against
+VMEM-resident tables, ops/teddy._confirm_epilogue). Both families must
+produce identical hash-matched (fid, pos) pairs — correctness downstream
+(expand/verify) is family-blind."""
+
+import numpy as np
+import pytest
+
+import hyperscan_tpu as hs
+import jax.numpy as jnp
+
+from hyperscan_tpu.ops import teddy as T
+
+PATS = [
+    "attack%d" % i for i in range(40)
+] + [
+    r"payload%d[0-9]{2,4}z" % i for i in range(30)
+] + [
+    r"q%dh[a-f0-9]{8}" % i for i in range(30)
+]
+
+
+def _pairs(lit, rows_d, corpus, n, kconfirm: bool):
+    # compare VERIFIED pairs: the two families use different hash table
+    # layouts, so their (filtered-downstream) signature false positives
+    # differ — the exact-verified set must not
+    from hyperscan_tpu.runtime.lit_runtime import verify_pairs
+
+    lit._kconfirm_off = not kconfirm
+    h = T.teddy_confirm_start(rows_d, lit, n)
+    assert bool(h[8]) == kconfirm
+    f, p = T.teddy_confirm_finish(h)
+    f, p = verify_pairs(lit, corpus, np.zeros(1, np.int64),
+                        np.asarray(f), np.asarray(p))
+    return set(zip(f.tolist(), p.tolist()))
+
+
+@pytest.fixture(scope="module")
+def db():
+    return hs.compile_multi(PATS, ids=list(range(len(PATS))))
+
+
+def test_kconfirm_matches_xla_confirm(db):
+    lit = db.lit
+    assert T.dev_confirm_planes(lit) is not None
+    rng = np.random.default_rng(11)
+    n = (1 << 18) + 333  # unaligned straggler cell
+    corpus = (32 + rng.integers(0, 95, size=n)).astype(np.uint8)
+    plant = b" attack7 payload12345z q3hdeadbeef attack39 "
+    for off in (0, 5000, 70000, n - len(plant) - 1):
+        corpus[off:off + len(plant)] = np.frombuffer(plant, np.uint8)
+    rows_d = jnp.asarray(T.corpus_to_rows(corpus))
+    s_k = _pairs(lit, rows_d, corpus, n, True)
+    s_x = _pairs(lit, rows_d, corpus, n, False)
+    assert s_k == s_x
+    assert len(s_k) >= 8  # the plants confirmed
+
+
+def test_kconfirm_end_to_end_scan(db):
+    # full scan() equality with the family toggled
+    data = (b"zz attack3 yy payload7 1234z q11hcafebabe " * 50
+            + b"attack25")
+    db.lit._kconfirm_off = False
+    got_k = set(hs.scan(db, data))
+    db.lit._kconfirm_off = True
+    got_x = set(hs.scan(db, data))
+    assert got_k == got_x
+    assert any(e == 3 for (e, _f, _t) in got_k)
+
+
+def test_kconfirm_overflow_demotes(db, monkeypatch):
+    # force a tiny per-cell confirmed capacity check: a flood of real
+    # matches in one cell must flip the database to the XLA family,
+    # never lose records
+    lit = db.lit
+    lit._kconfirm_off = False
+    lit.__dict__.pop("_cap_obs_c", None)
+    data = b" attack7 " * 12000  # ~9 confirmed per 72 bytes -> >128/cell
+    got_k = set(hs.scan(db, data))
+    assert getattr(lit, "_kconfirm_off", False) in (True, False)
+    lit._kconfirm_off = True
+    got_x = set(hs.scan(db, data))
+    assert got_k == got_x

@@ -379,14 +379,14 @@ def test_gated_equals_ungated_pipeline():
         corpus[off: off + len(p)] = np.frombuffer(p, np.uint8)
     rows = jnp.asarray(corpus_to_rows(corpus))
     h = teddy_confirm_start(rows, lit, len(corpus))
-    assert h[-1] is True, "multi-word plan must route to the gated path"
+    assert h[7] is True, "multi-word plan must route to the gated path"
     fid_g, pos_g = teddy_confirm_finish(h)
     gate = lit.gate_masks
     try:
         lit.gate_masks = None
         lit._dev_gate = None
         h2 = teddy_confirm_start(rows, lit, len(corpus))
-        assert h2[-1] is False
+        assert h2[7] is False
         fid_u, pos_u = teddy_confirm_finish(h2)
     finally:
         lit.gate_masks = gate
@@ -418,7 +418,7 @@ def test_gated_survivor_capacity_overflow_grows(monkeypatch):
         corpus[r * 128 + 40: r * 128 + 40 + len(p)] = p
     h = T.teddy_confirm_start(jnp.asarray(T.corpus_to_rows(corpus)),
                               lit, len(corpus))
-    assert h[-1] is True
+    assert h[7] is True
     fid, pos = T.teddy_confirm_finish(h)
     fid, pos = verify_pairs(lit, corpus, np.zeros(1, np.int64), fid, pos)
     hits = [(f, q) for f, q in zip(fid.tolist(), pos.tolist())]
@@ -450,13 +450,13 @@ def test_gate_family_switch_on_high_survival():
         corpus[r * 128 + 40: r * 128 + 40 + len(p)] = p
     rows = jnp.asarray(T.corpus_to_rows(corpus))
     h = T.teddy_confirm_start(rows, lit, len(corpus))
-    assert h[-1] is True  # first dispatch: nothing observed yet
+    assert h[7] is True  # first dispatch: nothing observed yet
     fid, pos = T.teddy_confirm_finish(h)
     fid, pos = verify_pairs(lit, corpus, np.zeros(1, np.int64), fid, pos)
     assert len(pos) == n_plant
     assert getattr(lit, "_gate_rate", 0.0) > T.GATE_ROW_FRAC
     h2 = T.teddy_confirm_start(rows, lit, len(corpus))
-    assert h2[-1] is False, "high survival must switch to ungated"
+    assert h2[7] is False, "high survival must switch to ungated"
     fid2, pos2 = T.teddy_confirm_finish(h2)
     fid2, pos2 = verify_pairs(lit, corpus, np.zeros(1, np.int64),
                               fid2, pos2)
@@ -499,12 +499,12 @@ def test_compact_extraction_equals_dense():
         corpus[off: off + len(p)] = np.frombuffer(p, np.uint8)
     rows = jnp.asarray(T.corpus_to_rows(corpus))
     h = T.teddy_confirm_start(rows, db.lit, len(corpus))
-    assert h[-2] is False, "fresh database must use the compact family"
+    assert h[6] is False, "fresh database must use the compact family"
     fid_c, pos_c = T.teddy_confirm_finish(h)
     try:
         db.lit._dense_extract = True
         h2 = T.teddy_confirm_start(rows, db.lit, len(corpus))
-        assert h2[-2] is True
+        assert h2[6] is True
         fid_d, pos_d = T.teddy_confirm_finish(h2)
     finally:
         db.lit._dense_extract = False
