@@ -193,6 +193,7 @@ def _t_col(v, n: int):
     eye = (i0 == i1).astype(jnp.float32)
     return jax.lax.dot_general(
         eye, v, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [n, 1]
 
 
@@ -203,6 +204,7 @@ def _t_row(v, n: int):
     eye = (i0 == i1).astype(jnp.float32)
     return jax.lax.dot_general(
         v, eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [1, n]
 
 
@@ -276,16 +278,27 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
     # sixteen one-hot mul-reduce passes — the epilogue is VPU-pass-bound
     # and each [capc, 128] pass costs ~capc/8 vreg-rows
     # (Mosaic lowers take_along_axis only with a full-shape index plane)
-    kf = jax.lax.broadcasted_iota(jnp.int32, (capc, 128), 1)
-    rel = lane - jnp.minimum(kf, 7)  # lanes 0..7 = the 8 tail offsets
-    cur8 = jnp.take_along_axis(cur, jnp.maximum(rel, 0), axis=1)
-    prev8 = jnp.take_along_axis(prev, rel & 127, axis=1)
-    tbm = jnp.where(rel >= 0, cur8, prev8)[:, :8]  # [capc, 8] f32
+    if _os.environ.get("HS_KCONF_TAILS", "gather") == "gather":
+        kf = jax.lax.broadcasted_iota(jnp.int32, (capc, 128), 1)
+        rel = lane - jnp.minimum(kf, 7)  # lanes 0..7 = the tail offsets
+        cur8 = jnp.take_along_axis(cur, jnp.maximum(rel, 0), axis=1)
+        prev8 = jnp.take_along_axis(prev, rel & 127, axis=1)
+        tbm = jnp.where(rel >= 0, cur8, prev8)[:, :8]  # [capc, 8] f32
+    else:
+        lio0 = jax.lax.broadcasted_iota(jnp.int32, (capc, 128), 1)
+        tbc = []
+        for k in range(8):
+            oc = (lio0 == (lane - k)).astype(jnp.float32)
+            op = (lio0 == (128 + (lane - k))).astype(jnp.float32)
+            tbc.append(jnp.sum(cur * oc + prev * op, axis=1,
+                               keepdims=True))
+        tbm = jnp.concatenate(tbc, axis=1)  # [capc, 8] f32
     i0c = jax.lax.broadcasted_iota(jnp.int32, (capc, capc), 0)
     i1c = jax.lax.broadcasted_iota(jnp.int32, (capc, capc), 1)
     eye_c = (i0c == i1c).astype(jnp.float32)
     tbT = jax.lax.dot_general(
         tbm, eye_c, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [8, capc]
     tb = [tbT[k:k + 1, :].astype(jnp.int32).astype(jnp.uint32)
           for k in range(8)]  # each [1, capc]
@@ -296,12 +309,14 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
                < count.astype(jnp.int32))  # [1, capc]
     if _KCONF_STAGE == 1:
         # keep the tail stage live: fold the words into the dummy count
-        dummy = jnp.sum((lo_w ^ hi_w).astype(jnp.float32) % 7.0,
-                        keepdims=True).reshape(1, 1)
-        return _early(count, dummy % 2.0)
+        dummy = jnp.max((lo_w ^ hi_w).astype(jnp.int32) & 1,
+                        axis=1, keepdims=True)
+        return _early(count, dummy)
 
     overflow = jnp.zeros((1, 1), jnp.int32)
     lio = jax.lax.broadcasted_iota(jnp.int32, (capc, 128), 1)
+    _dbg_gi = int(_os.environ.get("HS_KCONF_DEBUG", "0") or "0")
+    _dbg_row = _dbg_sig = _dbg_m = jnp.zeros((1, capc), jnp.float32)
     cls_cols = []  # each [capc, 1] f32: matched global slot index + 1
     for gi, (cl, mlo, mhi, t_rows, base) in enumerate(groups_meta):
         lo = lo_w & jnp.uint32(mlo)
@@ -312,7 +327,7 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
         hu = hu * jnp.uint32(0x2C1B3C6D)
         hu = hu ^ (hu >> 13)
         row_r = (hu & jnp.uint32(t_rows - 1)).astype(jnp.int32)
-        sig_r = (hu >> 20).astype(jnp.int32)  # [1, capc] 12-bit
+        sig_r = (hu >> 16).astype(jnp.int32)  # [1, capc] 16-bit
         okf = (alive_r & (abs_pos_r >= cl - 1)).astype(jnp.int32)
         # one transpose back to column form for the row-select compares
         pack = jnp.concatenate(
@@ -320,6 +335,7 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
              okf.astype(jnp.float32)], axis=0)  # [3, capc]
         packT = jax.lax.dot_general(
             eye_c, pack, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # [capc, 3]
         row_g = packT[:, 0:1].astype(jnp.int32)
         sig = packT[:, 1:2].astype(jnp.int32)
@@ -333,8 +349,8 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
         sel_lo = jax.lax.dot_general(
             ohT, tab_refs[2 * gi + 1][...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m = ok_g & (sel_hi.astype(jnp.int32) == ((sig >> 6) + 1)) \
-            & (sel_lo.astype(jnp.int32) == (sig & 63))  # [capc, 128]
+        m = ok_g & (sel_hi.astype(jnp.int32) == ((sig >> 8) + 1)) \
+            & (sel_lo.astype(jnp.int32) == (sig & 255))  # [capc, 128]
         mi = m.astype(jnp.int32)
         cnt = jnp.sum(mi, axis=1, keepdims=True)  # sig matches in row
         overflow = jnp.maximum(overflow, jnp.max(cnt) - 2)
@@ -343,6 +359,10 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
         # scan re-runs on the XLA confirm family)
         lane1 = jnp.min(jnp.where(m, lio, 128), axis=1, keepdims=True)
         lane2 = jnp.max(jnp.where(m, lio, -1), axis=1, keepdims=True)
+        if _os.environ.get("HS_KCONF_DEBUG") and gi == _dbg_gi:
+            _dbg_row = _t_row(packT[:, 0:1], capc)  # round-tripped row
+            _dbg_sig = _t_row(packT[:, 1:2], capc)  # round-tripped sig
+            _dbg_m = _t_row(cnt.astype(jnp.float32), capc)
         gidx1 = base + row_g * 128 + lane1 + 1  # global slot index + 1
         gidx2 = base + row_g * 128 + lane2 + 1
         cls_cols.append(jnp.where(
@@ -370,12 +390,14 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
     ohg = (gio == grow).astype(jnp.float32)
     selg = jax.lax.dot_general(
         ohg, grid, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [CAPC2, 128]
     lio2 = jax.lax.broadcasted_iota(jnp.int32, (CAPC2, 128), 1)
     ohl2 = (lio2 == glane).astype(jnp.float32)
     cls_q = jnp.sum(selg * ohl2, axis=1, keepdims=True)  # [CAPC2, 1]
     pos_q = jax.lax.dot_general(
         ohg, pos_c, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [CAPC2, 1]
     cls_row = _t_row(jnp.where(qok, cls_q, 0.0), CAPC2).astype(jnp.int32)
     pos_row = _t_row(jnp.where(qok, pos_q, 0.0), CAPC2).astype(jnp.int32)
@@ -388,6 +410,17 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
     counts_row = jnp.where(
         lane_sel == 0, count.astype(jnp.int32),
         jnp.where(lane_sel == 1, conf_rep, 0))
+    if _os.environ.get("HS_KCONF_DEBUG"):
+        # dump intermediates into the spare rows (dev-only bisect aid)
+        dbg = [
+            tbT[0:1, :128].astype(jnp.int32),           # byte at pos
+            tbT[7:8, :128].astype(jnp.int32),           # byte at pos-7
+            (_dbg_row.astype(jnp.int32))[:, :128],      # dbg-group row_g
+            (_dbg_sig.astype(jnp.int32))[:, :128],      # dbg-group sig
+            (_dbg_m.astype(jnp.int32))[:, :128],        # dbg-group cnt
+        ]
+        return jnp.concatenate(
+            [counts_row, pos_row, cls_row] + dbg, axis=0)
     return jnp.concatenate(
         [counts_row, pos_row, cls_row, jnp.zeros((5, 128), jnp.int32)],
         axis=0)  # [8, 128]
@@ -408,7 +441,10 @@ def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1,
     the candidates in-kernel (see _confirm_epilogue) — the kernel then
     takes two extra f32 table refs per group."""
     def kernel(halo_ref, body_ref, b2c_ref, cmasks_ref, *rest):
-        tab_refs, out_c = rest[:-1], rest[-1]
+        if kconf:
+            tab_refs, out_c = rest[:-2], (rest[-2], rest[-1])
+        else:
+            tab_refs, out_c = rest[:-1], rest[-1]
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
         ).astype(jnp.int32)  # [R+1, 128]
@@ -431,9 +467,13 @@ def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1,
         for w in range(1, W):
             cand_or = cand_or | acc[w]
         if kconf:
+            out_c, plane_c = out_c
             cell_base = pl.program_id(0) * (R * 128)
             out_c[...] = _confirm_epilogue(
                 data, cand_or, R, capc, kconf, tab_refs, cell_base)
+            # candidacy plane sidecar: cells whose candidate count
+            # exceeds capc re-confirm on the XLA stage (kconf_combine)
+            plane_c[...] = (cand_or != 0).astype(jnp.uint8)
         elif capc:
             out_c[...] = _compact_epilogue(cand_or, R, capc)
         else:
@@ -516,7 +556,10 @@ def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0,
     gather result (W rolls), so the kernel's vector-op count is dominated
     by the irreducible M*W*2 table gathers."""
     def kernel(halo_ref, body_ref, masks_ref, *rest):
-        tab_refs, out_c = rest[:-1], rest[-1]
+        if kconf:
+            tab_refs, out_c = rest[:-2], (rest[-2], rest[-1])
+        else:
+            tab_refs, out_c = rest[:-1], rest[-1]
         data = jnp.concatenate(
             [halo_ref[0:1, :], body_ref[...]], axis=0
         ).astype(jnp.int32)  # [R+1, 128]
@@ -551,9 +594,11 @@ def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0,
         for w in range(1, W):
             cand_or = cand_or | acc[w]
         if kconf:
+            out_c, plane_c = out_c
             cell_base = pl.program_id(0) * (R * 128)
             out_c[...] = _confirm_epilogue(
                 data, cand_or, R, capc, kconf, tab_refs, cell_base)
+            plane_c[...] = (cand_or != 0).astype(jnp.uint8)
         elif capc:
             out_c[...] = _compact_epilogue(cand_or, R, capc)
         else:
@@ -879,18 +924,25 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                          memory_space=pltpu.VMEM),
         ] + tab_specs
         if kconf_meta:
-            out = pl.pallas_call(
+            out, plane = pl.pallas_call(
                 kernel,
                 interpret=interpret,
                 grid=(n_cells,),
-                out_shape=jax.ShapeDtypeStruct(
-                    (n_cells * 8, 128), jnp.int32),
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_cells * 8, 128), jnp.int32),
+                    jax.ShapeDtypeStruct((n_cells * R, 128), jnp.uint8),
+                ],
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM),
+                out_specs=[
+                    pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
             )(rows_all, body, *ftabs, *kplanes)
             meta, packed2 = kconf_combine(
-                out, n_cells, R, cap2, n_valid, slots_cls)
+                out, plane, rows_all, groups, h_tables, f_tables,
+                n_cells, R, capc, cap2, n_valid, slots_cls)
             return meta, packed2
         if capc:
             cp_rows = _capc_rows(capc)
@@ -939,20 +991,38 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
     return run
 
 
-def kconf_combine(out, n_cells: int, R: int, cap2: int, n_valid,
+# sidecar capacities (static: one extra jit shape would cost minutes
+# through the dev tunnel; overflow bumps capc instead — see finish)
+SC_CAP = 1024
+SC_CH = 256
+SC_CAP2 = 512
+SC_CH2 = 128
+
+
+def kconf_combine(out, plane, rows_all, groups, h_tables, f_tables,
+                  n_cells: int, R: int, capc: int, cap2: int, n_valid,
                   slots_cls):
     """XLA-side combine for the in-kernel-confirm family: gather the
     per-cell confirmed (pos, slot-index) pairs into one cap2-sized
     packed buffer and resolve slot indexes to class ids (one int32 take
     per CONFIRMED pair against the concatenated bucket-row class
     array). Work here is proportional to cap2 (the learned CONFIRMED
-    load, ~matches + ~1/4096 signature false positives) — at iid noise
-    that is ~100x below the candidate load the XLA confirm used to pay
-    per-take for.
+    load, ~matches + ~1/65536-per-row-entry signature false positives)
+    — at iid noise that is ~100x below the candidate load the XLA
+    confirm used to pay per-take for.
 
-    Returns (meta [4] = (cand_total, cand_max_cell, conf_total,
-    conf_max_cell), packed [3, cap2] = (slot, cls, abs_pos)) matching
-    the _hash_confirm_stage contract consumed by teddy_confirm_finish."""
+    Overflow-cell SIDECAR: capc is sized to ~2x the MEAN cell load (the
+    epilogue's cost scales with capc, and sizing it to the hottest cell
+    taxes every cell for one dense region). Cells whose candidate count
+    exceeds capc re-confirm through the classic extract + XLA hash
+    stage, reading the kernel's candidacy-plane output masked to those
+    cells — the first capc candidates confirm twice, which only
+    duplicates (cls, pos) pairs the downstream set-dedupe absorbs.
+
+    Returns (meta [6] = (cand_total, cand_max_cell, conf_total,
+    conf_max_cell, sidecar_positions, sidecar_confirmed), packed
+    [3, cap2 + SC_CAP2]) matching the contract consumed by
+    teddy_confirm_finish (hdr=6)."""
     out3 = out.reshape(n_cells, 8, 128)
     cell_idx = jnp.arange(n_cells, dtype=jnp.int32)
     cellok = cell_idx * (R * 128) < n_valid
@@ -979,9 +1049,27 @@ def kconf_combine(out, n_cells: int, R: int, cap2: int, n_valid,
                      jnp.maximum(gv - 1, 0), axis=0)  # class id + 1
     cls_v = jnp.where(have, cls_v, 0)
     pos_abs = jnp.where(have, pos_abs, 0)
+    # sidecar: candidacy plane masked to overflowing cells
+    flagged = (cand_c > capc).astype(jnp.uint8)  # [n_cells]
+    rowflag = jnp.repeat(flagged, R)  # [n_cells * R]
+    masked = plane * rowflag[:, None]
+    meta_sc, packed_sc = sparse_extract(
+        [], n_valid, SC_CAP, SC_CH, nz=masked.reshape(-1),
+        chunk=EXTRACT_CHUNK)
+    pos_sc = packed_sc[0]
+    have_sc = (jnp.arange(SC_CAP, dtype=jnp.int32)
+               < jnp.minimum(meta_sc[0], SC_CAP))
+    meta2_sc, packed2_sc = _hash_confirm_stage(
+        groups, rows_all, pos_sc, have_sc, h_tables, f_tables,
+        SC_CAP, SC_CAP2, SC_CH2)
     meta2 = jnp.stack([total2, jnp.max(conf_raw)])
-    meta = jnp.concatenate([meta1, meta2])
-    packed2 = jnp.stack([slot, cls_v, pos_abs])
+    # sidecar totals AND hit-chunk counts: sparse_extract silently clamps
+    # past cap_chunks, so both dimensions must be overflow-checked
+    meta = jnp.concatenate(
+        [meta1, meta2,
+         jnp.stack([meta_sc[0], meta_sc[1], meta2_sc[0], meta2_sc[1]])])
+    packed2 = jnp.concatenate(
+        [jnp.stack([slot, cls_v, pos_abs]), packed2_sc], axis=1)
     return meta, packed2
 
 
@@ -1293,7 +1381,7 @@ def dev_confirm_planes(lit):
         hi = (uvals >> np.uint64(32)).astype(np.uint32)
         hm = _avalanche32(
             (lo * np.uint32(0x9E3779B1)) ^ (hi * np.uint32(0x85EBCA6B)))
-        sig = (hm >> np.uint32(20)).astype(np.int64)
+        sig = (hm >> np.uint32(16)).astype(np.int64)
         t_rows = 8
         while t_rows * 80 < F:  # target <= ~62% row load
             t_rows *= 2
@@ -1316,8 +1404,8 @@ def dev_confirm_planes(lit):
         hi6 = np.zeros((t_rows, 128), np.float32)
         lo6 = np.zeros((t_rows, 128), np.float32)
         cls_p = np.zeros(t_rows * 128, np.int32)
-        hi6[rows_i, lane] = (sig >> 6) + 1  # 1..65; 0 = empty
-        lo6[rows_i, lane] = sig & 63
+        hi6[rows_i, lane] = (sig >> 8) + 1  # 1..256; 0 = empty
+        lo6[rows_i, lane] = sig & 255
         cls_p[rows_i * 128 + lane] = cids + 1
         metas.append((int(cl), int(mlo), int(mhi), int(t_rows),
                       int(base)))
@@ -1404,10 +1492,13 @@ def _jit_filter_confirm(lit_key: int, M: int, W: int, n_cells: int,
         meta, packed2 = body(rows_all, n_valid, h_tables, f_tables,
                              *ftabs)
         # ship meta + a pair prefix in ONE buffer: scans whose confirmed
-        # set fits the prefix finish in a single ~30ms fetch round trip
-        combined = jnp.concatenate(
-            [meta, packed2[:, :pre].reshape(-1)]
-        )
+        # set fits the prefix finish in a single ~30ms fetch round trip.
+        # The kconfirm family's sidecar band [cap2, cap2+SC_CAP2) rides
+        # along whole (6 KB) so an active sidecar costs no extra trip.
+        parts = [meta, packed2[:, :pre].reshape(-1)]
+        if kconfirm:
+            parts.append(packed2[:, cap2:].reshape(-1))
+        combined = jnp.concatenate(parts)
         return combined, packed2
 
     return jax.jit(run)
@@ -1563,15 +1654,18 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
         if kc:
             # in-kernel confirm: per-cell confirmed capacity is the
             # fixed CAPC2, so the overflow check reads caps[3] := CAPC2.
-            # The epilogue's cost scales with capc (one-hot planes and
-            # transposes are [capc, ...]), so take the tight 1.25x
-            # margin instead of 2x — per-cell maxima vary little
-            # between same-shape corpora and overflow just re-dispatches
-            obs = getattr(lit, "_cap_obs_c", None)
+            # The epilogue's cost scales with capc (its one-hot planes
+            # and transposes are [capc, ...]), so capc sizes to ~2.2x
+            # the MEAN cell load, not the hottest cell — overflowing
+            # cells re-confirm through the XLA sidecar (kconf_combine),
+            # and a sidecar overflow bumps _kc_force_capc (finish)
+            mean = getattr(lit, "_kc_mean", None)
             capc = caps[1]
-            if obs is not None:
+            if mean is not None:
                 capc = min(KCONF_MAX_CAPC,
-                           max(CAPC_FLOOR, _p2(5 * obs[1] // 4)))
+                           max(32, _p2(int(2.2 * mean) + 1)))
+            capc = min(KCONF_MAX_CAPC,
+                       max(capc, getattr(lit, "_kc_force_capc", 0)))
             caps = (caps[0], capc, caps[2], CAPC2)
             run = _jit_filter_confirm(key, M, W, n_cells, caps,
                                       interpret, len(ftabs) == 2,
@@ -1616,7 +1710,7 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
             hdr = 6
         else:
             cap1, c1ch, cap2, c2ch = caps
-            capK, hdr = 0, 4
+            capK, hdr = 0, (8 if kconfirm else 4)
         pre = min(PREFETCH, cap2)
         if got is None:
             got = np.asarray(combined)  # ONE fetch: meta + pair prefix
@@ -1639,15 +1733,39 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
             # past CAPC_MAX demotes the database to the dense fallback
             if not dense and h1 > CAPC_MAX:
                 lit._dense_extract = True
-            if kconfirm and h2 > c2ch:
-                # a cell confirmed more than CAPC2 hits: the in-kernel
-                # confirm cannot grow its per-cell buffer — this
-                # database's match density wants the XLA confirm
-                lit._kconfirm_off = True
             _observe_caps(lit, t1, h1, t2,
                           0 if kconfirm else h2, dense)
-            ok = (t1 <= cap1 and t2 <= cap2 and h1 <= c1ch
-                  and h2 <= c2ch)
+            if kconfirm:
+                n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
+                mean = t1 / max(1, n_cells)
+                lit._kc_mean = max(getattr(lit, "_kc_mean", 0.0), mean)
+                if h2 > c2ch:
+                    # a cell confirmed more than CAPC2 hits: the
+                    # in-kernel confirm cannot grow its per-cell
+                    # buffer — this match density wants the XLA confirm
+                    lit._kconfirm_off = True
+                t_sc, h_sc = int(got[4]), int(got[5])
+                sc2, h_sc2 = int(got[6]), int(got[7])
+                # candidate overflow per cell is HANDLED (sidecar); ok
+                # requires the sidecar itself stayed within its static
+                # capacities (totals AND hit-chunk counts — extraction
+                # clamps silently past either) and the confirmed sets fit
+                sc_ok = (t_sc <= SC_CAP and h_sc <= SC_CH
+                         and sc2 <= SC_CAP2 and h_sc2 <= SC_CH2)
+                ok = t2 <= cap2 and h2 <= c2ch and sc_ok
+                if not ok and not sc_ok:
+                    # too many overflow cells at this capc: grow capc
+                    # toward the hottest cell; a db already at the cap
+                    # falls back to the XLA confirm family
+                    force = min(KCONF_MAX_CAPC, _p2(5 * h1 // 4))
+                    if force <= getattr(lit, "_kc_force_capc", 0) \
+                            or force <= c1ch:
+                        lit._kconfirm_off = True
+                    else:
+                        lit._kc_force_capc = force
+            else:
+                ok = (t1 <= cap1 and t2 <= cap2 and h1 <= c1ch
+                      and h2 <= c2ch)
         if ok:
             break
         if host_corpus is not None:
@@ -1662,13 +1780,19 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
          gated, kconfirm) = handle
         got = None
     k = min(t2, cap2)
-    if k == 0:
+    sc2 = min(int(got[6]), SC_CAP2) if kconfirm else 0
+    if k + sc2 == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    pairs = got[hdr:].reshape(3, pre)[:, :min(k, pre)]
+    prefix = got[hdr:hdr + 3 * pre].reshape(3, pre)
+    parts = [prefix[:, :min(k, pre)]]
     if k > pre:
-        rest = np.asarray(packed2[:, pre:k])
-        pairs = np.concatenate([pairs, rest], axis=1)
+        parts.append(np.asarray(packed2[:, pre:k]))
+    if sc2:
+        # the sidecar band [cap2, cap2+SC_CAP2) rides in the prefix
+        sc_band = got[hdr + 3 * pre:].reshape(3, SC_CAP2)
+        parts.append(sc_band[:, :sc2])
+    pairs = np.concatenate(parts, axis=1)
     cls = pairs[1].astype(np.int64) - 1
     pos = pairs[2].astype(np.int64)
     keep = cls >= 0

@@ -71,6 +71,28 @@ def test_kconfirm_end_to_end_scan(db):
     assert any(e == 3 for (e, _f, _t) in got_k)
 
 
+def test_kconfirm_sidecar_hot_cell(db):
+    # a single dense cell must not force a big capc: overflowing cells
+    # re-confirm through the XLA sidecar — results identical either way
+    lit = db.lit
+    rng = np.random.default_rng(5)
+    n = 1 << 19
+    corpus = (32 + rng.integers(0, 95, size=n)).astype(np.uint8)
+    hot = b" attack7 payload3 55z q9hbeef01 " * 40  # ~120 hits, 1 cell
+    corpus[70000:70000 + len(hot)] = np.frombuffer(hot, np.uint8)
+    rows_d = jnp.asarray(T.corpus_to_rows(corpus))
+    lit._kc_mean = 1.0  # force a tiny capc so the hot cell overflows
+    lit.__dict__.pop("_kc_force_capc", None)
+    try:
+        s_k = _pairs(lit, rows_d, corpus, n, True)
+        s_x = _pairs(lit, rows_d, corpus, n, False)
+    finally:
+        lit.__dict__.pop("_kc_mean", None)
+        lit.__dict__.pop("_kc_force_capc", None)
+    assert s_k == s_x
+    assert len(s_k) >= 100
+
+
 def test_kconfirm_overflow_demotes(db, monkeypatch):
     # force a tiny per-cell confirmed capacity check: a flood of real
     # matches in one cell must flip the database to the XLA family,
