@@ -179,6 +179,8 @@ def _capc_rows(capc: int) -> int:
 
 
 CAPC2 = 128  # per-cell confirmed-hit capacity of the in-kernel confirm
+KCONF_MIN_MEAN = 4.0  # mean candidates/cell below which the XLA confirm
+# is cheaper than the kconfirm epilogue's flat per-cell cost
 KCONF_MAX_CAPC = 512  # beyond this the epilogue's [capc, T/128] one-hots
 # and [capc, capc] transposes stop fitting VMEM comfortably
 KCONF_TABLE_BUDGET = 6 << 20  # bytes of f32 hash-table planes in VMEM
@@ -1648,7 +1650,15 @@ def teddy_confirm_start(rows_all, lit, n_valid: int,
     else:
         dense = bool(getattr(lit, "_dense_extract", False))
         caps = _caps_for(lit, capacity)
-        kc = (not dense and caps[1] <= KCONF_MAX_CAPC
+        # the in-kernel confirm pays a flat per-cell epilogue and wins
+        # only at high candidate rates (XLA-confirm cost is ~35 takes
+        # per candidate SLOT; at low rates the learned cap1 is tiny and
+        # those takes are cheaper than the epilogue's VPU passes) — so
+        # it engages once the observed mean cell load crosses the line
+        mean = getattr(lit, "_kc_mean", None)
+        kc = ((getattr(lit, "_kconfirm_force", False)
+               or (mean is not None and mean >= KCONF_MIN_MEAN))
+              and not dense and caps[1] <= KCONF_MAX_CAPC
               and not getattr(lit, "_kconfirm_off", False)
               and dev_confirm_planes(lit) is not None)
         if kc:
@@ -1735,10 +1745,11 @@ def teddy_confirm_finish(handle, got: np.ndarray = None,
                 lit._dense_extract = True
             _observe_caps(lit, t1, h1, t2,
                           0 if kconfirm else h2, dense)
+            # mean cell load drives the kconfirm-vs-XLA family choice
+            n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
+            mean = t1 / max(1, n_cells)
+            lit._kc_mean = max(getattr(lit, "_kc_mean", 0.0), mean)
             if kconfirm:
-                n_cells = (rows_all.shape[0] - 1) // ROWS_PER_CELL
-                mean = t1 / max(1, n_cells)
-                lit._kc_mean = max(getattr(lit, "_kc_mean", 0.0), mean)
                 if h2 > c2ch:
                     # a cell confirmed more than CAPC2 hits: the
                     # in-kernel confirm cannot grow its per-cell

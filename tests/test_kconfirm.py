@@ -30,6 +30,7 @@ def _pairs(lit, rows_d, corpus, n, kconfirm: bool):
     from hyperscan_tpu.runtime.lit_runtime import verify_pairs
 
     lit._kconfirm_off = not kconfirm
+    lit._kconfirm_force = kconfirm
     h = T.teddy_confirm_start(rows_d, lit, n)
     assert bool(h[8]) == kconfirm
     f, p = T.teddy_confirm_finish(h)
@@ -64,6 +65,7 @@ def test_kconfirm_end_to_end_scan(db):
     data = (b"zz attack3 yy payload7 1234z q11hcafebabe " * 50
             + b"attack25")
     db.lit._kconfirm_off = False
+    db.lit._kconfirm_force = True
     got_k = set(hs.scan(db, data))
     db.lit._kconfirm_off = True
     got_x = set(hs.scan(db, data))
@@ -99,6 +101,7 @@ def test_kconfirm_overflow_demotes(db, monkeypatch):
     # never lose records
     lit = db.lit
     lit._kconfirm_off = False
+    lit._kconfirm_force = True
     lit.__dict__.pop("_cap_obs_c", None)
     data = b" attack7 " * 12000  # ~9 confirmed per 72 bytes -> >128/cell
     got_k = set(hs.scan(db, data))
