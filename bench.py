@@ -88,6 +88,7 @@ def _plant_region() -> np.ndarray:
 
 
 _HOST_CORPUS_CACHE = {}
+_GEN_SCRATCH = {}  # per-length (iota, v, tmp) uint32 work buffers
 _DEV_ROWS_CACHE = {}  # device corpora shared across configs (same formula)
 
 
@@ -104,13 +105,28 @@ def _gen_host(n: int, salt: int, kind: str = "structured") -> np.ndarray:
     corpora, doc/dev-reference/tools.rst:56-73)."""
     key = (n, salt, kind)
     if key not in _HOST_CORPUS_CACHE:
-        i = np.arange(n, dtype=np.uint32)
-        v = (i + np.uint32(salt * 1_000_003)) * np.uint32(2654435761)
+        # all elementwise work runs IN PLACE over cached scratch
+        # buffers: a fresh 2 GB numpy temporary costs 10-18 s of page
+        # faults on this VM (measured; the arithmetic itself is 0.4 s),
+        # and the naive expression allocates four of them per corpus
+        sc = _GEN_SCRATCH.get(n)
+        if sc is None:
+            sc = (np.arange(n, dtype=np.uint32),
+                  np.empty(n, np.uint32), np.empty(n, np.uint32))
+            _GEN_SCRATCH[n] = sc
+        iota, v, tmp = sc
+        np.add(iota, np.uint32(salt * 1_000_003), out=v)
+        np.multiply(v, np.uint32(2654435761), out=v)
         if kind == "iid":
-            v ^= v >> np.uint32(15)
-            v *= np.uint32(2246822519)
-        corpus = (32 + ((v >> np.uint32(16)) % np.uint32(95))).astype(
+            np.right_shift(v, 15, out=tmp)
+            np.bitwise_xor(v, tmp, out=v)
+            np.multiply(v, np.uint32(2246822519), out=v)
+        np.right_shift(v, 16, out=v)
+        # byte = 32 + (hi16 % 95) via a 64K LUT (uint32 modulo is slow)
+        lut = (32 + (np.arange(65536, dtype=np.uint32) % 95)).astype(
             np.uint8)
+        corpus = np.empty(n, np.uint8)
+        np.take(lut, v, out=corpus)
         corpus[128 : 128 + 4096] = _plant_region()
         _HOST_CORPUS_CACHE[key] = corpus
     return _HOST_CORPUS_CACHE[key]

@@ -88,7 +88,46 @@ def _class_split(masks: np.ndarray):
     return b2c, cmasks
 
 
-def _rank_select(cand, R: int, capc: int):
+@functools.lru_cache(maxsize=16)
+def _rank_consts(capc: int):
+    """Constant planes for the in-kernel rank/confirm stages:
+    (tri128, eye_capc, eye128) as numpy f32. Converted to traced
+    constants at kernel build time and handed to the kernel as VMEM
+    operands — building [R, R] triangular / identity planes from iotas
+    PER CELL costs ~1000 vreg-ops per cell (~9 ms per 512 MB at 8192
+    cells on v5e), and the single padded [R, R] @ [R, 1] row-prefix
+    matmul another few ms; as operands they cost one 128 KB upload."""
+    tri = np.triu(np.ones((128, 128), np.float32))  # tri[i, j] = i <= j
+    return (tri, np.eye(capc, dtype=np.float32),
+            np.eye(128, dtype=np.float32))
+
+
+def _prefix_rows(rowcnt, R: int, tri_ref):
+    """Inclusive prefix sum over the R rows of a [R, 1] f32 column, as
+    <=128-row chunked triangular matmuls. One [R, R] @ [R, 1] matmul
+    pads the lane dim 128x; chunking by 128 rows cuts the MAC count
+    R/128-fold and the constant triangular plane comes from `tri_ref`
+    instead of per-cell iota builds. Row counts are <= 128 (bf16-exact);
+    accumulation and the cross-chunk carries ride f32 (exact < 2^24)."""
+    tri = tri_ref[...].astype(jnp.bfloat16)
+    chunks = []
+    off = None
+    for s in range(0, R, 128):
+        c = min(128, R - s)
+        t = tri if c == 128 else tri[:c, :c]
+        pc = jax.lax.dot_general(
+            t, rowcnt[s:s + c].astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [c, 1] inclusive
+        if off is not None:
+            pc = pc + off
+        off = pc[c - 1:c, 0:1]
+        chunks.append(pc)
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(
+        chunks, axis=0)
+
+
+def _rank_select(cand, R: int, capc: int, tri_ref):
     """MXU rank selection over a candidate grid: cand [R, 128] (nonzero =
     candidate) -> (count [1, 1] f32, pos [1, capc] f32) where pos[j] is
     the j-th candidate's grid position (row*128 + lane, rank order;
@@ -96,27 +135,21 @@ def _rank_select(cand, R: int, capc: int):
 
     Rank selection is expressed MXU/VPU-wide, no scalar loops:
       lanepre  = nz @ lower_tri128          (within-row candidate ranks)
-      rowcum   = lower_tri_R @ rowcnt       (per-row exclusive bases)
+      rowcum   = chunked row prefix         (_prefix_rows)
       oh[r, j] = base[r] <= j < rowcum[r]   (slot j's owner row, one-hot)
       rowpre_j = oh^T @ lanepre             (owner row's rank prefix)
       lane_j   = #\\{lanes: rowpre_j <= within_j\\}
     All matmuls take 0/1 or <=256-valued bf16 inputs (exact) with f32
-    accumulation (exact below 2^24)."""
+    accumulation (exact below 2^24). `tri_ref` is the [128, 128]
+    triangular constant operand (_rank_consts)."""
     nz = (cand != 0)
     nzb = nz.astype(jnp.bfloat16)
-    l0 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    l1 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    tri_l = (l0 <= l1).astype(jnp.bfloat16)  # [128, 128] lane prefix
+    tri_l = tri_ref[...].astype(jnp.bfloat16)  # [128, 128] lane prefix
     lanepre = jax.lax.dot_general(
         nzb, tri_l, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [R, 128], values <= 128
     rowcnt = lanepre[:, 127:128]  # [R, 1] f32
-    r0 = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-    r1 = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-    tri_r = (r1 <= r0).astype(jnp.bfloat16)  # [R, R] row prefix (incl.)
-    rowcum = jax.lax.dot_general(
-        tri_r, rowcnt.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [R, 1], <= R*128
+    rowcum = _prefix_rows(rowcnt, R, tri_ref)  # [R, 1], <= R*128
     base = rowcum - rowcnt  # exclusive
     count = rowcum[R - 1 :, 0:1]  # [1, 1]
     jj = jax.lax.broadcasted_iota(
@@ -139,7 +172,7 @@ def _rank_select(cand, R: int, capc: int):
     return count, pos_j
 
 
-def _compact_epilogue(cand, R: int, capc: int):
+def _compact_epilogue(cand, R: int, capc: int, tri_ref):
     """In-kernel candidate compaction: cand [R, 128] (nonzero = candidate)
     -> int32 [1 + capc//128, 128] block: row 0 lane 0 = cell count, rows
     1.. = the first `capc` candidate positions (cell-local, row*128+lane,
@@ -156,7 +189,7 @@ def _compact_epilogue(cand, R: int, capc: int):
 
     Delegates the rank selection to _rank_select and assembles the
     output block."""
-    count, pos_f = _rank_select(cand, R, capc)
+    count, pos_f = _rank_select(cand, R, capc, tri_ref)
     pos_j = pos_f.astype(jnp.int32)  # [1, capc]
     # assemble the output block without scatter (Mosaic has no scatter):
     # row 0 = count at lane 0, rows 1.. = positions, zero padding to the
@@ -186,24 +219,19 @@ KCONF_MAX_CAPC = 512  # beyond this the epilogue's [capc, T/128] one-hots
 KCONF_TABLE_BUDGET = 6 << 20  # bytes of f32 hash-table planes in VMEM
 
 
-def _t_col(v, n: int):
+def _t_col(v, n: int, eye):
     """[1, n] f32 row vector -> [n, 1] column, MXU-transposed (Mosaic has
     no cheap sublane<->lane relayout; one identity matmul is). Exact for
-    integer values below 2^24."""
-    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    eye = (i0 == i1).astype(jnp.float32)
+    integer values below 2^24. `eye` is the [n, n] f32 identity constant
+    operand (_rank_consts)."""
     return jax.lax.dot_general(
         eye, v, (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [n, 1]
 
 
-def _t_row(v, n: int):
+def _t_row(v, n: int, eye):
     """[n, 1] f32 column -> [1, n] row (same identity-matmul trick)."""
-    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    eye = (i0 == i1).astype(jnp.float32)
     return jax.lax.dot_general(
         v, eye, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -236,8 +264,10 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
     data       : [R+1, 128] int32 corpus bytes (row 0 = halo)
     cand_or    : [R, 128] candidate plane (nonzero = candidate end)
     groups_meta: ((cl, mlo, mhi, T, probes), ...) compile-time constants
-    tab_refs   : per group two f32 VMEM refs [T_rows, 128] (lo16 / hi16
-                 halves of the slot words; see dev_confirm_planes)
+    tab_refs   : (tri128, eye_capc, eye128) constant operands
+                 (_rank_consts) followed by two f32 VMEM refs per group
+                 [T_rows, 128] (hi/lo halves of the slot sigs; see
+                 dev_confirm_planes)
     cell_base  : scalar int32, absolute byte offset of this cell
 
     Returns an [8, 128] int32 block per cell:
@@ -248,6 +278,10 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
               XLA confirm — host expand/verify is unchanged)
     """
     lane_sel0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    tri_ref, eyec_ref, eye1_ref = tab_refs[:3]
+    tab_refs = tab_refs[3:]
+    eye_c = eyec_ref[...]  # [capc, capc] f32
+    eye_1 = eye1_ref[...]  # [128, 128] f32
 
     def _early(count_v, conf_v):
         cr = jnp.where(
@@ -256,10 +290,10 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
         return jnp.concatenate(
             [cr, jnp.zeros((7, 128), jnp.int32)], axis=0)
 
-    count, pos_f = _rank_select(cand_or, R, capc)  # [1,1], [1,capc] f32
+    count, pos_f = _rank_select(cand_or, R, capc, tri_ref)
     if _KCONF_STAGE == 0:
         return _early(count, count * 0)
-    pos_c = _t_col(pos_f, capc)  # [capc, 1] f32
+    pos_c = _t_col(pos_f, capc, eye_c)  # [capc, 1] f32
     pos_i = pos_c.astype(jnp.int32)  # values < R*128 (exact)
     row = pos_i >> 7
     lane = pos_i & 127
@@ -295,9 +329,6 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
             tbc.append(jnp.sum(cur * oc + prev * op, axis=1,
                                keepdims=True))
         tbm = jnp.concatenate(tbc, axis=1)  # [capc, 8] f32
-    i0c = jax.lax.broadcasted_iota(jnp.int32, (capc, capc), 0)
-    i1c = jax.lax.broadcasted_iota(jnp.int32, (capc, capc), 1)
-    eye_c = (i0c == i1c).astype(jnp.float32)
     tbT = jax.lax.dot_general(
         tbm, eye_c, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -362,9 +393,9 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
         lane1 = jnp.min(jnp.where(m, lio, 128), axis=1, keepdims=True)
         lane2 = jnp.max(jnp.where(m, lio, -1), axis=1, keepdims=True)
         if _os.environ.get("HS_KCONF_DEBUG") and gi == _dbg_gi:
-            _dbg_row = _t_row(packT[:, 0:1], capc)  # round-tripped row
-            _dbg_sig = _t_row(packT[:, 1:2], capc)  # round-tripped sig
-            _dbg_m = _t_row(cnt.astype(jnp.float32), capc)
+            _dbg_row = _t_row(packT[:, 0:1], capc, eye_c)
+            _dbg_sig = _t_row(packT[:, 1:2], capc, eye_c)
+            _dbg_m = _t_row(cnt.astype(jnp.float32), capc, eye_c)
         gidx1 = base + row_g * 128 + lane1 + 1  # global slot index + 1
         gidx2 = base + row_g * 128 + lane2 + 1
         cls_cols.append(jnp.where(
@@ -382,8 +413,8 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
     grid = jnp.concatenate(
         cls_cols + [jnp.zeros((capc, 128 - n_planes), jnp.float32)],
         axis=1)  # [capc, 128]
-    conf_cnt, gpos_f = _rank_select(grid, capc, CAPC2)  # [1,1],[1,CAPC2]
-    gpos = _t_col(gpos_f, CAPC2).astype(jnp.int32)  # [CAPC2, 1]
+    conf_cnt, gpos_f = _rank_select(grid, capc, CAPC2, tri_ref)
+    gpos = _t_col(gpos_f, CAPC2, eye_1).astype(jnp.int32)  # [CAPC2, 1]
     grow = gpos >> 7  # owning candidate slot
     glane = gpos & 127  # probe plane
     q_i = jax.lax.broadcasted_iota(jnp.int32, (CAPC2, 1), 0)
@@ -401,8 +432,10 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
         ohg, pos_c, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [CAPC2, 1]
-    cls_row = _t_row(jnp.where(qok, cls_q, 0.0), CAPC2).astype(jnp.int32)
-    pos_row = _t_row(jnp.where(qok, pos_q, 0.0), CAPC2).astype(jnp.int32)
+    cls_row = _t_row(jnp.where(qok, cls_q, 0.0), CAPC2,
+                     eye_1).astype(jnp.int32)
+    pos_row = _t_row(jnp.where(qok, pos_q, 0.0), CAPC2,
+                     eye_1).astype(jnp.int32)
     lane_sel = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     # >2 same-sig matches in one bucket row would exceed the two slot
     # planes: report it as a confirmed-capacity overflow so the scan
@@ -477,7 +510,7 @@ def _make_kernel_fused_classes(M: int, W: int, R: int, hi_cls: int = -1,
             # exceeds capc re-confirm on the XLA stage (kconf_combine)
             plane_c[...] = (cand_or != 0).astype(jnp.uint8)
         elif capc:
-            out_c[...] = _compact_epilogue(cand_or, R, capc)
+            out_c[...] = _compact_epilogue(cand_or, R, capc, tab_refs[0])
         else:
             out_c[...] = (cand_or != 0).astype(jnp.uint8)
     return kernel
@@ -602,7 +635,7 @@ def _make_kernel_fused(M: int, W: int, R: int, capc: int = 0,
                 data, cand_or, R, capc, kconf, tab_refs, cell_base)
             plane_c[...] = (cand_or != 0).astype(jnp.uint8)
         elif capc:
-            out_c[...] = _compact_epilogue(cand_or, R, capc)
+            out_c[...] = _compact_epilogue(cand_or, R, capc, tab_refs[0])
         else:
             # uint8 candidacy plane: the confirm stage re-derives
             # everything from the corpus, so only the nonzero positions
@@ -914,6 +947,18 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                 pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ]
+        if kconf_meta:
+            # constant rank/transpose planes ride as VMEM operands (the
+            # tri plane in bf16 — per-cell f32->bf16 casts are free to
+            # skip); hoisted once per executable by jit
+            tri_c, eye_c, eye_1 = _rank_consts(capc)
+            kplanes = (jnp.asarray(tri_c, dtype=jnp.bfloat16),
+                       jnp.asarray(eye_c), jnp.asarray(eye_1)) + \
+                tuple(kplanes)
+        elif capc:
+            tri_c, _eye_c, _eye_1 = _rank_consts(min(capc, 128))
+            kplanes = (jnp.asarray(tri_c, dtype=jnp.bfloat16),) + \
+                tuple(kplanes)
         for p in kplanes:
             tab_specs.append(
                 pl.BlockSpec(tuple(p.shape),
@@ -957,7 +1002,7 @@ def filter_confirm_body(groups, M: int, W: int, n_cells: int,
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec((cp_rows, 128), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM),
-            )(rows_all, body, *ftabs)
+            )(rows_all, body, *ftabs, *kplanes)
             meta1, pos, have = compact_combine(
                 out, n_cells, R, capc, cap1, n_valid)
         else:
@@ -1051,19 +1096,32 @@ def kconf_combine(out, plane, rows_all, groups, h_tables, f_tables,
                      jnp.maximum(gv - 1, 0), axis=0)  # class id + 1
     cls_v = jnp.where(have, cls_v, 0)
     pos_abs = jnp.where(have, pos_abs, 0)
-    # sidecar: candidacy plane masked to overflowing cells
+    # sidecar: candidacy plane masked to overflowing cells — behind a
+    # cond so the no-overflow common case (every scan at the learned
+    # capc, i.e. almost all of them) skips the full-plane extraction
+    # pass and the SC_CAP-sized confirm takes entirely
     flagged = (cand_c > capc).astype(jnp.uint8)  # [n_cells]
-    rowflag = jnp.repeat(flagged, R)  # [n_cells * R]
-    masked = plane * rowflag[:, None]
-    meta_sc, packed_sc = sparse_extract(
-        [], n_valid, SC_CAP, SC_CH, nz=masked.reshape(-1),
-        chunk=EXTRACT_CHUNK)
-    pos_sc = packed_sc[0]
-    have_sc = (jnp.arange(SC_CAP, dtype=jnp.int32)
-               < jnp.minimum(meta_sc[0], SC_CAP))
-    meta2_sc, packed2_sc = _hash_confirm_stage(
-        groups, rows_all, pos_sc, have_sc, h_tables, f_tables,
-        SC_CAP, SC_CAP2, SC_CH2)
+
+    def _sidecar(_):
+        rowflag = jnp.repeat(flagged, R)  # [n_cells * R]
+        masked = plane * rowflag[:, None]
+        meta_sc, packed_sc = sparse_extract(
+            [], n_valid, SC_CAP, SC_CH, nz=masked.reshape(-1),
+            chunk=EXTRACT_CHUNK)
+        pos_sc = packed_sc[0]
+        have_sc = (jnp.arange(SC_CAP, dtype=jnp.int32)
+                   < jnp.minimum(meta_sc[0], SC_CAP))
+        m2, p2 = _hash_confirm_stage(
+            groups, rows_all, pos_sc, have_sc, h_tables, f_tables,
+            SC_CAP, SC_CAP2, SC_CH2)
+        return meta_sc[:2], m2, p2
+
+    def _no_sidecar(_):
+        return (jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+                jnp.zeros((3, SC_CAP2), jnp.int32))
+
+    meta_sc, meta2_sc, packed2_sc = jax.lax.cond(
+        jnp.any(flagged > 0), _sidecar, _no_sidecar, 0)
     meta2 = jnp.stack([total2, jnp.max(conf_raw)])
     # sidecar totals AND hit-chunk counts: sparse_extract silently clamps
     # past cap_chunks, so both dimensions must be overflow-checked
