@@ -86,7 +86,14 @@ def main():
     cap1, _, cap2, _ = caps
     groups = confirm_device_tables(lit)
     kconf_meta, planes, slots_cls = T.dev_confirm_planes(lit)
-    print(f"caps={caps} capc={capc} mean={mean:.1f}", flush=True)
+    import os
+    if os.environ.get("HS_PROBE_DUMMY_TABLES"):
+        # discriminator for per-cell table re-DMA: tiny planes, same
+        # count — only valid with HS_KCONF_STAGE<=1 (contents unread)
+        planes = tuple(jnp.zeros((8, 128), jnp.bfloat16) for _ in planes)
+    print(f"caps={caps} capc={capc} mean={mean:.1f} "
+          f"tabMB={sum(int(np.prod(p.shape)) for p in planes)*2/1e6:.2f}",
+          flush=True)
 
     kernel = (T._make_kernel_fused_classes(M, W, R, hi_cls, capc,
                                            kconf_meta)
@@ -102,6 +109,9 @@ def main():
     else:
         tab_specs = [pl.BlockSpec((M, W, 256), lambda i: (0, 0, 0),
                                   memory_space=pltpu.VMEM)]
+    tri_c, eye_cc, eye_1c = T._rank_consts(capc)
+    planes = (jnp.asarray(tri_c, dtype=jnp.bfloat16),
+              jnp.asarray(eye_cc), jnp.asarray(eye_1c)) + tuple(planes)
     for p in planes:
         tab_specs.append(pl.BlockSpec(tuple(p.shape), (lambda i: (0, 0)),
                                       memory_space=pltpu.VMEM))
