@@ -383,8 +383,10 @@ def main() -> None:
     # validators on the literal route; reference: som/som_runtime.c)
     # (general-infix chains are routed to SOM engines under SOM_LEFTMOST;
     # the SOM config measures the literal-route back-scan pipeline)
+    # full 512 MB batches: the r4 number (5.3 GB/s at 64 MB) was a
+    # fixed dispatch/fetch-cost artifact — measured 15.4 GB/s at 512 MB
     gsom, msom, _csom = run_config(
-        100, hs, jax, jnp, flags=hs.HS_FLAG_SOM_LEFTMOST, corpus_mb=64,
+        100, hs, jax, jnp, flags=hs.HS_FLAG_SOM_LEFTMOST,
         drop_shapes=(5,))
     g10k, m10k, c10k = run_config(10_000, hs, jax, jnp)
     # iid-noise corpus: the adversarial candidate-rate case (the

@@ -1362,10 +1362,15 @@ def filter_confirm_body_gated(groups, M: int, W: int, n_cells: int,
     return run
 
 
-PREFETCH = 2048  # packed-pair prefix fetched together with the meta
-# (24 KB at the tunnel's fetch rate ~ 4 ms — far cheaper than the ~30 ms
-# extra round trip a second fetch costs when confirmed pairs + the
-# direct-mapped confirm's ~1/4096 signature false positives overflow it)
+PREFETCH = 16384  # packed-pair prefix cap: the prefix fetched with the
+# meta is min(PREFETCH, cap2), and cap2 is learned at ~2x the max
+# observed confirmed load — so low-rate databases ship a few KB and
+# high-rate ones (16384-stream rounds confirm ~6k pairs) ship the whole
+# set in the ONE batched fetch. Anything past the prefix costs a
+# separate ~30 ms tunnel round trip PER HANDLE (measured: the
+# 16384-stream rounds spent 165 of 220 ms in those serial re-fetches at
+# the old 2048 cap); 16384 pairs = 196 KB = ~33 ms of bandwidth worst
+# case, paid only by databases whose learned cap2 is that large.
 
 
 def dev_filter_tables(lit):
