@@ -191,3 +191,21 @@ def test_vocabulary_scale_validator_reduction():
     got = _got(db, data)
     assert set(plant) <= got
     assert got == _truth(pats, ids, data)
+
+
+def test_bounded_repeat_tail_rejects_nondigit_run():
+    """Round-4 regression: `payload1[0-9]{2,4}z` falsely matched
+    `payload16y99z` (the bench plant) through the fixed-head route —
+    the `y` breaks the digit run, so there is no match. The anchored
+    suffix-DFA route must reject it on both the fixed-head and
+    class-head (legacy whole-pattern validator) paths, while still
+    finding the true digit-run matches."""
+    db = hs.compile_multi([r"payload1[0-9]{2,4}z"], ids=[1])
+    assert hs.scan(db, b"xx payload16y99z! yy") == []
+    assert _got(db, b"xx payload1699z! yy") == {(1, 15)}
+    assert _got(db, b"payload16999z") == {(1, 13)}  # 4-digit run
+    # same shape through the legacy route (class head blocks anchoring)
+    db2 = hs.compile_multi([r"[ab]ayload1[0-9]{2,4}z"], ids=[3])
+    assert len(getattr(db2.lit, "anchored_refs", [])) == 0
+    assert hs.scan(db2, b"xx aayload16y99z! yy") == []
+    assert _got(db2, b"xx bayload1699z! yy") == {(3, 15)}
