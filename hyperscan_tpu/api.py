@@ -40,6 +40,7 @@ from .runtime.stream import (
     compress_stream,
     copy_stream,
     expand_stream,
+    reset_and_copy_stream,
     reset_and_expand_stream,
     open_stream,
     reset_stream,
@@ -270,6 +271,42 @@ def expression_ext_info(expression: str, flags: int = 0,
     return info
 
 
+# --- lifecycle / size compat entry points ------------------------------------
+# Memory is garbage-collected (host) / XLA-managed (device), so the
+# free_* calls are documented no-ops, exactly like the allocator hooks
+# (reference: hs_free_database / hs_free_scratch / hs_free_compile_error,
+# src/hs_common.h, src/hs_compile.h).
+
+
+def free_database(db) -> None:
+    """reference: hs_free_database — no-op (GC-owned)."""
+
+
+def free_scratch(scratch) -> None:
+    """reference: hs_free_scratch — no-op (GC-owned)."""
+
+
+def free_compile_error(err) -> None:
+    """reference: hs_free_compile_error — no-op (GC-owned)."""
+
+
+def stream_size(db: Database) -> int:
+    """Per-stream state footprint for this database: the compressed
+    state size of a fresh stream (reference: hs_stream_size,
+    src/hs_common.h:201 — the fixed stream-state allocation there)."""
+    from .runtime.stream import compress_stream, open_stream
+
+    return len(compress_stream(open_stream(db)))
+
+
+def deserialize_database_at(buf: bytes, db=None) -> Database:
+    """reference: hs_deserialize_database_at (src/hs_common.h:143):
+    deserialize into caller-provided storage. Python owns object
+    memory, so this is deserialize_database; a `db` argument is
+    ignored (compat shim, like the allocator hooks)."""
+    return deserialize_database(buf)
+
+
 # --- C-style aliases ---------------------------------------------------------
 
 hs_set_allocator = set_allocator
@@ -286,6 +323,13 @@ hs_copy_stream = copy_stream
 hs_compress_stream = compress_stream
 hs_expand_stream = expand_stream
 hs_reset_and_expand_stream = reset_and_expand_stream
+hs_reset_and_copy_stream = reset_and_copy_stream
+hs_free_database = free_database
+hs_free_scratch = free_scratch
+hs_free_compile_error = free_compile_error
+hs_serialized_database_size = serialized_database_size
+hs_stream_size = stream_size
+hs_deserialize_database_at = deserialize_database_at
 hs_scan_vector = scan_vector
 hs_compile = compile
 hs_compile_multi = compile_multi

@@ -846,6 +846,33 @@ def reset_and_expand_stream(
     return ms
 
 
+def reset_and_copy_stream(
+    to: Stream, src: Stream, callback: Optional[Callable] = None
+) -> List[Match]:
+    """Atomically reset `to` and duplicate `src`'s state onto it
+    (reference: hs_reset_and_copy_stream, src/hs_runtime.h:462,
+    src/runtime.c:1108): `to`'s CURRENT state first reports its
+    end-of-data matches when a callback is supplied, then `src`'s scan
+    state replaces it in place. Both streams must come from the same
+    database. Returns the EOD matches."""
+    if to.db is not src.db:
+        raise InvalidError("streams belong to different databases")
+    ms = reset_stream(to, callback)
+    to.offset = src.offset
+    to.history = (src.history if isinstance(src.history, bytes)
+                  else bytes(src.history))
+    to.terminated = src.terminated
+    to.closed = src.closed
+    to.engine_states = list(src.engine_states)
+    to.seen_single = set(src.seen_single)
+    to.combo_matched = set(src.combo_matched)
+    to.recent = set(src.recent)
+    to.chain_state = {k: (list(v[0]), v[1])
+                      for k, v in src.chain_state.items()}
+    to.pending = set(src.pending)
+    return ms
+
+
 def _expand_into(s: Stream, buf: bytes) -> None:
     """Decode a compress_stream buffer into an existing Stream object."""
     db = s.db

@@ -288,3 +288,48 @@ def test_scan_batch_threads_ordering_and_mesh_exclusive():
 
     with _pytest.raises(hs.InvalidError):
         hs.scan_batch(db, blocks, threads=2, mesh=make_mesh(2))
+
+
+def test_lifecycle_compat_entry_points():
+    """hs_free_* / size / deserialize_at shims (reference:
+    src/hs_common.h) — no-ops or thin wrappers, but they must exist
+    and behave sanely."""
+    db = hs.compile_multi(["liftok1", "liftok2"], ids=[1, 2])
+    blob = hs.serialize_database(db)
+    assert hs.hs_serialized_database_size(blob) == len(blob)
+    db2 = hs.hs_deserialize_database_at(blob)
+    assert hs.scan(db2, b"xx liftok1") == [(1, 0, 10)]
+    hs.hs_free_database(db2)
+    hs.hs_free_scratch(hs.alloc_scratch(db))
+    hs.hs_free_compile_error(None)
+    sdb = hs.compile_multi(["szprobe"], ids=[9], mode=hs.HS_MODE_STREAM)
+    sz = hs.hs_stream_size(sdb)
+    assert isinstance(sz, int) and sz > 0
+
+
+def test_reset_and_copy_stream():
+    """hs_reset_and_copy_stream: `to` reports EOD matches, then adopts
+    `src`'s state in place (reference: src/hs_runtime.h:462)."""
+    sdb = hs.compile_multi([r"split\d+end", r"eodtail$"], ids=[1, 2],
+                           mode=hs.HS_MODE_STREAM)
+    src = hs.open_stream(sdb)
+    assert hs.scan_stream(src, b"xx split12") == []
+    to = hs.open_stream(sdb)
+    hs.scan_stream(to, b"zz eodtail")
+    eod = []
+    ms = hs.hs_reset_and_copy_stream(
+        to, src, callback=lambda i, f, t, fl: eod.append((i, t)))
+    assert (2, 10) in {(i, t) for (i, t) in eod} or \
+        (2, 10) in {(i, t) for (i, _f, t) in ms}
+    # `to` continues from src's state: the split match completes
+    out = hs.scan_stream(to, b"34end yy")
+    assert any(i == 1 for (i, _f, _t) in out), out
+    # src is untouched and completes independently
+    out_src = hs.scan_stream(src, b"99end")
+    assert any(i == 1 for (i, _f, _t) in out_src), out_src
+    # mismatched databases must be rejected
+    other = hs.compile_multi(["zz"], ids=[3], mode=hs.HS_MODE_STREAM)
+    o = hs.open_stream(other)
+    import pytest as _pytest
+    with _pytest.raises(hs.InvalidError):
+        hs.hs_reset_and_copy_stream(o, src)
