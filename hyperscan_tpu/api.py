@@ -291,12 +291,18 @@ def free_compile_error(err) -> None:
 
 
 def stream_size(db: Database) -> int:
-    """Per-stream state footprint for this database: the compressed
-    state size of a fresh stream (reference: hs_stream_size,
-    src/hs_common.h:201 — the fixed stream-state allocation there)."""
-    from .runtime.stream import compress_stream, open_stream
+    """Per-stream state footprint for this database (reference:
+    hs_stream_size, src/hs_common.h:201). The reference's stream state
+    is a fixed allocation; here compression is adaptive, so this
+    reports the fixed-footprint baseline — a stream whose history
+    buffer is at its maximum (history_required) with no dynamic
+    chain/SOM evidence. Active chains and SOM candidates add to a
+    compress_stream buffer beyond this."""
+    from .runtime.stream import history_required
 
-    return len(compress_stream(open_stream(db)))
+    s = open_stream(db)
+    s.history = b"\x00" * history_required(db)
+    return len(compress_stream(s))
 
 
 def deserialize_database_at(buf: bytes, db=None) -> Database:

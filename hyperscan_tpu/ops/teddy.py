@@ -241,8 +241,14 @@ def _t_row(v, n: int, eye):
 import os as _os
 
 # dev-only bisect knob: 0 = rank-select only, 1 = +tail extraction,
-# 2 = +sig probes, 3 = full (second compaction). Not a product surface.
-_KCONF_STAGE = int(_os.environ.get("HS_KCONF_STAGE", "3"))
+# 2 = +sig probes, 3 = full (second compaction). NOT a product surface
+# and deliberately NOT an environment variable: stages < 3 return dummy
+# confirmed counts, so an env knob left exported would silently drop
+# every kconfirm match (review finding, round 5). Probe scripts set
+# `teddy._KCONF_STAGE = n` explicitly BEFORE the first kernel build
+# (the kernel factories are lru-cached, so toggling after a kernel has
+# been traced uses the stale kernel).
+_KCONF_STAGE = 3
 
 
 def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,

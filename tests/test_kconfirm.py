@@ -96,16 +96,39 @@ def test_kconfirm_sidecar_hot_cell(db):
 
 
 def test_kconfirm_overflow_demotes(db, monkeypatch):
-    # force a tiny per-cell confirmed capacity check: a flood of real
-    # matches in one cell must flip the database to the XLA family,
-    # never lose records
+    # a flood of real matches (> CAPC2 confirmed in one cell) must flip
+    # the database to the XLA confirm family, never lose records. Drive
+    # the device-path entry directly: hs.scan would route a corpus this
+    # small through the host path and never exercise the kernel.
+    from hyperscan_tpu.runtime.lit_runtime import verify_pairs
+
     lit = db.lit
     lit._kconfirm_off = False
     lit._kconfirm_force = True
     lit.__dict__.pop("_cap_obs_c", None)
-    data = b" attack7 " * 12000  # ~9 confirmed per 72 bytes -> >128/cell
-    got_k = set(hs.scan(db, data))
-    assert getattr(lit, "_kconfirm_off", False) in (True, False)
-    lit._kconfirm_off = True
-    got_x = set(hs.scan(db, data))
-    assert got_k == got_x
+    corpus = np.frombuffer(b" attack7 " * 12000, np.uint8)
+    n = corpus.shape[0]  # ~8000 confirms per 64 KB cell >> CAPC2
+    rows_d = jnp.asarray(T.corpus_to_rows(corpus))
+    h = T.teddy_confirm_start(rows_d, lit, n)
+    assert bool(h[8])  # engaged as the kconfirm family
+    f, p = T.teddy_confirm_finish(h)
+    # the flood demotes the family: either the explicit _kconfirm_off
+    # flip (sidecar overflow at the capc ceiling) or the learned per-
+    # cell candidate load growing past KCONF_MAX_CAPC — the NEXT
+    # dispatch must choose the XLA confirm even with force still set
+    h2 = T.teddy_confirm_start(rows_d, lit, n)
+    assert not bool(h2[8])
+    # ...and the finished (re-dispatched) result must be complete:
+    f, p = verify_pairs(lit, corpus, np.zeros(1, np.int64),
+                        np.asarray(f), np.asarray(p))
+    got_k = set(zip(f.tolist(), p.tolist()))
+    f2, p2 = T.teddy_confirm_finish(h2)
+    f2, p2 = verify_pairs(lit, corpus, np.zeros(1, np.int64),
+                          np.asarray(f2), np.asarray(p2))
+    assert got_k == set(zip(f2.tolist(), p2.tolist()))
+    assert len(got_k) >= 10000
+    lit._kconfirm_force = False
+    lit.__dict__.pop("_kconfirm_off", None)
+    lit.__dict__.pop("_kc_force_capc", None)
+    lit.__dict__.pop("_cap_obs_c", None)
+    lit.__dict__.pop("_kc_mean", None)

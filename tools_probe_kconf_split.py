@@ -89,7 +89,8 @@ def main():
     import os
     if os.environ.get("HS_PROBE_DUMMY_TABLES"):
         # discriminator for per-cell table re-DMA: tiny planes, same
-        # count — only valid with HS_KCONF_STAGE<=1 (contents unread)
+        # count — only valid with teddy._KCONF_STAGE <= 1 (set the
+        # module attr before the first kernel build; contents unread)
         planes = tuple(jnp.zeros((8, 128), jnp.bfloat16) for _ in planes)
     print(f"caps={caps} capc={capc} mean={mean:.1f} "
           f"tabMB={sum(int(np.prod(p.shape)) for p in planes)*2/1e6:.2f}",
