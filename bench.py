@@ -40,7 +40,10 @@ BASELINE_GBPS = 19241.10 / 8 / 1000.0  # doc sample, Mbit/s -> GB/s
 
 CORPUS_MB = 512  # bulk batch per scan (fixed dispatch costs amortize;
 # hsbench's analogue is re-scanning a preloaded corpus)
-ITERS = 4
+ITERS = 6  # scans per timed pipeline: ONE batched fetch serves all of
+# them, so the ~30 ms tunnel fetch latency costs 5 ms/scan instead of
+# 7.5 at ITERS=4; 7 corpora x 512 MB x 2 kinds = 7 GB of HBM (16 GB
+# chip), measured safe
 
 WORDS = ["attack", "payload", "shell", "admin", "select", "union", "eval",
          "script", "passwd", "cookie", "token", "login", "root", "exec"]
