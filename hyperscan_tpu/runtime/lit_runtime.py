@@ -1147,6 +1147,21 @@ def _firstbad(corpus: np.ndarray, gap_bits: np.ndarray, cache: Dict) -> np.ndarr
 LEAD_BOUNDARY = -1
 
 
+def chain_ctx_record(lit, eidx: int, r: int, c_ends, c_run, base_abs):
+    """Build one streaming chain_ctx value from carried chain_state.
+
+    General-infix boundaries carry the infix NFA mask at c_ends[0] — an
+    arbitrary-width Python int (multi-word infixes exceed int64;
+    np.asarray on it raises OverflowError, found by the collider at a
+    fresh seed) — so their evidence stays a Python list; class-gap
+    boundaries pack to int64 arrays for the vectorized merge."""
+    ch = lit.chains.get(eidx)
+    if ch is not None and getattr(ch, "infix", None) \
+            and r in ch.infix:
+        return (list(c_ends), c_run, base_abs)
+    return (np.asarray(c_ends, dtype=np.int64), c_run, base_abs)
+
+
 def _merge_carried(ends, chain_ctx, eidx, boundary, block_starts):
     """Merge streaming carried evidence for one gap boundary into the
     flat end sets; returns (ends, carried_pre) where carried_pre holds
@@ -1495,11 +1510,14 @@ def _resolve_infix_boundary(
         mask0 = 0
         if b in carried:
             arr, cap_abs, base_abs = carried[b]
-            arr = np.asarray(arr)
-            if len(arr):
-                mask0 = int(arr[0])
+            # plain-int path: arr[0] is the carried NFA mask, an
+            # arbitrary-width Python int (chain_ctx_record keeps infix
+            # records as lists — int64 arrays cannot hold wide masks)
+            lst = [int(x) for x in arr]
+            if lst:
+                mask0 = lst[0]
                 # carried recent ends, absolute -> flat local
-                E_set |= {bs + (int(x) - base_abs) for x in arr[1:]}
+                E_set |= {bs + (x - base_abs) for x in lst[1:]}
         m = blk_s == b
         S_b = np.unique(s_flat[m]) if m.any() else np.zeros(0, np.int64)
         E = np.asarray(sorted(E_set), dtype=np.int64)

@@ -473,7 +473,7 @@ def scan_streams(
         chain_out = {}
         has_chains = bool(db.lit.chains)
         if has_chains:
-            from .lit_runtime import LEAD_BOUNDARY
+            from .lit_runtime import LEAD_BOUNDARY, chain_ctx_record
 
             for bi, st in enumerate(streams):
                 base_abs = st.offset - len(st.history)
@@ -484,10 +484,8 @@ def scan_streams(
                     # dedupes them against re-derived ends). The lead
                     # boundary carries its run even with no ends.
                     if c_ends or r == LEAD_BOUNDARY:
-                        chain_ctx[(bi, eidx, r)] = (
-                            np.asarray(c_ends, dtype=np.int64), c_run,
-                            base_abs,
-                        )
+                        chain_ctx[(bi, eidx, r)] = chain_ctx_record(
+                            db.lit, eidx, r, c_ends, c_run, base_abs)
 
         def deliver(bi, eidx, to_local, frm):
             st = streams[bi]

@@ -409,13 +409,17 @@ def streamset_write_finish(
         if has_chains:
             chain_ctx = {}
             chain_out = {}
+            from .lit_runtime import chain_ctx_record
+
             base_abs_v = h.prev_offsets - h.hlens
             for (bi, eidx, r), (c_ends, c_run) in ss.chain_state.items():
                 if c_ends or r == LEAD_BOUNDARY:
-                    chain_ctx[(bi, eidx, r)] = (
-                        np.asarray(c_ends, dtype=np.int64), c_run,
-                        int(base_abs_v[bi]),
-                    )
+                    # infix boundaries carry an arbitrary-width NFA mask
+                    # at c_ends[0] — chain_ctx_record keeps those as
+                    # lists (int64 overflows past 62 infix positions)
+                    chain_ctx[(bi, eidx, r)] = chain_ctx_record(
+                        db.lit, eidx, r, c_ends, c_run,
+                        int(base_abs_v[bi]))
         rng: List[Tuple[int, int, int, int]] = []
         recs = finish_confirmed(
             db, h.ext_np, h.starts, h.ends, fid_a, p_a,

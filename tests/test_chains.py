@@ -547,3 +547,49 @@ def test_many_roles_chain():
     # a broken middle role must reject
     bad = data.replace(b"seg06tok", b"seg06tak")
     assert hs.scan(db, bad) == []
+
+
+def test_wide_infix_high_positions_cross_write_boundary():
+    """Round-5 regression (collider seed 424242): a write boundary that
+    leaves HIGH infix NFA positions live makes the carried mask exceed
+    int64 — the chain_ctx build must keep infix evidence as Python ints
+    (np.asarray(int64) raised OverflowError), in both the per-stream
+    and StreamSet paths, and through the state codec."""
+    import numpy as np
+
+    import hyperscan_tpu as hs
+    from hyperscan_tpu.runtime.streamset import (
+        open_streamset,
+        streamset_write_finish,
+        streamset_write_start,
+    )
+
+    alts = "|".join(f"tok{i:02d}" for i in range(16))
+    pat = f"foomark({alts})*barmark"
+    sdb = hs.compile_multi([pat], ids=[7], mode=hs.HS_MODE_STREAM)
+    inf = sdb.lit.chains[0].infix[0]
+    assert len(inf.follow) - 1 > 62
+
+    # split INSIDE the last alternation token: its Glushkov positions
+    # are the highest, so the carried mask needs the top mask word
+    st = hs.open_stream(sdb)
+    out = hs.scan_stream(st, b"x" * 40 + b"foomarktok15tok1")
+    # mid-gap codec round trip with the wide mask live
+    st2 = hs.expand_stream(sdb, hs.compress_stream(st))
+    out += hs.scan_stream(st2, b"5tok1")  # still inside tok15's band
+    out += hs.scan_stream(st2, b"4barmark zz")
+    out += hs.close_stream(st2)
+    assert any(m[0] == 7 for m in out), out
+
+    # same through the StreamSet bulk path
+    ss = open_streamset(sdb, 2)
+    writes = [
+        [b"y" * 20 + b"foomarktok15tok1", b"noise only here...."],
+        [b"5tok15tok1", b"more noise.........."],
+        [b"5barmark!!", b"...................."],
+    ]
+    nm = 0
+    for w in writes:
+        h = streamset_write_start(sdb, ss, w)
+        nm += sum(len(m) for m in streamset_write_finish(sdb, ss, h))
+    assert nm >= 1
