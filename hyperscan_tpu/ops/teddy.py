@@ -217,6 +217,10 @@ KCONF_MIN_MEAN = 4.0  # mean candidates/cell below which the XLA confirm
 KCONF_MAX_CAPC = 512  # beyond this the epilogue's [capc, T/128] one-hots
 # and [capc, capc] transposes stop fitting VMEM comfortably
 KCONF_TABLE_BUDGET = 6 << 20  # bytes of f32 hash-table planes in VMEM
+_KCONF_MERGE_LIMIT = 1 << 20  # max G*capc*t_pad elements for the merged
+# block-diagonal probe (its one-hot probes every group's rows per query:
+# bf16 one-hot + int32 iota stay under ~6 MB VMEM at this bound; bigger
+# tables take the per-group loop)
 
 
 def _t_col(v, n: int, eye):
@@ -271,9 +275,10 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
     cand_or    : [R, 128] candidate plane (nonzero = candidate end)
     groups_meta: ((cl, mlo, mhi, T, probes), ...) compile-time constants
     tab_refs   : (tri128, eye_capc, eye128) constant operands
-                 (_rank_consts) followed by two f32 VMEM refs per group
-                 [T_rows, 128] (hi/lo halves of the slot sigs; see
-                 dev_confirm_planes)
+                 (_rank_consts) followed by (gconst [Gpad, 128] int32,
+                 hi_all [t_pad, 128] bf16, lo_all [t_pad, 128] bf16) —
+                 per-group constants + the stacked hi/lo halves of the
+                 slot sigs (see dev_confirm_planes)
     cell_base  : scalar int32, absolute byte offset of this cell
 
     Returns an [8, 128] int32 block per cell:
@@ -357,57 +362,153 @@ def _confirm_epilogue(data, cand_or, R: int, capc: int, groups_meta,
     _dbg_gi = int(_os.environ.get("HS_KCONF_DEBUG", "0") or "0")
     _dbg_row = _dbg_sig = _dbg_m = jnp.zeros((1, capc), jnp.float32)
     cls_cols = []  # each [capc, 1] f32: matched global slot index + 1
-    for gi, (cl, mlo, mhi, t_rows, base) in enumerate(groups_meta):
-        lo = lo_w & jnp.uint32(mlo)
-        hi = hi_w & jnp.uint32(mhi)
+    G = len(groups_meta)
+    gconst_ref, hi_all_ref, lo_all_ref = tab_refs[:3]
+    t_pad = hi_all_ref.shape[0]
+    if G * capc * t_pad <= _KCONF_MERGE_LIMIT:
+        # merged probe: the G groups' hashes ride [G, capc] planes (one
+        # VPU pass each instead of one PER GROUP — sublanes are free up
+        # to 8), one transpose matmul carries all 3G columns at once,
+        # and ONE one-hot [G*capc, t_pad] block-diagonal contraction
+        # against the stacked sig planes replaces the 2G row-select
+        # matmuls. Same arithmetic as the per-group path below; the
+        # epilogue is issue-bound (~30 passes/cell measured), so fewer,
+        # larger ops are the lever (BASELINE.md round-5 anatomy).
+        gc = gconst_ref[...]
+        mlo_g = gc[:G, 0:1].astype(jnp.uint32)
+        mhi_g = gc[:G, 1:2].astype(jnp.uint32)
+        tmask_g = gc[:G, 2:3].astype(jnp.uint32)
+        rowbase_g = gc[:G, 3:4]
+        clm1_g = gc[:G, 4:5]
+        lo = lo_w & mlo_g  # [G, capc]
+        hi = hi_w & mhi_g
         hu = (lo * jnp.uint32(0x9E3779B1)) ^ (hi * jnp.uint32(0x85EBCA6B))
         # avalanche finalizer — must mirror lit_runtime._avalanche32
         hu = hu ^ (hu >> 15)
         hu = hu * jnp.uint32(0x2C1B3C6D)
         hu = hu ^ (hu >> 13)
-        row_r = (hu & jnp.uint32(t_rows - 1)).astype(jnp.int32)
-        sig_r = (hu >> 16).astype(jnp.int32)  # [1, capc] 16-bit
-        okf = (alive_r & (abs_pos_r >= cl - 1)).astype(jnp.int32)
-        # one transpose back to column form for the row-select compares
+        row_abs = (hu & tmask_g).astype(jnp.int32) + rowbase_g
+        sig_r = (hu >> 16).astype(jnp.int32)  # [G, capc] 16-bit
+        okf = (alive_r & (abs_pos_r >= clm1_g)).astype(jnp.int32)
         pack = jnp.concatenate(
-            [row_r.astype(jnp.float32), sig_r.astype(jnp.float32),
-             okf.astype(jnp.float32)], axis=0)  # [3, capc]
+            [row_abs.astype(jnp.float32), sig_r.astype(jnp.float32),
+             okf.astype(jnp.float32)], axis=0)  # [3G, capc]
         packT = jax.lax.dot_general(
             eye_c, pack, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # [capc, 3]
-        row_g = packT[:, 0:1].astype(jnp.int32)
-        sig = packT[:, 1:2].astype(jnp.int32)
-        ok_g = packT[:, 2:3] > 0.5
-        pad_rows = tab_refs[2 * gi].shape[0]
-        trio = jax.lax.broadcasted_iota(jnp.int32, (capc, pad_rows), 1)
-        ohT = (trio == row_g).astype(jnp.bfloat16)
+            preferred_element_type=jnp.float32)  # [capc, 3G]
+        # stack the per-group columns along sublanes. Mosaic cannot
+        # concatenate lane-SLICED [capc, 1] columns (their layouts carry
+        # different lane offsets: "offset mismatch on non-concat
+        # dimension"), so each column is first materialized at full lane
+        # width by a broadcast op (compare for the one-hot, +zeros for
+        # the value planes) and the full-width results are concatenated.
+        trio_c = jax.lax.broadcasted_iota(jnp.int32, (capc, t_pad), 1)
+        zed = jnp.zeros((capc, 128), jnp.float32)
+        oh_parts, row_parts, sig_parts, ok_parts = [], [], [], []
+        for g in range(G):
+            rcol = packT[:, g:g + 1]
+            oh_parts.append(trio_c == rcol.astype(jnp.int32))
+            row_parts.append(zed + rcol)
+            sig_parts.append(zed + packT[:, G + g:G + g + 1])
+            ok_parts.append(zed + packT[:, 2 * G + g:2 * G + g + 1])
+        Q = G * capc
+        ohT = jnp.concatenate(oh_parts, axis=0).astype(jnp.bfloat16)
+        row_bc = jnp.concatenate(row_parts, axis=0)  # [Q, 128] f32
+        sig_bc = jnp.concatenate(sig_parts, axis=0)
+        ok_bc = jnp.concatenate(ok_parts, axis=0)
         sel_hi = jax.lax.dot_general(
-            ohT, tab_refs[2 * gi][...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [capc, 128]
+            ohT, hi_all_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Q, 128]
         sel_lo = jax.lax.dot_general(
-            ohT, tab_refs[2 * gi + 1][...], (((1,), (0,)), ((), ())),
+            ohT, lo_all_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m = ok_g & (sel_hi.astype(jnp.int32) == ((sig >> 8) + 1)) \
-            & (sel_lo.astype(jnp.int32) == (sig & 255))  # [capc, 128]
-        mi = m.astype(jnp.int32)
-        cnt = jnp.sum(mi, axis=1, keepdims=True)  # sig matches in row
+        sig_i = sig_bc.astype(jnp.int32)
+        m = (ok_bc > 0.5) & (sel_hi.astype(jnp.int32) == ((sig_i >> 8) + 1)) \
+            & (sel_lo.astype(jnp.int32) == (sig_i & 255))  # [Q, 128]
+        lio_q = jax.lax.broadcasted_iota(jnp.int32, (Q, 128), 1)
+        cnt = jnp.sum(m.astype(jnp.int32), axis=1, keepdims=True)
         overflow = jnp.maximum(overflow, jnp.max(cnt) - 2)
         # first and last matching lanes (two same-sig classes in one
         # row is ~1e-5; three or more raises the overflow flag and the
         # scan re-runs on the XLA confirm family)
-        lane1 = jnp.min(jnp.where(m, lio, 128), axis=1, keepdims=True)
-        lane2 = jnp.max(jnp.where(m, lio, -1), axis=1, keepdims=True)
-        if _os.environ.get("HS_KCONF_DEBUG") and gi == _dbg_gi:
-            _dbg_row = _t_row(packT[:, 0:1], capc, eye_c)
-            _dbg_sig = _t_row(packT[:, 1:2], capc, eye_c)
-            _dbg_m = _t_row(cnt.astype(jnp.float32), capc, eye_c)
-        gidx1 = base + row_g * 128 + lane1 + 1  # global slot index + 1
-        gidx2 = base + row_g * 128 + lane2 + 1
-        cls_cols.append(jnp.where(
-            cnt >= 1, gidx1, 0).astype(jnp.float32))
-        cls_cols.append(jnp.where(
-            cnt >= 2, gidx2, 0).astype(jnp.float32))
+        lane1 = jnp.min(jnp.where(m, lio_q, 128), axis=1, keepdims=True)
+        lane2 = jnp.max(jnp.where(m, lio_q, -1), axis=1, keepdims=True)
+        ri = row_bc[:, 0:1].astype(jnp.int32)
+        gidx1 = ri * 128 + lane1 + 1  # global slot index + 1
+        gidx2 = ri * 128 + lane2 + 1
+        c1 = jnp.where(cnt >= 1, gidx1, 0).astype(jnp.float32)
+        c2 = jnp.where(cnt >= 2, gidx2, 0).astype(jnp.float32)
+        for g in range(G):
+            cls_cols.append(c1[g * capc:(g + 1) * capc])
+            cls_cols.append(c2[g * capc:(g + 1) * capc])
+        if _os.environ.get("HS_KCONF_DEBUG"):
+            rb = groups_meta[_dbg_gi][4] // 128
+            _dbg_row = row_abs[_dbg_gi:_dbg_gi + 1, :] \
+                .astype(jnp.float32) - rb
+            _dbg_sig = sig_r[_dbg_gi:_dbg_gi + 1, :].astype(jnp.float32)
+            _dbg_m = _t_row(
+                cnt[_dbg_gi * capc:(_dbg_gi + 1) * capc].astype(
+                    jnp.float32), capc, eye_c)
+    else:
+        # per-group fallback (big-table databases: the merged one-hot
+        # probes EVERY group's rows per query, so past the element limit
+        # the compare-pass bytes outgrow the saved issue overhead)
+        for gi, (cl, mlo, mhi, t_rows, base) in enumerate(groups_meta):
+            lo = lo_w & jnp.uint32(mlo)
+            hi = hi_w & jnp.uint32(mhi)
+            hu = (lo * jnp.uint32(0x9E3779B1)) ^ \
+                (hi * jnp.uint32(0x85EBCA6B))
+            # avalanche finalizer — must mirror lit_runtime._avalanche32
+            hu = hu ^ (hu >> 15)
+            hu = hu * jnp.uint32(0x2C1B3C6D)
+            hu = hu ^ (hu >> 13)
+            row_r = (hu & jnp.uint32(t_rows - 1)).astype(jnp.int32)
+            sig_r = (hu >> 16).astype(jnp.int32)  # [1, capc] 16-bit
+            okf = (alive_r & (abs_pos_r >= cl - 1)).astype(jnp.int32)
+            # one transpose back to column form for row-select compares
+            pack = jnp.concatenate(
+                [row_r.astype(jnp.float32), sig_r.astype(jnp.float32),
+                 okf.astype(jnp.float32)], axis=0)  # [3, capc]
+            packT = jax.lax.dot_general(
+                eye_c, pack, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # [capc, 3]
+            row_g = packT[:, 0:1].astype(jnp.int32)
+            sig = packT[:, 1:2].astype(jnp.int32)
+            ok_g = packT[:, 2:3] > 0.5
+            rb = base // 128
+            trio = jax.lax.broadcasted_iota(
+                jnp.int32, (capc, t_rows), 1)
+            ohT = (trio == row_g).astype(jnp.bfloat16)
+            sel_hi = jax.lax.dot_general(
+                ohT, hi_all_ref[rb:rb + t_rows, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [capc, 128]
+            sel_lo = jax.lax.dot_general(
+                ohT, lo_all_ref[rb:rb + t_rows, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = ok_g & (sel_hi.astype(jnp.int32) == ((sig >> 8) + 1)) \
+                & (sel_lo.astype(jnp.int32) == (sig & 255))  # [capc, 128]
+            mi = m.astype(jnp.int32)
+            cnt = jnp.sum(mi, axis=1, keepdims=True)  # sig matches in row
+            overflow = jnp.maximum(overflow, jnp.max(cnt) - 2)
+            # first and last matching lanes (two same-sig classes in one
+            # row is ~1e-5; three or more raises the overflow flag and
+            # the scan re-runs on the XLA confirm family)
+            lane1 = jnp.min(jnp.where(m, lio, 128), axis=1, keepdims=True)
+            lane2 = jnp.max(jnp.where(m, lio, -1), axis=1, keepdims=True)
+            if _os.environ.get("HS_KCONF_DEBUG") and gi == _dbg_gi:
+                _dbg_row = _t_row(packT[:, 0:1], capc, eye_c)
+                _dbg_sig = _t_row(packT[:, 1:2], capc, eye_c)
+                _dbg_m = _t_row(cnt.astype(jnp.float32), capc, eye_c)
+            gidx1 = base + row_g * 128 + lane1 + 1  # global slot idx + 1
+            gidx2 = base + row_g * 128 + lane2 + 1
+            cls_cols.append(jnp.where(
+                cnt >= 1, gidx1, 0).astype(jnp.float32))
+            cls_cols.append(jnp.where(
+                cnt >= 2, gidx2, 0).astype(jnp.float32))
     if _KCONF_STAGE == 2:
         dummy = jnp.sum(sum(cls_cols), keepdims=True).reshape(1, 1)
         return _early(count, dummy % 2.0)
@@ -1489,9 +1590,40 @@ def dev_confirm_planes(lit):
             or base >= (1 << 24):
         lit._kconf_planes = None
         return None
+    # stacked table form: ALL groups' hi/lo sig planes concatenated
+    # along rows (group g occupies rows base//128 .. +t_rows), padded to
+    # a lane-aligned row count — the epilogue probes every group with
+    # ONE block-diagonal one-hot contraction against these two planes
+    # instead of 2 matmuls per group (the measured epilogue bottleneck
+    # is op-issue count, not MACs; BASELINE.md round-5 cost anatomy)
+    t_rows_total = base // 128
+    t_pad = -(-max(t_rows_total, 8) // 128) * 128
+    hi_all = np.zeros((t_pad, 128), np.float32)
+    lo_all = np.zeros((t_pad, 128), np.float32)
+    for gi, (_cl, _mlo, _mhi, tr, b) in enumerate(metas):
+        rb = b // 128
+        hi_all[rb:rb + tr] = planes[2 * gi]
+        lo_all[rb:rb + tr] = planes[2 * gi + 1]
+    # per-group scalar constants as one int32 VMEM plane (lane 0 = mlo
+    # bits, 1 = mhi bits, 2 = row mask, 3 = row base, 4 = cl - 1):
+    # building them in-kernel would cost a per-group where-chain per cell
+    G = len(metas)
+    g_pad = -(-max(G, 1) // 8) * 8
+    gconst = np.zeros((g_pad, 128), np.int32)
+    def _i32(v: int) -> int:  # uint32 bit pattern as a signed int32
+        return int(v) - (1 << 32) if int(v) >= (1 << 31) else int(v)
+
+    for gi, (cl, mlo, mhi, tr, b) in enumerate(metas):
+        gconst[gi, 0] = _i32(mlo)
+        gconst[gi, 1] = _i32(mhi)
+        gconst[gi, 2] = tr - 1
+        gconst[gi, 3] = b // 128
+        gconst[gi, 4] = cl - 1
     lit._kconf_planes = (
         tuple(metas),
-        tuple(jnp.asarray(p, dtype=jnp.bfloat16) for p in planes),
+        (jnp.asarray(gconst),
+         jnp.asarray(hi_all, dtype=jnp.bfloat16),
+         jnp.asarray(lo_all, dtype=jnp.bfloat16)),
         jnp.asarray(np.concatenate(cls_parts)) if cls_parts
         else jnp.zeros(1, jnp.int32),
     )

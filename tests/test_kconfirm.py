@@ -95,6 +95,36 @@ def test_kconfirm_sidecar_hot_cell(db):
     assert len(s_k) >= 100
 
 
+def _clear_kernel_caches():
+    T._jit_filter_confirm.cache_clear()
+    T._make_kernel_fused.cache_clear()
+    T._make_kernel_fused_classes.cache_clear()
+
+
+def test_kconfirm_pergroup_fallback_path(db, monkeypatch):
+    # big-table databases fall back to the per-group probe loop (merged
+    # one-hot element limit); force that path and re-run the family
+    # differential — results must be identical to the XLA confirm
+    lit = db.lit
+    monkeypatch.setattr(T, "_KCONF_MERGE_LIMIT", 0)
+    _clear_kernel_caches()
+    try:
+        rng = np.random.default_rng(17)
+        n = (1 << 17) + 99
+        corpus = (32 + rng.integers(0, 95, size=n)).astype(np.uint8)
+        plant = b" attack5 payload9 77z q21hfeedf00d "
+        for off in (100, 40000, n - len(plant) - 2):
+            corpus[off:off + len(plant)] = np.frombuffer(plant, np.uint8)
+        rows_d = jnp.asarray(T.corpus_to_rows(corpus))
+        s_k = _pairs(lit, rows_d, corpus, n, True)
+        s_x = _pairs(lit, rows_d, corpus, n, False)
+        assert s_k == s_x
+        assert len(s_k) >= 6
+    finally:
+        # kernels traced under the patched limit must not leak
+        _clear_kernel_caches()
+
+
 def test_kconfirm_overflow_demotes(db, monkeypatch):
     # a flood of real matches (> CAPC2 confirmed in one cell) must flip
     # the database to the XLA confirm family, never lose records. Drive

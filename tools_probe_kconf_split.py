@@ -91,7 +91,7 @@ def main():
         # discriminator for per-cell table re-DMA: tiny planes, same
         # count — only valid with teddy._KCONF_STAGE <= 1 (set the
         # module attr before the first kernel build; contents unread)
-        planes = tuple(jnp.zeros((8, 128), jnp.bfloat16) for _ in planes)
+        planes = tuple(jnp.zeros((8, 128), p.dtype) for p in planes)
     print(f"caps={caps} capc={capc} mean={mean:.1f} "
           f"tabMB={sum(int(np.prod(p.shape)) for p in planes)*2/1e6:.2f}",
           flush=True)
